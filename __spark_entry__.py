@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()``/``oracle_sql()`` are backed by :mod:`harmony_spark.registry`:
+every implemented operator from SURVEY.md §2 registers a DataFrame
+implementation plus (where SQL-expressible) the DuckDB oracle. ``entry``
+runs the flagship pipeline on sf0.001.
 """
 
 from __future__ import annotations
@@ -16,23 +15,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from harmony_spark.registry import load_all
+
+    specs = load_all()
+    name = "harmony_correct" if "harmony_correct" in specs else "q11_contingency"
+    return specs[name].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from harmony_spark.registry import load_all
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL per query (omitted for non-SQL ops,
+    which get the driver's rows-only check)."""
+    from harmony_spark.registry import load_all
+
+    return {
+        name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None
+    }

@@ -1,0 +1,285 @@
+"""Deduplication operators over the `documents` table (SURVEY.md §2.10).
+
+Exact dedup, canonical-fingerprint dedup, n-gram-set Jaccard near-dup,
+MinHash + banded LSH, and SimHash. All are engine-portable by
+construction: every hash is md5 (available and bit-identical in Spark and
+DuckDB), and MinHash exploits that the lexicographic MIN of fixed-width
+lowercase-hex md5 strings equals the numeric MIN of the underlying 128-bit
+values — so the signatures, bands, and candidate pairs hash-match the
+oracle exactly, no RNG anywhere.
+
+Scale notes (100 TB): every operator here is shuffle-bounded by
+(doc_id, token/shingle) explode → groupBy, i.e. linear in corpus size;
+pair generation only ever happens inside an LSH band bucket or an
+explicit doc_id window, never as a global cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harmony_spark.io import table
+from harmony_spark.registry import register
+
+N_MINHASH = 8  # signature length
+N_BANDS = 4  # bands of 2 rows each: P(candidate) = 1-(1-s^2)^4
+SIMHASH_BITS = 16
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.lower(F.col(col)), r"\s+")
+
+
+@register(
+    "q30_exact_dedup",
+    oracle="SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique FROM documents",
+    doc="Exact dedup by content hash: groupBy(md5(text)). The 100 TB plan "
+    "is a single hash-aggregate shuffle on the 16-byte digest, never on "
+    "the text itself.",
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    return table(spark, sf, "documents").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
+    )
+
+
+@register(
+    "q41_fingerprint_dedup",
+    oracle="""
+        SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+        FROM (SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct(
+                         string_split_regex(lower(text), '\\s+'))), ' ')) AS fp
+              FROM documents) t
+        GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp
+    """,
+    doc="Canonical-fingerprint dedup: md5 of the sorted distinct token set "
+    "(rolling-hash document fingerprinting family). Groups with >1 doc are "
+    "near-duplicate clusters; keeper = min doc_id.",
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(_tokens())), " ").cast("binary")
+    )
+    return (
+        table(spark, sf, "documents")
+        .select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+
+@register(
+    "q33_ngram_jaccard",
+    oracle="""
+        WITH t AS (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+                   FROM documents WHERE doc_id < 40)
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               ROUND(len(list_intersect(a.toks, b.toks)) * 1.0
+                     / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+        ORDER BY da, db
+    """,
+    doc="Token-set Jaccard near-dup on an explicit doc window (exact "
+    "verification kernel for the MinHash path). Spark side computes the "
+    "pair lattice by exploding distinct (doc, token) pairs and counting "
+    "co-occurrences — linear shuffle, no array cross-products.",
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").where(F.col("doc_id") < 40)
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    j = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(sa), "da")
+        .join(F.broadcast(sb), "db")
+        .select("da", "db", F.round(j, 6).alias("jaccard"))
+        .where(F.round(j, 6) >= 0.8)
+        .orderBy("da", "db")
+    )
+
+
+def _shingles_spark(n: int = 3) -> Column:
+    """3-token shingles as an array column (positional n-grams).
+
+    Guarded: Spark's sequence(1, stop) is DEscending for stop < 1, so
+    short documents get an explicit empty array.
+    """
+    toks = _tokens()
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _minhash_sig_spark(df: DataFrame) -> DataFrame:
+    """doc_id -> mh_0..mh_{N-1}: per-seed MIN of md5(seed:shingle).
+
+    Lexicographic min of 32-char lowercase hex == numeric min of the
+    128-bit hash, so this is a textbook MinHash with md5-seeded
+    permutations, portable across engines.
+    """
+    sh = df.select("doc_id", F.explode(_shingles_spark()).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(j)), F.col("sh")).cast("binary"))).alias(f"mh_{j}")
+        for j in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sig_sql(where: str = "") -> str:
+    """DuckDB SQL producing the identical signature table."""
+    mins = ",\n               ".join(
+        f"MIN(md5('{j}' || ':' || sh)) AS mh_{j}" for j in range(N_MINHASH)
+    )
+    return f"""
+        SELECT doc_id, {mins}
+        FROM (
+          SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                FROM documents {where})
+               , UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+        ) s
+        GROUP BY doc_id
+    """
+
+
+@register(
+    "q34_minhash_signatures",
+    oracle=f"""
+        SELECT doc_id, mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7
+        FROM ({_minhash_sig_sql()}) sig
+        ORDER BY doc_id LIMIT 100
+    """,
+    doc=f"MinHash signatures ({N_MINHASH} md5-seeded permutations over "
+    "3-token shingles). Deterministic and engine-portable; the LSH "
+    "banding over these signatures is q35.",
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    sig = _minhash_sig_spark(table(spark, sf, "documents"))
+    return sig.orderBy("doc_id").limit(100)
+
+
+@register(
+    "q35_minhash_lsh_pairs",
+    oracle=f"""
+        WITH sig AS ({_minhash_sig_sql()}),
+        bands AS (
+          SELECT doc_id, b, band FROM (
+            SELECT doc_id,
+                   UNNEST([0, 1, 2, 3]) AS b,
+                   UNNEST([md5(mh_0 || mh_1), md5(mh_2 || mh_3),
+                           md5(mh_4 || mh_5), md5(mh_6 || mh_7)]) AS band
+            FROM sig) x)
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id
+        ORDER BY da, db LIMIT 1000
+    """,
+    doc=f"MinHash LSH near-dup candidates: {N_BANDS} bands x 2 rows; "
+    "candidate pair iff some band matches (P = 1-(1-s^2)^4). The join is "
+    "bucket-local (equi-join on band hash), so pair generation never "
+    "goes quadratic in corpus size — the 100 TB-safe dedup plan.",
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    sig = _minhash_sig_spark(table(spark, sf, "documents"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.md5(F.concat(F.col(f"mh_{2 * b}"), F.col(f"mh_{2 * b + 1}")).cast("binary")).alias("band"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc_id", F.col("bb.b").alias("b"), F.col("bb.band").alias("band")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+        .orderBy("da", "db")
+        .limit(1000)
+    )
+
+
+def _simhash_expr_spark() -> Column:
+    """16-bit SimHash as a bit string: bit j = sign of sum over distinct
+    tokens of +-1 where the sign is the top bit of md5(j:token)."""
+    toks = F.array_distinct(_tokens())
+
+    def step(j: int):
+        def f(acc, t):
+            signed = F.when(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(j)), t).cast("binary")), 1, 1
+                )
+                >= "8",
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            return acc + signed
+
+        return f
+
+    bits = []
+    for j in range(SIMHASH_BITS):
+        contrib = F.aggregate(toks, F.lit(0), step(j))
+        bits.append(F.when(contrib >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _simhash_expr_sql() -> str:
+    parts = []
+    for j in range(SIMHASH_BITS):
+        parts.append(
+            "(CASE WHEN (SELECT SUM(CASE WHEN substr(md5('"
+            + str(j)
+            + "' || ':' || t.tok), 1, 1) >= '8' THEN 1 ELSE -1 END)"
+            " FROM UNNEST(list_distinct(string_split_regex(lower(text), '\\s+'))) AS t(tok)) >= 0"
+            " THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(parts)
+
+
+@register(
+    "q36_simhash_groups",
+    oracle=f"""
+        SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+        FROM (SELECT doc_id, {_simhash_expr_sql()} AS simhash FROM documents) t
+        GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash LIMIT 200
+    """,
+    doc="SimHash (16-bit, md5-signed random projections over the token "
+    "set); docs sharing a signature are near-dup candidates. Hex top-bit "
+    "test >= '8' is identical in both engines on lowercase hex.",
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "documents")
+        .select("doc_id", _simhash_expr_spark().alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("simhash")
+        .limit(200)
+    )

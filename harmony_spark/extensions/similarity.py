@@ -1,0 +1,210 @@
+"""Similarity search over the `embeddings` table (SURVEY.md §2.10).
+
+The arithmetic kernel is the same one the harmony core uses for its
+centroid-distance GEMM (M1: /root/reference/src/harmony.cpp:141,221 —
+`dist = 2(1 - Y^T Z)`): broadcast the small side, compute dot products
+against it without ever shuffling the big side.
+
+Three tiers:
+  * q31 — exact pairwise dot products on an explicit id window (oracle
+    verification kernel).
+  * q37 — brute-force cosine top-k: queries broadcast against the full
+    table, ranked per query. At 100 TB this is one narrow pass over the
+    fact table + a k-row-per-query window; no N x N blow-up.
+  * q38 — LSH-bucketed ANN: sign-random-projection buckets (md5-seeded,
+    engine-portable); candidates are ranked only within a bucket. This is
+    the scale path: the per-query candidate set is O(bucket), not O(N).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from harmony_spark.io import table
+from harmony_spark.registry import register
+
+TOP_K = 5
+N_PLANES = 4  # sign-random-projection planes -> 16 buckets
+
+
+def _dot(a: str, b: str) -> Column:
+    """Sum over zip_with products, accumulated in float64 in array order
+    (bitwise-stable across engines for a fixed array length)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _l2(col: str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            col,
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+@register(
+    "q31_pairwise_dot",
+    oracle="""
+        SELECT a.vec_id AS qa, b.vec_id AS qb,
+               ROUND(SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)), 6) AS dot
+        FROM (SELECT vec_id, UNNEST(embedding) AS xa, generate_subscripts(embedding, 1) AS i
+              FROM embeddings WHERE vec_id < 5) a
+        JOIN (SELECT vec_id, UNNEST(embedding) AS xb, generate_subscripts(embedding, 1) AS i
+              FROM embeddings WHERE vec_id < 5) b
+          ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id ORDER BY qa, qb
+    """,
+    doc="Exact pairwise dot products (similarity-search arithmetic, M1 "
+    "kernel shape). Spark side: zip_with + aggregate, one narrow pass.",
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings").where(F.col("vec_id") < 5)
+    a = e.select(F.col("vec_id").alias("qa"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("qb"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("qa") < F.col("qb"))
+        .select("qa", "qb", F.round(_dot("ea", "eb"), 6).alias("dot"))
+        .orderBy("qa", "qb")
+    )
+
+
+_COS_SQL = """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe,
+                      sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS qn
+               FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id AS c_id, embedding AS ce,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+          FROM embeddings),
+    s AS (SELECT q_id, c_id,
+                 list_sum(list_transform(list_zip(qe, ce),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (qn * cn) AS cos
+          FROM q, c WHERE q_id <> c_id)
+    SELECT q_id, c_id, ROUND(cos, 6) AS cos, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT q_id, c_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cos, 6) DESC, c_id) AS rn
+      FROM s) t
+    WHERE rn <= 5 ORDER BY q_id, rn
+"""
+
+
+@register(
+    "q37_cosine_topk",
+    oracle=_COS_SQL,
+    doc="Brute-force cosine top-k ANN baseline: 3 query vectors broadcast "
+    "against all candidates; per-query ranking window on (rounded cosine, "
+    "c_id) so ties are deterministic. The fact side is scanned once and "
+    "never shuffled except k rows per query.",
+)
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    cos = _dot("qe", "ce") / (_l2("qe") * _l2("ce"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(cos, 6).alias("cos"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= TOP_K)
+        .orderBy("q_id", "rn")
+    )
+
+
+def _bucket_sql() -> str:
+    """Sign-random-projection bucket: bit j = sign of <v, h_j> where
+    h_j[i] = +-1 from the top bit of md5(j:i). Engine-portable."""
+    bits = []
+    for j in range(N_PLANES):
+        bits.append(
+            "(CASE WHEN (SELECT SUM(CASE WHEN substr(md5('"
+            + str(j)
+            + "' || ':' || CAST(u.i - 1 AS VARCHAR)), 1, 1) >= '8' THEN CAST(u.x AS DOUBLE) ELSE -CAST(u.x AS DOUBLE) END)"
+            " FROM (SELECT UNNEST(embedding) AS x, generate_subscripts(embedding, 1) AS i) u) >= 0"
+            " THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+def _bucket_spark() -> Column:
+    def signed_term(j: int):
+        def f(x, i):
+            return F.when(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(j)), i.cast("string")).cast("binary")),
+                    1,
+                    1,
+                )
+                >= "8",
+                x.cast("double"),
+            ).otherwise(-x.cast("double"))
+
+        return f
+
+    bits = []
+    for j in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.sequence(F.lit(0), F.size("embedding") - 1),
+                signed_term(j),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+@register(
+    "q38_lsh_bucket_histogram",
+    oracle=f"""
+        SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+        FROM (SELECT vec_id, {_bucket_sql()} AS bucket FROM embeddings) t
+        GROUP BY bucket ORDER BY bucket
+    """,
+    doc="LSH-bucketed ANN scale path: sign-random-projection buckets "
+    "(deterministic md5 hyperplanes). The query checks the bucket "
+    "assignment itself; ANN then ranks only within a bucket (see "
+    "tests/test_extensions.py for the end-to-end bucketed search).",
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "embeddings")
+        .select("vec_id", _bucket_spark().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec"))
+        .orderBy("bucket")
+    )
+
+
+def bucketed_ann(spark: SparkSession, sf: str, k: int = TOP_K) -> DataFrame:
+    """End-to-end LSH ANN: rank candidates only within the query's bucket.
+
+    Not oracle-registered (it is q37's semantics restricted to q38's
+    buckets — both halves are independently oracle-checked); exercised by
+    the engine tests.
+    """
+    e = table(spark, sf, "embeddings").withColumn("bucket", _bucket_spark())
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), "bucket")
+    cos = _dot("qe", "ce") / (_l2("qe") * _l2("ce"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(cos, 6).alias("cos"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+        .orderBy("q_id", "rn")
+    )

@@ -1,0 +1,156 @@
+"""Text-analysis operators over the `documents` table (SURVEY.md §2.10):
+token statistics, n-gram-heuristic language ID, quality scoring, token
+counting. All pure column expressions (JVM-side, whole-stage codegen) —
+no Python UDF anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harmony_spark.io import table
+from harmony_spark.registry import register
+
+# Tiny per-language marker sets for the n-gram/stopword language-ID
+# heuristic. Deterministic; quality of the guess is irrelevant to the
+# correctness check (the oracle applies the identical rule).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "die", "und"],
+}
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.lower(F.col(col)), r"\s+")
+
+
+@register(
+    "q32_token_stats",
+    oracle="""
+        SELECT lang, COUNT(*) AS docs, ROUND(AVG(n_chars), 6) AS avg_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Corpus token statistics grouped by language label.",
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("docs"), F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+        .orderBy("lang")
+    )
+
+
+def _marker_count_sql(words: list[str]) -> str:
+    pat = "|".join(words)
+    return f"len(regexp_extract_all(lower(text), '\\\\b({pat})\\\\b'))"
+
+
+def _marker_count_spark(words: list[str]) -> Column:
+    pat = "|".join(words)
+    return F.regexp_count(F.lower(F.col("text")), F.lit(rf"\b({pat})\b"))
+
+
+@register(
+    "q39_lang_id",
+    oracle=f"""
+        SELECT predicted, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM (
+          SELECT lang,
+                 CASE GREATEST({_marker_count_sql(_LANG_MARKERS['en'])},
+                               {_marker_count_sql(_LANG_MARKERS['es'])},
+                               {_marker_count_sql(_LANG_MARKERS['fr'])},
+                               {_marker_count_sql(_LANG_MARKERS['de'])})
+                   WHEN {_marker_count_sql(_LANG_MARKERS['en'])} THEN 'en'
+                   WHEN {_marker_count_sql(_LANG_MARKERS['es'])} THEN 'es'
+                   WHEN {_marker_count_sql(_LANG_MARKERS['fr'])} THEN 'fr'
+                   ELSE 'de' END AS predicted
+          FROM documents) t
+        GROUP BY predicted ORDER BY predicted
+    """,
+    doc="Language-ID n-gram/stopword heuristic: argmax of per-language "
+    "marker-word counts (first match wins on ties, en > es > fr > de). "
+    "Reported as a confusion summary against the stored label.",
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    counts = {lg: _marker_count_spark(ws) for lg, ws in _LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    predicted = (
+        F.when(counts["en"] == best, F.lit("en"))
+        .when(counts["es"] == best, F.lit("es"))
+        .when(counts["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    return (
+        table(spark, sf, "documents")
+        .select("lang", predicted.alias("predicted"))
+        .groupBy("predicted")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .orderBy("predicted")
+    )
+
+
+@register(
+    "q40_quality_score",
+    oracle="""
+        SELECT source,
+               ROUND(AVG(n_tokens), 6) AS avg_tokens,
+               ROUND(AVG(CAST(n_chars AS DOUBLE) / n_tokens), 6) AS avg_token_len,
+               ROUND(AVG(CASE WHEN n_tokens BETWEEN 20 AND 60 THEN 1.0 ELSE 0.0 END), 6) AS frac_good_len
+        FROM (SELECT source, n_chars,
+                     len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+              FROM documents) t
+        GROUP BY source ORDER BY source
+    """,
+    doc="Document quality scoring: token counts, mean token length, and a "
+    "length-window quality fraction, per source (the length/punct/stopword "
+    "ratio family).",
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    n_tokens = F.size(_tokens())
+    return (
+        table(spark, sf, "documents")
+        .select("source", "n_chars", n_tokens.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.round(F.avg(F.col("n_chars").cast("double") / F.col("n_tokens")), 6).alias(
+                "avg_token_len"
+            ),
+            F.round(
+                F.avg(F.when(F.col("n_tokens").between(20, 60), 1.0).otherwise(0.0)), 6
+            ).alias("frac_good_len"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q42_token_frequencies",
+    oracle="""
+        SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, UNNEST(string_split_regex(lower(text), '\\s+')) AS tok
+              FROM documents) t
+        GROUP BY tok ORDER BY tf DESC, tok LIMIT 50
+    """,
+    doc="Global term/document frequencies (the TF/IDF building block): "
+    "explode tokens -> one hash-agg shuffle keyed by token.",
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "documents")
+        .select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), "tok")
+        .limit(50)
+    )

@@ -1,0 +1,544 @@
+"""Relational operator surface, Q01–Q16 + Q19–Q26 of SURVEY.md §2.11.
+
+Each query is the declared exercise of one operator family the engine
+supports (scan/filter/project, joins of every flavor, hash aggregation,
+rollup, set ops, scalar/array/json functions). Implementations are
+DataFrame-API-first so Catalyst gets the whole logical plan: filters and
+projections sit directly on the parquet scan (pushdown + pruning), small
+dimensions broadcast, aggregates get partial+final hash agg automatically.
+
+The harmony-reference operator each query descends from is cited per
+function (file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from harmony_spark.io import table
+from harmony_spark.registry import register
+
+
+# ---------------------------------------------------------------- scans ----
+
+
+@register(
+    "q01_scan_filter_project",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_quantity > 30 AND l_returnflag = 'R'
+        ORDER BY l_orderkey, l_linenumber LIMIT 100
+    """,
+    doc="Scan + filter + project (S1/P5: /root/reference/R/ui.R:91-188). "
+    "Predicates reach the parquet scan as PushedFilters.",
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "lineitem")
+        .where((F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@register(
+    "q02_stddev_sink",
+    oracle="""
+        SELECT ROUND(STDDEV_SAMP(c_acctbal), 6) AS sd, ROUND(AVG(c_acctbal), 6) AS mu
+        FROM customer
+    """,
+    doc="Per-column stddev of an embedding sink (A7: /root/reference/R/RunHarmony.R:108).",
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    return table(spark, sf, "customer").agg(
+        F.round(F.stddev_samp("c_acctbal"), 6).alias("sd"),
+        F.round(F.avg("c_acctbal"), 6).alias("mu"),
+    )
+
+
+@register(
+    "q03_array_slice",
+    oracle="""
+        SELECT vec_id,
+               ROUND(CAST(embedding[1] AS DOUBLE), 6) AS d0,
+               ROUND(CAST(embedding[2] AS DOUBLE), 6) AS d1
+        FROM embeddings ORDER BY vec_id LIMIT 100
+    """,
+    doc="Array element projection = dims.use column subsetting "
+    "(S5: /root/reference/R/RunHarmony.R:77-87).",
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            F.round(F.element_at("embedding", 1).cast("double"), 6).alias("d0"),
+            F.round(F.element_at("embedding", 2).cast("double"), 6).alias("d1"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
+# ------------------------------------------------- element-wise transforms ----
+
+
+@register(
+    "q04_l2_norm",
+    oracle="""
+        SELECT vec_id, ROUND(SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS l2
+        FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t
+        GROUP BY vec_id ORDER BY vec_id LIMIT 100
+    """,
+    doc="L2 norm per embedding row (P1 cosine normalization: "
+    "/root/reference/src/harmony.cpp:42,220). Spark side uses the "
+    "aggregate() higher-order function: one narrow pass, no shuffle.",
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return e.select("vec_id", F.round(l2, 6).alias("l2")).orderBy("vec_id").limit(100)
+
+
+@register(
+    "q05_grouped_zscore_clip",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               ROUND(GREATEST(LEAST((o_totalprice - AVG(o_totalprice) OVER w)
+                     / NULLIF(STDDEV_SAMP(o_totalprice) OVER w, 0), 10), -10), 6) AS z
+        FROM orders WINDOW w AS (PARTITION BY o_custkey)
+        ORDER BY o_custkey, o_orderkey LIMIT 100
+    """,
+    doc="Per-group z-score with clipping (P2 scaleRows_dgc: "
+    "/root/reference/src/utils.cpp:112-155) as a window function.",
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey")
+    z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / F.nullif(
+        F.stddev_samp("o_totalprice").over(w), F.lit(0.0)
+    )
+    return (
+        table(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.greatest(F.least(z, F.lit(10.0)), F.lit(-10.0)), 6).alias("z"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q06_safe_entropy",
+    oracle="""
+        SELECT l_returnflag, ROUND(SUM(CASE WHEN p = 0 THEN 0 ELSE p * LN(p) END), 6) AS h
+        FROM (SELECT l_returnflag, l_discount AS p FROM lineitem) t
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Safe entropy x*ln(x) with 0*log0 -> 0 (P3 safe_entropy: "
+    "/root/reference/src/utils.cpp:77-90).",
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    p = F.col("l_discount")
+    term = F.when(p == 0, F.lit(0.0)).otherwise(p * F.log(p))
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum(term), 6).alias("h"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q07_partition_softmax",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(EXP(l_discount) / SUM(EXP(l_discount)) OVER (PARTITION BY l_orderkey), 6) AS sm
+        FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+    """,
+    doc="Softmax within partition (P4 column softmax of R: "
+    "/root/reference/src/harmony.cpp:143-146,318-321).",
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("l_orderkey")
+    sm = F.exp("l_discount") / F.sum(F.exp("l_discount")).over(w)
+    return (
+        table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", F.round(sm, 6).alias("sm"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# ------------------------------------------------------------ aggregates ----
+
+
+@register(
+    "q08_batch_counts",
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n_b FROM customer
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="Per-batch cell counts N_b = rowSums(Phi) (A1: /root/reference/R/ui.R:216). "
+    "Partial+final hash agg from Catalyst.",
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_b"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q09_batch_priors",
+    oracle="""
+        SELECT c_mktsegment, ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM customer), 6) AS pr_b
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="Batch priors Pr_b = N_b/N (A2: /root/reference/src/harmony.cpp:67).",
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    total = c.agg(F.count("*").alias("_total"))
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("_cnt"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_mktsegment",
+            F.round(F.col("_cnt") * 1.0 / F.col("_total"), 6).alias("pr_b"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q10_level_cardinality",
+    oracle="SELECT COUNT(DISTINCT p_brand) AS b_brand, COUNT(DISTINCT p_type) AS b_type FROM part",
+    doc="Covariate level cardinality B_vec = nlevels (A3: /root/reference/R/ui.R:219-221).",
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    return table(spark, sf, "part").agg(
+        F.countDistinct("p_brand").alias("b_brand"),
+        F.countDistinct("p_type").alias("b_type"),
+    )
+
+
+@register(
+    "q11_contingency",
+    oracle="""
+        SELECT n_name, o_orderpriority, COUNT(*) AS o_kb
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, o_orderpriority ORDER BY n_name, o_orderpriority
+    """,
+    doc="Cluster-by-batch contingency table O = R*Phi^T, hard-label analogue "
+    "(A4: /root/reference/src/harmony.cpp:150,227). customer & nation broadcast.",
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(F.count("*").alias("o_kb"))
+        .orderBy("n_name", "o_orderpriority")
+    )
+
+
+@register(
+    "q12_expected_counts",
+    oracle="""
+        SELECT a.n_name, b.o_orderpriority,
+               ROUND(a.cnt * b.cnt * 1.0 / (SELECT COUNT(*) FROM orders), 6) AS e_kb
+        FROM (SELECT n_name, COUNT(*) AS cnt FROM orders JOIN customer ON o_custkey=c_custkey
+              JOIN nation ON c_nationkey=n_nationkey GROUP BY n_name) a
+        CROSS JOIN (SELECT o_orderpriority, COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority) b
+        ORDER BY a.n_name, b.o_orderpriority
+    """,
+    doc="Independence-expected counts E = rowSums(R)*Pr_b^T, rank-1 outer "
+    "product as a cross join (A5: /root/reference/src/harmony.cpp:149,226).",
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    a = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cnt_a"))
+    )
+    b = o.groupBy("o_orderpriority").agg(F.count("*").alias("cnt_b"))
+    total = o.agg(F.count("*").alias("_total"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_name",
+            "o_orderpriority",
+            F.round(F.col("cnt_a") * F.col("cnt_b") * 1.0 / F.col("_total"), 6).alias("e_kb"),
+        )
+        .orderBy("n_name", "o_orderpriority")
+    )
+
+
+@register(
+    "q13_grouped_weighted_sums",
+    oracle="""
+        SELECT l_returnflag, ROUND(SUM(l_discount), 6) AS sum_w, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Grouped weighted sums = ridge Gram matrix entries "
+    "(A8: /root/reference/src/harmony.cpp:561-567).",
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_discount"), 6).alias("sum_w"), F.count("*").alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q14_grouped_weighted_vector_sums",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(SUM(l_discount * l_extendedprice), 6) AS wz1,
+               ROUND(SUM(l_discount * l_quantity), 6) AS wz2
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Grouped weighted vector sums = ridge RHS Phi*diag(R_k)*Z^T "
+    "(A9: /root/reference/src/harmony.cpp:592-609); partial+final agg is "
+    "Catalyst's map-side combine, the treeAggregate analogue.",
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(F.col("l_discount") * F.col("l_extendedprice")), 6).alias("wz1"),
+            F.round(F.sum(F.col("l_discount") * F.col("l_quantity")), 6).alias("wz2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q15_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 6) AS q
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="ROLLUP grouping sets (general agg surface; no analogue in reference).",
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 6).alias("q"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+# ----------------------------------------------------------------- joins ----
+
+
+@register(
+    "q16_broadcast_join_arith",
+    oracle="""
+        SELECT o_orderkey, ROUND(o_totalprice - c_acctbal, 6) AS corrected
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderkey LIMIT 100
+    """,
+    doc="Broadcast equi-join + arithmetic = the correction-gather shape "
+    "(M2 Z_corr -= W^T*Phi*diag(R): /root/reference/src/harmony.cpp:615). "
+    "customer is the small dim -> broadcast hash join, fact side never shuffles.",
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", F.round(F.col("o_totalprice") - F.col("c_acctbal"), 6).alias("corrected"))
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q20_multiway_join",
+    oracle="""
+        SELECT r_name, n_name, COUNT(*) AS suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """,
+    doc="Multi-way join over the dim hierarchy; both dims broadcast.",
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("suppliers"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "q21_left_outer_join",
+    oracle="""
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey LIMIT 100
+    """,
+    doc="Left outer join preserving unmatched customers.",
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q22_anti_join",
+    oracle="""
+        SELECT COUNT(*) AS n FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Anti join: customers with no orders (NOT EXISTS).",
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q23_range_join",
+    oracle="""
+        SELECT p_brand, COUNT(*) AS n
+        FROM part JOIN lineitem ON p_partkey = l_partkey AND l_quantity > p_size
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    doc="Theta/range join: equi key + inequality residual. part broadcast "
+    "so the inequality is evaluated as a residual filter on the hash match.",
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    p = table(spark, sf, "part")
+    li = table(spark, sf, "lineitem")
+    return (
+        li.join(
+            F.broadcast(p),
+            (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size),
+        )
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------- set ops ----
+
+
+@register(
+    "q19_union_all",
+    oracle="""
+        SELECT 'mkt' AS cov, c_mktsegment AS level, COUNT(*) AS n FROM customer GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'nat' AS cov, CAST(c_nationkey AS VARCHAR) AS level, COUNT(*) AS n FROM customer GROUP BY c_nationkey
+        ORDER BY cov, level
+    """,
+    doc="UNION ALL = stacked per-covariate one-hot blocks, the Phi "
+    "construction shape (/root/reference/R/ui.R:210-213).",
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    mkt = c.groupBy("c_mktsegment").agg(F.count("*").alias("n")).select(
+        F.lit("mkt").alias("cov"), F.col("c_mktsegment").alias("level"), "n"
+    )
+    nat = c.groupBy("c_nationkey").agg(F.count("*").alias("n")).select(
+        F.lit("nat").alias("cov"), F.col("c_nationkey").cast("string").alias("level"), "n"
+    )
+    return mkt.unionAll(nat).orderBy("cov", "level")
+
+
+@register(
+    "q24_intersect",
+    oracle="""
+        SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier
+        ORDER BY c_nationkey
+    """,
+    doc="INTERSECT set op (nations having both customers and suppliers).",
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").select("c_nationkey")
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("c_nationkey"))
+    return c.intersect(s).orderBy("c_nationkey")
+
+
+# --------------------------------------------------------- scalar functions ----
+
+
+@register(
+    "q25_string_date_fns",
+    oracle="""
+        SELECT UPPER(SUBSTR(o_orderpriority, 1, 1)) AS pri,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="String + date scalar functions (substr/upper/extract-year).",
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "orders")
+        .groupBy(
+            F.upper(F.substring("o_orderpriority", 1, 1)).alias("pri"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("pri", "yr")
+    )
+
+
+@register(
+    "q26_json_extract",
+    oracle="""
+        SELECT event_type, COUNT(json_extract_string(props, '$.k')) AS with_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="JSON extraction from events.props (map/json function surface).",
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.get_json_object("props", "$.k")).alias("with_k"))
+        .orderBy("event_type")
+    )

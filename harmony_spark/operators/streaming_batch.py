@@ -1,0 +1,87 @@
+"""Batch-mode equivalents of the Structured Streaming surface (SURVEY.md §2.9).
+
+The reference is strictly batch (no streaming anywhere in /root/reference);
+these queries declare the oracle-checkable batch semantics of the streaming
+operators implemented in :mod:`harmony_spark.streaming.ops` — tumbling
+window agg, gap-based sessionization, keyed dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from harmony_spark.io import table
+from harmony_spark.registry import register
+
+
+@register(
+    "q27_tumbling_window",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS v
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Tumbling-window aggregate, batch equivalent of "
+    "groupBy(F.window(ts, '1 hour')) in streaming mode.",
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v"))
+        .orderBy("h", "event_type")
+    )
+
+
+@register(
+    "q28_sessionization",
+    oracle="""
+        SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions FROM (
+          SELECT user_id,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM (SELECT user_id, ts, event_id,
+                       CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                 OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events) a) b
+        GROUP BY user_id ORDER BY user_id LIMIT 100
+    """,
+    doc="Gap-based sessionization (30-min gap), batch SQL equivalent of "
+    "F.session_window(ts, '30 minutes'). Session id = running sum of "
+    "gap-break indicators; n_sessions = max id.",
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lag_ts = F.lag("ts").over(order)
+    new_s = F.when(
+        lag_ts.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(lag_ts) > 1800),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        table(spark, sf, "events")
+        .select("user_id", "ts", "event_id", new_s.alias("new_s"))
+        .select("user_id", F.sum("new_s").over(cum).alias("sid"))
+        .groupBy("user_id")
+        .agg(F.max("sid").cast("long").alias("n_sessions"))
+        .orderBy("user_id")
+        .limit(100)
+    )
+
+
+@register(
+    "q29_dedup_by_key",
+    oracle="SELECT COUNT(*) AS n_unique FROM (SELECT DISTINCT event_id FROM events) t",
+    doc="Keyed dedup, batch analogue of streaming dropDuplicates(['event_id']) "
+    "within a watermark.",
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "events")
+        .select("event_id")
+        .distinct()
+        .agg(F.count("*").alias("n_unique"))
+    )

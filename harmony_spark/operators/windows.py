@@ -1,0 +1,64 @@
+"""Window-function surface: ranking, frames, sessionization (SURVEY.md §2.7).
+
+The reference's only windowed computation is the driver-side sliding-window
+convergence check (C4: /root/reference/src/harmony.cpp:173-205, window_size=3
+at src/harmony.h:61); Q18 is its relational shape. Q17 generalizes the
+argmin/top-k selections of kmeans++ (/root/reference/src/utils.cpp:35,42).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from harmony_spark.io import table
+from harmony_spark.registry import register
+
+
+@register(
+    "q17_topk_per_group",
+    oracle="""
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 100
+    """,
+    doc="Top-k per group via ranking window (kmeans++ argmin generalized: "
+    "/root/reference/src/utils.cpp:35,42).",
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        table(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+        .limit(100)
+    )
+
+
+@register(
+    "q18_sliding_window_avg",
+    oracle="""
+        SELECT o_orderkey,
+               ROUND(AVG(o_totalprice) OVER (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS w3
+        FROM orders ORDER BY o_orderkey LIMIT 100
+    """,
+    doc="Sliding-window(3) moving average = convergence-window shape "
+    "(C4: /root/reference/src/harmony.cpp:173-205).",
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.orderBy("o_orderkey").rowsBetween(-2, 0)
+    return (
+        table(spark, sf, "orders")
+        .select("o_orderkey", F.round(F.avg("o_totalprice").over(w), 6).alias("w3"))
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
