@@ -1,0 +1,362 @@
+"""The harmony algorithm as a Spark driver loop.
+
+Architecture (SURVEY.md §3.4, §7): the cells live in a persisted
+DataFrame ``(cell_id, z_orig ARRAY<FLOAT>, code_<i> INT, zn, r)``;
+all O(K·B)/O(B³) state (Y, O, E, W, λ, θ, σ) lives on the driver as
+NumPy and is broadcast each pass. Every reference C++ call becomes one
+or two narrow mapInPandas passes over the cached DataFrame plus a tiny
+partial-aggregate collect — the N-sized data never moves to the driver
+and never shuffles.
+
+Per harmony round (reference lifecycle R/utils.R:15-46):
+  cold-start pass (src/harmony.cpp:214-228)  -> new zn, penalty-free r
+  accumulate pass                            -> O, E, objective
+  x max_iter_cluster:  E-step pass (:318-323) + accumulate pass
+  moe partials pass (:561-609)               -> per-combo Gram/RHS sums
+  driver: C5 support filter (:350-402), λ auto (M8), K ridge solves
+  (M6), centroid update (M3)                 -> broadcast W_all
+convergence: window-3 cluster check + harmony check (:173-205), driver
+floats.
+
+E-step mode: full-batch EM (the reference's sequential 5%-block online
+update C3 serializes ~20 dependent jobs per E-step; the batch fixed
+point is the scale-correct Spark form — SURVEY.md §7.5. The blocked
+semantics live in the NumPy cross-oracle, numpy_ref.py, and the tests
+verify both modes satisfy the reference's invariants).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harmony_spark.core import kernels
+from harmony_spark.core.kmeans import kmeans_centers
+from harmony_spark.core.params import HarmonyOptions, ResolvedParams, resolve_params
+
+F32 = np.float32
+
+_INIT_SAMPLE_CAP = 30_000  # driver-side kmeans sample (init only)
+
+
+class HarmonySpark:
+    def __init__(
+        self,
+        df: DataFrame,
+        vars_use: list[str],
+        *,
+        features_col: str = "features",
+        id_col: str | None = None,
+        theta=None,
+        sigma=0.1,
+        lamb=None,
+        nclust: int | None = None,
+        max_iter: int = 10,
+        early_stop: bool = True,
+        options: HarmonyOptions | None = None,
+        seed: int = 42,
+    ):
+        self.spark: SparkSession = df.sparkSession
+        self.vars_use = list(vars_use)
+        self.code_cols = [f"code_{i}" for i in range(len(vars_use))]
+
+        # ---- schema validation & cell ids (S2: R/ui.R:158-172) ----
+        for v in vars_use:
+            if v not in df.columns:
+                raise ValueError(f"covariate {v!r} not in DataFrame columns")
+        if id_col is None:
+            df = df.withColumn("cell_id", F.monotonically_increasing_id())
+            id_col = "cell_id"
+
+        # ---- param resolution from two tiny aggregates (A1/A3) ----
+        d = int(df.select(F.size(features_col).alias("d")).first()["d"])
+        level_counts: dict[str, list[tuple[str, int]]] = {}
+        N = None
+        for v in vars_use:
+            rows = df.groupBy(F.col(v).cast("string").alias("lvl")).count().collect()
+            level_counts[v] = [(r["lvl"], r["count"]) for r in rows]
+            n_v = sum(c for _, c in level_counts[v])
+            N = n_v if N is None else N
+        self.p: ResolvedParams = resolve_params(
+            N=N,
+            d=d,
+            vars_use=self.vars_use,
+            level_counts=level_counts,
+            theta=theta,
+            sigma=sigma,
+            lamb=lamb,
+            nclust=nclust,
+            max_iter=max_iter,
+            early_stop=early_stop,
+            options=options,
+            seed=seed,
+        )
+
+        # ---- encode covariate levels to codes (Phi never materialized) ----
+        cells = df.select(
+            F.col(id_col).cast("long").alias("cell_id"),
+            F.col(features_col).cast("array<float>").alias("z_orig"),
+            *[
+                self._level_code(v, i)
+                for i, v in enumerate(self.vars_use)
+            ],
+        )
+        self.cells0 = cells.persist(StorageLevel.MEMORY_AND_DISK)
+        self.cells0.count()
+        self._persisted: DataFrame | None = None
+
+        # driver state
+        self.Y: np.ndarray | None = None  # (d, K)
+        self.O = np.zeros((self.p.K, self.p.B), dtype=F32)
+        self.E = np.zeros((self.p.K, self.p.B), dtype=F32)
+        self.W_all: np.ndarray | None = None  # (K, B, d)
+        self.objective_kmeans: list[float] = []
+        self.objective_harmony: list[float] = []
+        self.kmeans_rounds: list[int] = []
+
+    # ------------------------------------------------------------ helpers
+
+    def _level_code(self, var: str, i: int):
+        levels = self.p.levels[i]
+        mapping = F.create_map(
+            *[x for lvl, code in zip(levels, range(len(levels))) for x in (F.lit(lvl), F.lit(code))]
+        )
+        return mapping[F.col(var).cast("string")].cast("int").alias(f"code_{i}")
+
+    def _broadcast(self, **arrays):
+        return self.spark.sparkContext.broadcast(arrays)
+
+    def _swap_persist(self, df: DataFrame) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        if self._persisted is not None:
+            self._persisted.unpersist()
+        self._persisted = df
+        return df
+
+    @property
+    def _cells_schema(self) -> str:
+        codes = ", ".join(f"{c} int" for c in self.code_cols)
+        return (
+            f"cell_id long, z_orig array<float>, {codes}, "
+            "zn array<float>, r array<float>"
+        )
+
+    # ------------------------------------------------------------ passes
+
+    def _cold_start_pass(self, source: DataFrame, with_prev_correction: bool) -> DataFrame:
+        state = {"Y": self.Y, "sigma": self.p.sigma}
+        if with_prev_correction:
+            state["W_all"] = self.W_all
+        bc = self._broadcast(**state)
+        kernel = kernels.make_cold_start_kernel(bc, self.code_cols, self.p.offsets)
+        out = source.mapInPandas(kernel, schema=self._cells_schema)
+        return self._swap_persist(out)
+
+    def _estep_pass(self, cells: DataFrame) -> DataFrame:
+        bc = self._broadcast(
+            Y=self.Y, sigma=self.p.sigma, theta=self.p.theta, O=self.O, E=self.E
+        )
+        kernel = kernels.make_estep_kernel(bc, self.code_cols, self.p.offsets)
+        out = cells.mapInPandas(kernel, schema=self._cells_schema)
+        return self._swap_persist(out)
+
+    def _accumulate(self, cells: DataFrame, push_objective: bool = True) -> None:
+        """O, E and the objective from one partial-agg pass (A4/A5/A6).
+
+        push_objective=False for the round>=2 cold start, which in the
+        reference re-estimates O/E without recording an objective
+        (src/harmony.cpp:214-228)."""
+        p = self.p
+        bc = self._broadcast(Y=self.Y, sigma=p.sigma)
+        kernel = kernels.make_accumulate_kernel(bc, self.code_cols, p.offsets, p.K, p.B)
+        parts = cells.mapInPandas(
+            kernel, schema="o array<double>, rlogr array<double>, rdist double"
+        ).collect()
+        O = np.zeros((p.K, p.B), dtype=np.float64)
+        rlogr = np.zeros(p.K, dtype=np.float64)
+        rdist = 0.0
+        for row in parts:
+            O += np.asarray(row["o"]).reshape(p.K, p.B)
+            rlogr += np.asarray(row["rlogr"])
+            rdist += row["rdist"]
+        self.O = O.astype(F32)
+        mass = O[:, : p.B_vec[0]].sum(axis=1)  # sum_i R_ki via covariate 0
+        self.E = (mass[:, None] * p.Pr_b[None, :].astype(np.float64)).astype(F32)
+        if not push_objective:
+            return
+        # objective (src/harmony.cpp:158-170); cross term contracts to O
+        norm_const = 2000.0 / p.N
+        entropy = float((rlogr * p.sigma).sum())
+        log_term = np.log((self.O + self.E + 1.0) / (2.0 * self.E + 1.0))
+        cross = float((p.sigma[:, None] * p.theta[None, :] * log_term * self.O).sum())
+        self.objective_kmeans.append((rdist + entropy + cross) * norm_const)
+
+    def _moe_partials(self, cells: DataFrame) -> dict[tuple, tuple[np.ndarray, np.ndarray]]:
+        p = self.p
+        kernel = kernels.make_moe_partials_kernel(self.code_cols, p.offsets, p.K, p.d)
+        rows = cells.mapInPandas(
+            kernel, schema="combo array<long>, s array<double>, m array<double>"
+        ).collect()
+        acc: dict[tuple, list] = {}
+        for row in rows:
+            combo = tuple(row["combo"])
+            S = np.asarray(row["s"])
+            M = np.asarray(row["m"]).reshape(p.K, p.d)
+            if combo in acc:
+                acc[combo][0] += S
+                acc[combo][1] += M
+            else:
+                acc[combo] = [S, M]
+        return {c: (v[0], v[1]) for c, v in acc.items()}
+
+    # ------------------------------------------------------------ driver math
+
+    def _init_Y(self) -> None:
+        """Deterministic sample-based kmeans++/Lloyd init (M4/M5).
+
+        The reference clusters all N cells single-node
+        (src/utils.cpp:52-64); at scale we take a deterministic hash
+        sample — subsequent rounds refine Y through the ridge intercept
+        (M3) anyway."""
+        p = self.p
+        if p.N <= _INIT_SAMPLE_CAP:
+            sample = self.cells0.select("cell_id", "z_orig").orderBy("cell_id")
+        else:
+            sample = (
+                self.cells0.select("cell_id", "z_orig")
+                .orderBy(F.xxhash64("cell_id"))
+                .limit(_INIT_SAMPLE_CAP)
+                .orderBy("cell_id")
+            )
+        Z = np.stack([r["z_orig"] for r in sample.collect()]).astype(F32)
+        Zn = Z / np.maximum(np.linalg.norm(Z, axis=1, keepdims=True), 1e-12)
+        self.Y = kmeans_centers(Zn, p.K, p.seed)  # (d, K), L2-normalized cols
+
+    def _solve_moe(self, combos: dict[tuple, tuple[np.ndarray, np.ndarray]]) -> None:
+        """C5 filter + M8 auto-lambda + M6 ridge solves + M3 centroid
+        update, all driver-side from the tiny combo partials."""
+        p = self.p
+        C = len(p.B_vec)
+        combo_keys = list(combos.keys())
+        S_mat = np.stack([combos[c][0] for c in combo_keys])  # (T, K)
+        M_mat = np.stack([combos[c][1] for c in combo_keys])  # (T, K, d)
+        # global level indices per combo
+        combo_levels = np.stack(
+            [[combo[c] + p.offsets[c] for c in range(C)] for combo in combo_keys]
+        )  # (T, C)
+
+        W_all = np.zeros((p.K, p.B, p.d), dtype=np.float64)
+        Y_new = self.Y.copy()
+
+        for k in range(p.K):
+            avg_R = self.O[k].astype(np.float64) / p.N_b
+            qualifies = avg_R > p.batch_prop_cutoff
+            keep = np.zeros(p.B, dtype=bool)
+            active_covariates = 0
+            for c in range(C):
+                lo, hi = p.offsets[c], p.offsets[c] + p.B_vec[c]
+                nq = int(qualifies[lo:hi].sum())
+                if nq > 1:
+                    keep[lo:hi] = qualifies[lo:hi]
+                    active_covariates += 1
+            if keep.sum() < p.B and active_covariates == 0:
+                continue  # cluster skipped (src/harmony.cpp:452-455)
+
+            kept_levels = np.flatnonzero(keep)
+            pos = {b: j + 1 for j, b in enumerate(kept_levels)}
+            m = len(kept_levels)
+            # combo -> design vector u (intercept + kept levels)
+            T = len(combo_keys)
+            U = np.zeros((T, m + 1))
+            combo_kept = np.zeros(T, dtype=bool)
+            for t in range(T):
+                lv = combo_levels[t]
+                has = [b for b in lv if keep[b]]
+                if has:
+                    combo_kept[t] = True
+                    U[t, 0] = 1.0
+                    for b in has:
+                        U[t, pos[b]] = 1.0
+            if not combo_kept.any():
+                continue
+            Uk = U[combo_kept]
+            Sk = S_mat[combo_kept, k]  # (T',)
+            Mk = M_mat[combo_kept, k, :]  # (T', d)
+            Gram = (Uk * Sk[:, None]).T @ Uk  # (m+1, m+1)
+            if p.lamb is None:
+                lam = np.concatenate(
+                    [[0.0], p.alpha * self.E[k].astype(np.float64)[kept_levels]]
+                )
+            else:
+                lam = np.concatenate([[0.0], p.lamb[1:][kept_levels]])
+            Gram[np.diag_indices(m + 1)] += lam
+            rhs = Uk.T @ Mk  # (m+1, d)
+            W = np.linalg.solve(Gram, rhs)
+            Y_new[:, k] = W[0].astype(F32)
+            for b in kept_levels:
+                W_all[k, b] = W[pos[b]]
+
+        norms = np.maximum(np.linalg.norm(Y_new, axis=0, keepdims=True), 1e-12)
+        self.Y = (Y_new / norms).astype(F32)
+        self.W_all = W_all.astype(F32)
+
+    # ------------------------------------------------------------ lifecycle
+
+    def _kmeans_converged(self) -> bool:
+        w = self.p.window_size
+        obj = self.objective_kmeans
+        obj_old = sum(obj[-2 - i] for i in range(w))
+        obj_new = sum(obj[-1 - i] for i in range(w))
+        return abs(obj_old - obj_new) / abs(obj_old) < self.p.epsilon_cluster
+
+    def _harmony_converged(self) -> bool:
+        o = self.objective_harmony
+        return (o[-2] - o[-1]) / abs(o[-2]) < self.p.epsilon_harmony
+
+    def run(self) -> DataFrame:
+        p = self.p
+        self._init_Y()
+        cells = self._cold_start_pass(self.cells0, with_prev_correction=False)
+        self._accumulate(cells)
+        self.objective_harmony.append(self.objective_kmeans[-1])
+
+        for round_idx in range(p.max_iter):
+            if round_idx > 0:
+                # cold start: re-estimate R from corrected embedding
+                cells = self._cold_start_pass(cells, with_prev_correction=True)
+                self._accumulate(cells, push_objective=False)
+            iters = 0
+            for it in range(p.max_iter_cluster):
+                cells = self._estep_pass(cells)
+                self._accumulate(cells)
+                iters = it + 1
+                if it > p.window_size and self._kmeans_converged():
+                    break
+            self.kmeans_rounds.append(iters)
+            self.objective_harmony.append(self.objective_kmeans[-1])
+
+            combos = self._moe_partials(cells)
+            self._solve_moe(combos)
+
+            if self._harmony_converged():
+                break
+            # truncate lineage between rounds
+            cells = self._swap_persist(cells.localCheckpoint(eager=True))
+
+        # final correction materialization (M2)
+        bc = self._broadcast(W_all=self.W_all)
+        kernel = kernels.make_correct_kernel(bc, self.code_cols, p.offsets)
+        codes = ", ".join(f"{c} int" for c in self.code_cols)
+        result = cells.mapInPandas(
+            kernel, schema=f"cell_id long, {codes}, z_corr array<float>"
+        )
+        return result
+
+
+def run_harmony(df: DataFrame, vars_use: list[str], **kwargs) -> DataFrame:
+    """Corrected embeddings for a cells DataFrame — the RunHarmony.default
+    equivalent (/root/reference/R/ui.R:91-296), cells-as-rows."""
+    return HarmonySpark(df, vars_use, **kwargs).run()

@@ -1,15 +1,46 @@
-"""Registry entries for the harmony core algorithm (rows-only checks:
-the iterative algorithm is not SQL-expressible, SURVEY.md §2.5)."""
+"""Registry entries for the harmony core algorithm.
+
+The iterative algorithm (C1-C5, SURVEY.md §2.5) is not SQL-expressible,
+so these register without oracle SQL — the driver records the weaker
+rows-only check; numerical correctness is pinned by the NumPy
+cross-oracle tests (tests/test_harmony_core.py, SURVEY.md §5 port
+strategy).
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from harmony_spark.io import table
 from harmony_spark.registry import register
 
-# Filled in by harmony_spark.core.algorithm once implemented; the import
-# hook lives here so registry.load_all() stays stable.
-try:
-    from harmony_spark.core import algorithm as _algorithm  # noqa: F401
-except ImportError:  # pragma: no cover - during scaffolding only
-    _algorithm = None
+
+@register(
+    "harmony_correct",
+    oracle=None,
+    doc="Flagship: full harmony batch-correction pipeline "
+    "(RunHarmony.default equivalent, /root/reference/R/ui.R:91-296) on "
+    "the embeddings table with `label` as the batch covariate. "
+    "Deterministic (seeded init, batch-EM E-steps).",
+)
+def harmony_correct(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.core.algorithm import run_harmony
+
+    e = table(spark, sf, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("string").alias("label")
+    )
+    out = run_harmony(
+        e,
+        ["label"],
+        features_col="embedding",
+        id_col="vec_id",
+        nclust=5,
+        max_iter=2,
+        lamb=1.0,
+        sigma=0.1,
+        seed=42,
+    )
+    return out.select(
+        F.col("cell_id").alias("vec_id"), F.col("code_0").alias("batch_code"), "z_corr"
+    ).orderBy("vec_id")

@@ -1,0 +1,227 @@
+"""Harmony core tests (SURVEY.md §5 port strategy):
+
+1. Cross-oracle: the Spark engine and the reference-faithful NumPy
+   implementation (batch-EM mode) must agree to float32 tolerance on
+   identical seeds/fixtures — this pins the Spark kernels to the
+   reference math (substitute for golden files, which the reference
+   itself cannot produce due to RNG).
+2. Invariant/metamorphic tests ported from the reference testthat suite
+   (/root/reference/tests/testthat/test_integration.R,
+   test_two_variable.R): shapes, column-stochastic R, finite output,
+   theta-diversity effect, error paths.
+3. Blocked-vs-batch E-step: both modes of the NumPy oracle satisfy the
+   same invariants (documents the SURVEY §7.5 trade-off).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from harmony_spark.core.numpy_ref import HarmonyNumpy, run_harmony_numpy
+from harmony_spark.core.params import HarmonyOptions, resolve_params
+
+
+# ---------------------------------------------------------------- fixtures
+
+
+def make_fixture(n=300, d=20, seed=0):
+    """cells_small-like fixture (FIXTURES.md §1, mirroring the
+    cell_lines mixture design /root/reference/vignettes/quickstart.Rmd:41-48):
+    2 cell types; 3 datasets where 'jurkat'(0) has only type 0,
+    't293'(1) only type 1, and 'half'(2) both; each dataset adds a
+    batch-effect shift that harmony should remove."""
+    rng = np.random.default_rng(seed)
+    type_centers = rng.normal(0, 2.0, size=(2, d))
+    batch_shift = rng.normal(0, 1.5, size=(3, d))
+    blob = rng.integers(0, 2, size=n)  # cell type
+    in_half = rng.random(n) < 0.34
+    batch = np.where(in_half, 2, blob)  # 0=jurkat, 1=t293, 2=half
+    Z = type_centers[blob] + batch_shift[batch] + rng.normal(0, 0.8, size=(n, d))
+    sigma_scale = np.linspace(1.0, 0.4, d)
+    Z = (Z * sigma_scale).astype(np.float32)
+    return Z, blob, batch
+
+
+def resolve(Z, codes_1d, n_levels, **kw):
+    n = Z.shape[0]
+    counts = np.bincount(codes_1d, minlength=n_levels)
+    level_counts = {"batch": [(f"b{i}", int(c)) for i, c in enumerate(counts)]}
+    defaults = dict(theta=1.0, sigma=0.1, lamb=1.0, nclust=20, max_iter=5, seed=7)
+    defaults.update(kw)
+    return resolve_params(
+        N=n, d=Z.shape[1], vars_use=["batch"], level_counts=level_counts, **defaults
+    )
+
+
+def chi2_OB(O, E):
+    """Cluster-batch dependence: sum (O-E)^2 / E (theta-effect metric,
+    test_integration.R:29-41)."""
+    return float((((O - E) ** 2) / np.maximum(E, 1e-12)).sum())
+
+
+# ---------------------------------------------------------------- numpy oracle
+
+
+@pytest.mark.parametrize("mode", ["blocked", "batch"])
+def test_numpy_invariants(mode):
+    Z, blob, batch = make_fixture()
+    p = resolve(Z, batch, 3)
+    h = run_harmony_numpy(Z, batch[:, None], p, mode=mode)
+
+    assert h.Y.shape == (p.d, p.K)
+    assert h.Z_corr.shape == (p.N, p.d)
+    assert h.R.shape == (p.N, p.K)
+    # R column-stochastic (test_integration.R:16-20)
+    assert (h.R >= 0).all() and (h.R <= 1).all()
+    np.testing.assert_allclose(h.R.sum(axis=1), 1.0, atol=1e-4)
+    # output finite (test_integration.R:22-26)
+    assert np.isfinite(h.Z_corr).all()
+    # objective recorded per E-step
+    assert len(h.objective_kmeans) >= 2
+
+
+@pytest.mark.parametrize("mode", ["blocked", "batch"])
+def test_numpy_theta_effect(mode):
+    """Higher theta => lower cluster/batch chi^2 (the core diversity
+    semantic, test_integration.R:29-41)."""
+    Z, blob, batch = make_fixture(n=400)
+    p0 = resolve(Z, batch, 3, theta=0.0, nclust=10, max_iter=2)
+    p1 = resolve(Z, batch, 3, theta=2.0, nclust=10, max_iter=2)
+    h0 = run_harmony_numpy(Z, batch[:, None], p0, mode=mode)
+    h1 = run_harmony_numpy(Z, batch[:, None], p1, mode=mode)
+    assert chi2_OB(h1.O, h1.E) < chi2_OB(h0.O, h0.E)
+
+
+def test_numpy_two_covariates():
+    """Two-covariate run (test_two_variable.R): O/E columns = sum of
+    levels across covariates."""
+    Z, blob, batch = make_fixture(n=500)
+    cell_type = (blob >= 1).astype(int)  # 2 levels
+    codes = np.stack([cell_type, batch], axis=1)
+    counts_ct = np.bincount(cell_type, minlength=2)
+    counts_b = np.bincount(batch, minlength=3)
+    p = resolve_params(
+        N=Z.shape[0],
+        d=Z.shape[1],
+        vars_use=["cell_type", "batch"],
+        level_counts={
+            "cell_type": [(f"t{i}", int(c)) for i, c in enumerate(counts_ct)],
+            "batch": [(f"b{i}", int(c)) for i, c in enumerate(counts_b)],
+        },
+        theta=[1.0, 1.0],
+        sigma=0.1,
+        lamb=1.0,
+        nclust=20,
+        max_iter=3,
+        seed=7,
+    )
+    h = run_harmony_numpy(Z, codes, p, mode="batch")
+    assert h.O.shape == (p.K, 5)
+    assert np.isfinite(h.Z_corr).all()
+    np.testing.assert_allclose(h.R.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_param_errors():
+    """Error paths (test_integration.R:43-56 + R/ui.R validations)."""
+    Z, blob, batch = make_fixture(n=50)
+    with pytest.raises(ValueError, match="lambdas must be positive"):
+        resolve(Z, batch, 3, lamb=-1.0)
+    with pytest.raises(ValueError, match="theta for each variable"):
+        resolve(Z, batch, 3, theta=[1.0, 2.0])
+    with pytest.raises(ValueError, match="less than 6 cells"):
+        resolve_params(
+            N=5, d=3, vars_use=["b"], level_counts={"b": [("x", 5)]}, nclust=2
+        )
+
+
+def test_objective_nonincreasing_rounds():
+    """Harmony-level objective must not increase across rounds
+    (convergence trace check, R/utils.R:50-81)."""
+    Z, blob, batch = make_fixture(n=400)
+    p = resolve(Z, batch, 3, theta=1.0, nclust=15, max_iter=5)
+    h = run_harmony_numpy(Z, batch[:, None], p, mode="batch")
+    tr = h.objective_harmony
+    assert all(tr[i + 1] <= tr[i] * 1.001 for i in range(len(tr) - 1)), tr
+
+
+# ---------------------------------------------------------------- spark engine
+
+
+@pytest.fixture(scope="module")
+def spark_fixture_df(spark):
+    Z, blob, batch = make_fixture(n=300)
+    rows = [
+        (int(i), [float(x) for x in Z[i]], f"b{batch[i]}", f"t{int(blob[i] >= 1)}")
+        for i in range(Z.shape[0])
+    ]
+    df = spark.createDataFrame(rows, "cell_id long, features array<float>, batch string, cell_type string")
+    return df, Z, blob, batch
+
+
+def test_spark_matches_numpy_oracle(spark, spark_fixture_df):
+    """The cross-oracle gate: identical seeds/fixture -> Z_corr allclose."""
+    from harmony_spark.core.algorithm import HarmonySpark
+
+    df, Z, blob, batch = spark_fixture_df
+    model = HarmonySpark(
+        df,
+        ["batch"],
+        id_col="cell_id",
+        theta=1.0,
+        sigma=0.1,
+        lamb=1.0,
+        nclust=20,
+        max_iter=3,
+        seed=7,
+    )
+    out = model.run().orderBy("cell_id").collect()
+    Zs = np.stack([r["z_corr"] for r in out])
+
+    p = resolve(Z, batch, 3, theta=1.0, nclust=20, max_iter=3, seed=7)
+    # oracle gets cells in cell_id order (same as the Spark init sample)
+    h = run_harmony_numpy(Z, batch[:, None], p, mode="batch")
+
+    assert Zs.shape == h.Z_corr.shape
+    np.testing.assert_allclose(
+        np.asarray(model.objective_kmeans),
+        np.asarray(h.objective_kmeans),
+        rtol=2e-3,
+    )
+    np.testing.assert_allclose(Zs, h.Z_corr, rtol=2e-3, atol=2e-3)
+
+
+def test_spark_invariants_two_covariates(spark, spark_fixture_df):
+    from harmony_spark.core.algorithm import HarmonySpark
+
+    df, Z, blob, batch = spark_fixture_df
+    model = HarmonySpark(
+        df,
+        ["cell_type", "batch"],
+        id_col="cell_id",
+        theta=[1.0, 1.0],
+        sigma=0.1,
+        lamb=None,  # auto-lambda path (M8)
+        nclust=15,
+        max_iter=2,
+        seed=7,
+    )
+    res = model.run()
+    out = res.orderBy("cell_id").collect()
+    Zs = np.stack([r["z_corr"] for r in out])
+    assert Zs.shape == Z.shape
+    assert np.isfinite(Zs).all()
+    assert model.O.shape == (15, 5)
+    # theta-effect on the Spark engine
+    model0 = HarmonySpark(
+        df, ["batch"], id_col="cell_id", theta=0.0, sigma=0.1, lamb=1.0,
+        nclust=10, max_iter=2, seed=7,
+    )
+    model0.run().count()
+    model2 = HarmonySpark(
+        df, ["batch"], id_col="cell_id", theta=2.0, sigma=0.1, lamb=1.0,
+        nclust=10, max_iter=2, seed=7,
+    )
+    model2.run().count()
+    assert chi2_OB(model2.O, model2.E) < chi2_OB(model0.O, model0.E)
