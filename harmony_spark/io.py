@@ -52,6 +52,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + round-robin repartition to the session's default parallelism.
+
+    The testdata tables are single small parquet files, so Spark's
+    size-based splitting yields ONE input partition; CPU-heavy per-row
+    expressions (md5 chains, JSON parsing) then serialize on one core.
+    On a real 100 TB table the files already split; this helper makes the
+    local plan match that shape. Use only under compute-bound operators —
+    plain scans stay on :func:`table` so pushdown isn't hidden behind an
+    exchange.
+    """
+    df = table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all testdata tables as temp views for the SQL surface."""
     for name in TABLES:

@@ -536,8 +536,10 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
     doc="JSON extraction from events.props (map/json function surface).",
 )
 def q26(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
     return (
-        table(spark, sf, "events")
+        table_parallel(spark, sf, "events")
         .groupBy("event_type")
         .agg(F.count(F.get_json_object("props", "$.k")).alias("with_k"))
         .orderBy("event_type")

@@ -55,10 +55,16 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
     "(C4: /root/reference/src/harmony.cpp:173-205).",
 )
 def q18(spark: SparkSession, sf: str) -> DataFrame:
+    # A global-order window moves everything to one partition; since the
+    # frame only looks 2 rows back and the query keeps the first 100 keys,
+    # TakeOrdered the first 100 rows (no full shuffle) and window those.
     w = Window.orderBy("o_orderkey").rowsBetween(-2, 0)
-    return (
+    first100 = (
         table(spark, sf, "orders")
-        .select("o_orderkey", F.round(F.avg("o_totalprice").over(w), 6).alias("w3"))
+        .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
         .limit(100)
     )
+    return first100.select(
+        "o_orderkey", F.round(F.avg("o_totalprice").over(w), 6).alias("w3")
+    ).orderBy("o_orderkey")

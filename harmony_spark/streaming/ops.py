@@ -1,0 +1,105 @@
+"""Structured Streaming surface (SURVEY.md §2.9 — extension; the
+reference is strictly batch).
+
+Every operator here has an oracle-checked batch equivalent in
+:mod:`harmony_spark.operators.streaming_batch` (q27/q28/q29); the
+streaming tests (tests/test_streaming.py) run these against the same
+events data via a file stream with ``availableNow`` and assert agreement
+with the batch results.
+
+Scale notes: all operators are keyed-state operators — state is
+partitioned by the grouping key and bounded by the watermark, so they
+run unchanged on a real cluster against a Kafka/file firehose.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from harmony_spark.io import table
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (one-file micro-batch).
+
+    Schema comes from the batch reader; ts arrives as TIMESTAMP(NANOS)
+    stored as int64, rebuilt to a micros timestamp exactly like
+    harmony_spark.io.table.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def tumbling_counts(events: DataFrame, size: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling event-time window aggregate (q27 batch equivalent)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v"))
+        .select(F.col("w.start").alias("h"), "event_type", "n", "v")
+    )
+
+
+def sliding_counts(events: DataFrame, size: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    """Sliding event-time window (engine test only; no duckdb analogue)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n")
+    )
+
+
+def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows with a 30-minute gap (q28 batch equivalent):
+    one row per (user, session). Downstream per-user session counts are
+    a stateless batch aggregate over this stream's sink (chaining a
+    second streaming aggregation would need append+watermark
+    finalization, which drops tail sessions on a bounded replay)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("s_start"), F.col("w.end").alias("s_end"), "n_events")
+    )
+
+
+def stateful_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Keyed dedup within the watermark (q29 batch equivalent)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value sum — the arbitrary-stateful surface the
+    engine exposes for operators Spark lacks built-in."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_sum": [round(total, 6)]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, value_sum double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

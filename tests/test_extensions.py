@@ -1,0 +1,93 @@
+"""Engine tests for extension operators that are not oracle-checked:
+LSH-bucketed ANN end-to-end, multimodal decode/embed/frame plumbing,
+and MLlib MinHashLSH as an alternative near-dup path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from harmony_spark.extensions import multimodal, similarity
+from harmony_spark.registry import load_all
+
+
+def test_bucketed_ann_subset_of_bruteforce(spark, sf_dir):
+    """Bucketed ANN results must be the brute-force ranking restricted
+    to the query's bucket (both halves are oracle-checked; this pins
+    their composition)."""
+    ann = {
+        (r["q_id"], r["c_id"]): r["cos"]
+        for r in similarity.bucketed_ann(spark, sf_dir).collect()
+    }
+    brute = {
+        (r["q_id"], r["c_id"]): r["cos"]
+        for r in load_all()["q37_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    assert ann, "bucketed ANN returned nothing"
+    for pair, cos in ann.items():
+        if pair in brute:
+            assert abs(brute[pair] - cos) < 1e-9
+
+
+def test_multimodal_blob_pipeline(spark, sf_dir):
+    blobs = multimodal.blobs_from_documents(spark, sf_dir)
+    meta = multimodal.attach_blob_metadata(blobs)
+    row = meta.orderBy("blob_id").first()
+    assert row["byte_size"] > 0 and len(row["digest"]) == 32
+    assert row["format"] == "unknown"  # text bytes, no magic header
+
+    emb = multimodal.decode_and_embed(blobs).orderBy("blob_id")
+    rows = emb.limit(5).collect()
+    assert all(len(r["embedding"]) == 16 for r in rows)
+    # deterministic across runs
+    rows2 = multimodal.decode_and_embed(blobs).orderBy("blob_id").limit(5).collect()
+    assert [r["embedding"] for r in rows] == [r["embedding"] for r in rows2]
+
+    # real decode path is an explicit stub
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.decode_and_embed(blobs, decode="real").first()
+
+
+def test_frame_sampling_shape(spark, sf_dir):
+    blobs = multimodal.blobs_from_documents(spark, sf_dir)
+    frames = multimodal.sample_frames(blobs, n_frames=4)
+    per_blob = frames.groupBy("blob_id").count().collect()
+    assert all(r["count"] == 4 for r in per_blob)
+    first = frames.where(F.col("blob_id") == 0).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in first] == [0, 1, 2, 3]
+    assert all(r["offset"] >= 0 for r in first)
+
+
+def test_mllib_minhash_lsh_agrees_with_exact_jaccard(spark, sf_dir):
+    """ml.feature.MinHashLSH as the library path for near-dup: pairs it
+    reports below distance 0.2 must have exact token-set Jaccard >= 0.8
+    (cross-check against the q33 exact kernel)."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id", F.array_distinct(F.split(F.lower("text"), r"\s+")).alias("toks"))
+    )
+    cv = CountVectorizer(inputCol="toks", outputCol="vec", binary=True).fit(docs)
+    vecs = cv.transform(docs)
+    lsh = MinHashLSH(inputCol="vec", outputCol="hashes", numHashTables=8, seed=42).fit(vecs)
+    pairs = (
+        lsh.approxSimilarityJoin(vecs, vecs, 0.2, distCol="jd")
+        .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("da"),
+            F.col("datasetB.doc_id").alias("db"),
+            "jd",
+        )
+        .collect()
+    )
+    exact = {
+        (r["da"], r["db"]): r["jaccard"]
+        for r in load_all()["q33_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    assert pairs, "MinHashLSH found no candidate pairs"
+    for r in pairs:
+        key = (r["da"], r["db"])
+        assert key in exact and exact[key] >= 0.8 - 1e-6, (key, r["jd"])
