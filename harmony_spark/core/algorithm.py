@@ -103,6 +103,12 @@ class HarmonySpark:
                 for i, v in enumerate(self.vars_use)
             ],
         )
+        # partition sizing: ~10k cells per task (matches the Arrow batch
+        # size) so the ~12 jobs/round schedule O(N/10k) tasks, not
+        # O(shuffle.partitions) tiny ones; at 1e9 cells this is 100k
+        # tasks/pass on a cluster, at N=500 it is one.
+        target_parts = max(1, min(self.spark.sparkContext.defaultParallelism, -(-N // 10_000)))
+        cells = cells.repartition(target_parts)
         self.cells0 = cells.persist(StorageLevel.MEMORY_AND_DISK)
         self.cells0.count()
         self._persisted: DataFrame | None = None
@@ -356,7 +362,50 @@ class HarmonySpark:
         return result
 
 
+    def cleanup(self) -> None:
+        """Release cached intermediates (call after materializing the
+        result — e.g. result.persist(); result.count(); model.cleanup())."""
+        if self._persisted is not None:
+            self._persisted.unpersist()
+            self._persisted = None
+        self.cells0.unpersist()
+
+    # -------------------------------------------------------------- sinks
+
+    def convergence_trace(self) -> "DataFrame":
+        """Objective traces as a DataFrame — the HarmonyConvergencePlot
+        data (C7: /root/reference/R/utils.R:50-81). One row per E-step
+        objective, tagged with its harmony round."""
+        rows, i = [], 0
+        rounds = [1] + list(self.kmeans_rounds)  # entry 0 = init objective
+        for round_idx, n in enumerate(rounds):
+            for j in range(n):
+                if i < len(self.objective_kmeans):
+                    rows.append((round_idx, j, float(self.objective_kmeans[i])))
+                    i += 1
+        return self.spark.createDataFrame(
+            rows, "harmony_round int, kmeans_step int, objective double"
+        )
+
+
 def run_harmony(df: DataFrame, vars_use: list[str], **kwargs) -> DataFrame:
     """Corrected embeddings for a cells DataFrame — the RunHarmony.default
     equivalent (/root/reference/R/ui.R:91-296), cells-as-rows."""
     return HarmonySpark(df, vars_use, **kwargs).run()
+
+
+def save_embedding(result: DataFrame, path: str, embedding_col: str = "z_corr") -> DataFrame:
+    """Sink equivalent of the Seurat/SCE adapters (S3/S4:
+    /root/reference/R/RunHarmony.R:60-194): persist the corrected
+    embedding to parquet and return the per-dimension stddev frame the
+    Seurat DimReduc stores (A7: /root/reference/R/RunHarmony.R:108)."""
+    result.write.mode("overwrite").parquet(path)
+    spark = result.sparkSession
+    saved = spark.read.parquet(path)
+    d = saved.select(F.size(embedding_col).alias("d")).first()["d"]
+    exploded = saved.select(F.posexplode(embedding_col).alias("dim", "x"))
+    return (
+        exploded.groupBy("dim")
+        .agg(F.stddev_samp("x").alias("stdev"))
+        .orderBy("dim")
+    )

@@ -25,12 +25,12 @@ from harmony_spark.registry import register
     "Deterministic (seeded init, batch-EM E-steps).",
 )
 def harmony_correct(spark: SparkSession, sf: str) -> DataFrame:
-    from harmony_spark.core.algorithm import run_harmony
+    from harmony_spark.core.algorithm import HarmonySpark
 
     e = table(spark, sf, "embeddings").select(
         "vec_id", "embedding", F.col("label").cast("string").alias("label")
     )
-    out = run_harmony(
+    model = HarmonySpark(
         e,
         ["label"],
         features_col="embedding",
@@ -41,6 +41,9 @@ def harmony_correct(spark: SparkSession, sf: str) -> DataFrame:
         sigma=0.1,
         seed=42,
     )
+    out = model.run().persist()
+    out.count()
+    model.cleanup()
     return out.select(
         F.col("cell_id").alias("vec_id"), F.col("code_0").alias("batch_code"), "z_corr"
     ).orderBy("vec_id")

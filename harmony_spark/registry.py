@@ -48,6 +48,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the registry."""
     from harmony_spark.operators import relational, windows, streaming_batch  # noqa: F401
     from harmony_spark.extensions import dedup, multimodal, similarity, text_analysis  # noqa: F401
+    from harmony_spark.functions import preprocessing  # noqa: F401
     from harmony_spark.core import queries as core_queries  # noqa: F401
 
     return QUERIES

@@ -225,3 +225,24 @@ def test_spark_invariants_two_covariates(spark, spark_fixture_df):
     )
     model2.run().count()
     assert chi2_OB(model2.O, model2.E) < chi2_OB(model0.O, model0.E)
+
+
+def test_trace_and_sink(spark, spark_fixture_df, tmp_path):
+    """C7 convergence trace + S3/S4 sink equivalent (save + per-dim sd)."""
+    from harmony_spark.core.algorithm import HarmonySpark, save_embedding
+
+    df, Z, blob, batch = spark_fixture_df
+    model = HarmonySpark(
+        df, ["batch"], id_col="cell_id", theta=1.0, sigma=0.1, lamb=1.0,
+        nclust=10, max_iter=2, seed=7,
+    )
+    result = model.run()
+    trace = model.convergence_trace().collect()
+    assert len(trace) == len(model.objective_kmeans)
+    assert trace[0]["harmony_round"] == 0
+
+    sd = save_embedding(result, str(tmp_path / "emb.parquet")).collect()
+    assert len(sd) == Z.shape[1]
+    assert all(r["stdev"] > 0 for r in sd)
+    back = spark.read.parquet(str(tmp_path / "emb.parquet"))
+    assert back.count() == Z.shape[0]
