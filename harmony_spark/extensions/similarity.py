@@ -186,6 +186,95 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q45_embedding_neardup",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding,
+                          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS n
+                   FROM embeddings WHERE vec_id < 150)
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.n * b.n), 6) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.n * b.n) > 0.35
+        ORDER BY va, vb
+    """,
+    doc="Embedding-cosine near-duplicate pairs above a threshold on an "
+    "explicit id window (the exact-verification kernel behind the "
+    "LSH-bucketed scale path q38; at 100 TB candidates come from the "
+    "buckets, never a global cross join).",
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings").where(F.col("vec_id") < 150)
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("qe"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("ce"))
+    cos = _dot("qe", "ce") / (_l2("qe") * _l2("ce"))
+    return (
+        a.join(b, F.col("va") < F.col("vb"))
+        .select("va", "vb", cos.alias("_cos"))
+        .where(F.col("_cos") > 0.35)
+        .select("va", "vb", F.round("_cos", 6).alias("cos"))
+        .orderBy("va", "vb")
+    )
+
+
+def ivf_ann(spark: SparkSession, sf: str, n_cells_probe: int = 2, k: int = TOP_K) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize every vector to its
+    nearest of C centroids (trained driver-side on a sample via the
+    shared seeded kmeans), then rank candidates only within the query's
+    nearest `n_cells_probe` cells. The 100 TB pattern: the centroid
+    table broadcasts, the assignment is one narrow pass, and search
+    touches ~probe/C of the corpus.
+
+    Engine-test-only (centroids are data-dependent; both halves of the
+    semantics — assignment arithmetic and cosine ranking — are
+    oracle-checked via q31/q37/q45).
+    """
+    import numpy as np
+
+    from harmony_spark.core.kmeans import kmeans_centers
+
+    e = table(spark, sf, "embeddings")
+    sample = np.stack(
+        [r["embedding"] for r in e.select("embedding").orderBy("vec_id").limit(2000).collect()]
+    ).astype("float32")
+    C = 8
+    Y = kmeans_centers(sample, C, seed=42)  # (d, C), L2-normalized
+
+    centroids = spark.createDataFrame(
+        [(int(c), [float(x) for x in Y[:, c]]) for c in range(C)],
+        "cid int, centroid array<float>",
+    )
+    with_cent = e.crossJoin(F.broadcast(centroids)).withColumn(
+        "score", _dot("embedding", "centroid") / _l2("embedding")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cid"))
+    assigned = (
+        with_cent.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") <= 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    queries = (
+        with_cent.where(F.col("vec_id") < 3)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") <= n_cells_probe)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "cid")
+    )
+    cos = _dot("qe", "ce") / (_l2("qe") * _l2("ce"))
+    w_rank = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        assigned.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), "cid")
+        .join(F.broadcast(queries), "cid")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(cos, 6).alias("cos"))
+        .dropDuplicates(["q_id", "c_id"])
+        .withColumn("rn", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("rn") <= k)
+        .orderBy("q_id", "rn")
+    )
+
+
 def bucketed_ann(spark: SparkSession, sf: str, k: int = TOP_K) -> DataFrame:
     """End-to-end LSH ANN: rank candidates only within the query's bucket.
 

@@ -135,6 +135,71 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q46_tfidf_top_terms",
+    oracle="""
+        WITH tok AS (SELECT doc_id, UNNEST(string_split_regex(lower(text), '\\s+')) AS tok
+                     FROM documents),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+        df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, tok, ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+               CAST(rn AS BIGINT) AS rn
+        FROM (SELECT doc_id, tok, tf, df, n_docs,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) DESC, tok) AS rn
+              FROM tf JOIN df USING (tok) CROSS JOIN n) t
+        WHERE rn <= 3 AND doc_id < 20 ORDER BY doc_id, rn
+    """,
+    doc="TF-IDF top terms per document: token explode -> tf hash-agg, df "
+    "hash-agg, broadcast df back, rank per doc. At 100 TB both "
+    "aggregates are map-side-combined on the token key; the df table is "
+    "vocabulary-sized and broadcasts.",
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    tfidf = F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("tok"))
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .select("doc_id", "tok", tfidf.alias("tfidf"), F.row_number().over(w).cast("long").alias("rn"))
+        .where((F.col("rn") <= 3) & (F.col("doc_id") < 20))
+        .orderBy("doc_id", "rn")
+    )
+
+
+@register(
+    "q47_bpe_token_counts",
+    oracle="""
+        SELECT source,
+               CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS n_bpe_tokens,
+               CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_ws_tokens
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="Token counting two ways: whitespace split and a BPE-ish regex "
+    "(lowercase runs / capitalized pieces / digit runs / punctuation), "
+    "per source — the pretraining-pipeline token-budget estimator.",
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    bpe = F.regexp_count(F.col("text"), F.lit(r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]"))
+    ws = F.size(F.split(F.col("text"), r"\s+"))
+    return (
+        table(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(bpe).cast("long").alias("n_bpe_tokens"),
+            F.sum(ws).cast("long").alias("n_ws_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "q42_token_frequencies",
     oracle="""
         SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df

@@ -1,0 +1,113 @@
+"""Tests for the explicit shuffle-management utilities and the
+approximate-aggregate surface."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from harmony_spark.io import table
+from harmony_spark.operators import skew
+
+
+def _plan(df, mode="simple") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_salted_aggregate_equals_direct(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    direct = {
+        r["l_returnflag"]: (round(r["s"], 6), r["c"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count("l_quantity").alias("c"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (round(r["sum_l_quantity"], 6), r["count_l_quantity"])
+        for r in skew.salted_aggregate(
+            li, "l_returnflag", {"l_quantity": "sum"} | {}, n_salts=16
+        )
+        .join(
+            skew.salted_aggregate(li, "l_returnflag", {"l_quantity": "count"}, 16)
+            .withColumnRenamed("count_l_quantity", "count_l_quantity"),
+            "l_returnflag",
+        )
+        .collect()
+    }
+    assert direct == salted
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    plain = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 4).alias("s"))
+        .first()
+    )
+    big = orders.withColumnRenamed("o_custkey", "k")
+    small = customer.withColumnRenamed("c_custkey", "k")
+    salted = (
+        skew.salted_join(big, small, "k", n_salts=8)
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 4).alias("s"))
+        .first()
+    )
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+
+
+def test_bucketed_join_plans_no_shuffle(spark, sf_dir):
+    # tables land in ./spark-warehouse (gitignored); warehouse.dir is a
+    # static conf and cannot be redirected per-test
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    customer = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_acctbal"
+    )
+    skew.write_bucketed(orders, "b_orders", "o_custkey", n_buckets=4)
+    skew.write_bucketed(customer, "b_customer", "o_custkey", n_buckets=4)
+    joined = skew.bucketed_join(spark, "b_orders", "b_customer", "o_custkey")
+    # disable broadcast so the co-located layout is what avoids the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        n = joined.count()
+        assert n == table(spark, sf_dir, "orders").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    """§2.8: approx_count_distinct within 5% of exact (engine-only —
+    HLL sketches are engine-specific, so no cross-engine oracle)."""
+    li = table(spark, sf_dir, "lineitem")
+    exact = li.select(F.countDistinct("l_orderkey").alias("n")).first()["n"]
+    approx = li.select(F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n")).first()["n"]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_ivf_ann_matches_bruteforce_neighbors(spark, sf_dir):
+    """IVF ANN: reported cosines must be exact; top-1 should usually
+    agree with brute force (same-bucket queries)."""
+    from harmony_spark.extensions.similarity import ivf_ann
+    from harmony_spark.registry import load_all
+
+    ivf = ivf_ann(spark, sf_dir).collect()
+    assert ivf, "IVF returned nothing"
+    brute = {
+        (r["q_id"], r["c_id"]): r["cos"]
+        for r in load_all()["q37_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    for r in ivf:
+        if (r["q_id"], r["c_id"]) in brute:
+            assert abs(brute[(r["q_id"], r["c_id"])] - r["cos"]) < 1e-9
