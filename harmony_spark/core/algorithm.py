@@ -143,44 +143,63 @@ class HarmonySpark:
         return df
 
     @property
-    def _cells_schema(self) -> str:
+    def _pass_schema(self) -> str:
         codes = ", ".join(f"{c} int" for c in self.code_cols)
         return (
             f"cell_id long, z_orig array<float>, {codes}, "
-            "zn array<float>, r array<float>"
+            "zn array<float>, r array<float>, "
+            "o array<double>, rlogr array<double>, rdist double"
         )
 
     # ------------------------------------------------------------ passes
+    #
+    # Each pass is ONE distributed job: the kernel updates the N-sized
+    # rows AND emits one O/objective partial row per partition (tagged
+    # cell_id NULL). The partials are then read back from the cache —
+    # the aggregation costs no second scan of the data.
 
-    def _cold_start_pass(self, source: DataFrame, with_prev_correction: bool) -> DataFrame:
+    def _run_fused_pass(self, out: DataFrame, push_objective: bool) -> DataFrame:
+        full = self._swap_persist(out)
+        parts = (
+            full.where(F.col("cell_id").isNull())
+            .select("o", "rlogr", "rdist")
+            .collect()
+        )
+        self._finish_partials(parts, push_objective)
+        return full.where(F.col("cell_id").isNotNull()).drop("o", "rlogr", "rdist")
+
+    def _cold_start_pass(
+        self, source: DataFrame, with_prev_correction: bool, push_objective: bool
+    ) -> DataFrame:
         state = {"Y": self.Y, "sigma": self.p.sigma}
         if with_prev_correction:
             state["W_all"] = self.W_all
         bc = self._broadcast(**state)
-        kernel = kernels.make_cold_start_kernel(bc, self.code_cols, self.p.offsets)
-        out = source.mapInPandas(kernel, schema=self._cells_schema)
-        return self._swap_persist(out)
+        kernel = kernels.make_cold_start_kernel(
+            bc, self.code_cols, self.p.offsets, self.p.K, self.p.B
+        )
+        return self._run_fused_pass(
+            source.mapInPandas(kernel, schema=self._pass_schema), push_objective
+        )
 
     def _estep_pass(self, cells: DataFrame) -> DataFrame:
         bc = self._broadcast(
             Y=self.Y, sigma=self.p.sigma, theta=self.p.theta, O=self.O, E=self.E
         )
-        kernel = kernels.make_estep_kernel(bc, self.code_cols, self.p.offsets)
-        out = cells.mapInPandas(kernel, schema=self._cells_schema)
-        return self._swap_persist(out)
+        kernel = kernels.make_estep_kernel(
+            bc, self.code_cols, self.p.offsets, self.p.K, self.p.B
+        )
+        return self._run_fused_pass(
+            cells.mapInPandas(kernel, schema=self._pass_schema), push_objective=True
+        )
 
-    def _accumulate(self, cells: DataFrame, push_objective: bool = True) -> None:
-        """O, E and the objective from one partial-agg pass (A4/A5/A6).
-
-        push_objective=False for the round>=2 cold start, which in the
-        reference re-estimates O/E without recording an objective
-        (src/harmony.cpp:214-228)."""
+    def _finish_partials(self, parts, push_objective: bool) -> None:
+        """Final reduction of the per-partition partials: O, E (A4/A5)
+        and the objective (A6; cross term contracts to sigma_k theta_b
+        O_kb log((O+E+1)/(2E+1))). push_objective=False for the
+        round>=2 cold start, which in the reference re-estimates O/E
+        without recording an objective (src/harmony.cpp:214-228)."""
         p = self.p
-        bc = self._broadcast(Y=self.Y, sigma=p.sigma)
-        kernel = kernels.make_accumulate_kernel(bc, self.code_cols, p.offsets, p.K, p.B)
-        parts = cells.mapInPandas(
-            kernel, schema="o array<double>, rlogr array<double>, rdist double"
-        ).collect()
         O = np.zeros((p.K, p.B), dtype=np.float64)
         rlogr = np.zeros(p.K, dtype=np.float64)
         rdist = 0.0
@@ -193,7 +212,6 @@ class HarmonySpark:
         self.E = (mass[:, None] * p.Pr_b[None, :].astype(np.float64)).astype(F32)
         if not push_objective:
             return
-        # objective (src/harmony.cpp:158-170); cross term contracts to O
         norm_const = 2000.0 / p.N
         entropy = float((rlogr * p.sigma).sum())
         log_term = np.log((self.O + self.E + 1.0) / (2.0 * self.E + 1.0))
@@ -325,19 +343,20 @@ class HarmonySpark:
     def run(self) -> DataFrame:
         p = self.p
         self._init_Y()
-        cells = self._cold_start_pass(self.cells0, with_prev_correction=False)
-        self._accumulate(cells)
+        cells = self._cold_start_pass(
+            self.cells0, with_prev_correction=False, push_objective=True
+        )
         self.objective_harmony.append(self.objective_kmeans[-1])
 
         for round_idx in range(p.max_iter):
             if round_idx > 0:
                 # cold start: re-estimate R from corrected embedding
-                cells = self._cold_start_pass(cells, with_prev_correction=True)
-                self._accumulate(cells, push_objective=False)
+                cells = self._cold_start_pass(
+                    cells, with_prev_correction=True, push_objective=False
+                )
             iters = 0
             for it in range(p.max_iter_cluster):
                 cells = self._estep_pass(cells)
-                self._accumulate(cells)
                 iters = it + 1
                 if it > p.window_size and self._kmeans_converged():
                     break

@@ -70,18 +70,48 @@ def _correction(z: np.ndarray, R: np.ndarray, gcodes: np.ndarray, W_all: np.ndar
     return (z.astype(np.float64) - corr).astype(F32)
 
 
+class _PartialAcc:
+    """Accumulates O / R·logR / R·dist partials across the Arrow batches
+    of one partition; emitted as a single tag row (cell_id NULL) so the
+    row update and the aggregation share one pass over the data."""
+
+    def __init__(self, K: int, B: int):
+        self.O = np.zeros((K, B), dtype=np.float64)
+        self.rlogr = np.zeros(K, dtype=np.float64)
+        self.rdist = 0.0
+        self.seen = False
+
+    def add(self, R: np.ndarray, dist: np.ndarray, gcodes: np.ndarray) -> None:
+        self.seen = True
+        R64 = R.astype(np.float64)
+        for c in range(gcodes.shape[1]):
+            np.add.at(self.O.T, gcodes[:, c], R64)
+        self.rlogr += np.where(R64 > 0, R64 * np.log(np.maximum(R64, 1e-30)), 0.0).sum(axis=0)
+        self.rdist += float((R64 * dist).sum())
+
+    def row(self, template: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({c: [None] for c in template.columns})
+        out["o"] = [self.O.ravel()]
+        out["rlogr"] = [self.rlogr]
+        out["rdist"] = [self.rdist]
+        return out
+
+
 def make_cold_start_kernel(
-    bc, code_cols: list[str], offsets: list[int], feature_col: str = "z_orig"
+    bc, code_cols: list[str], offsets: list[int], K: int, B: int, feature_col: str = "z_orig"
 ) -> Callable:
-    """(z_orig, codes, [r]) -> rows + fresh zn (normalized corrected
-    embedding) and penalty-free soft assignment r
-    (init: src/harmony.cpp:131-146; cold start: :214-228)."""
+    """(z_orig, codes, [r]) -> rows with fresh zn (normalized corrected
+    embedding), penalty-free soft assignment r (init:
+    src/harmony.cpp:131-146; cold start: :214-228), plus one O/objective
+    partial row per partition (fused A4/A6 aggregation)."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         st = bc.value
         Y = st["Y"]  # (d, K)
         sigma = st["sigma"]
         W_all = st.get("W_all")  # None at init
+        acc = _PartialAcc(K, B)
+        template = None
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -95,22 +125,32 @@ def make_cold_start_kernel(
             zn = _normalize_rows(zc)
             dist = 2.0 * (1.0 - zn @ Y)
             R = _soft_assign(dist, sigma)
+            acc.add(R, dist, gcodes)
             out = pdf[["cell_id", feature_col, *code_cols]].copy()
             out["zn"] = list(zn.astype(F32))
             out["r"] = list(R.astype(F32))
+            out["o"] = None
+            out["rlogr"] = None
+            out["rdist"] = None
+            template = out
             yield out
+        if acc.seen:
+            yield acc.row(template)
 
     return kernel
 
 
-def make_estep_kernel(bc, code_cols: list[str], offsets: list[int]) -> Callable:
+def make_estep_kernel(bc, code_cols: list[str], offsets: list[int], K: int, B: int) -> Callable:
     """Batch-EM diversity E-step (src/harmony.cpp:318-323 semantics with
-    the full-batch O/E of the previous iteration; SURVEY.md §7.5)."""
+    the full-batch O/E of the previous iteration; SURVEY.md §7.5), fused
+    with the O/objective partial aggregation."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         st = bc.value
         Y, sigma, theta = st["Y"], st["sigma"], st["theta"]
         pen = ((2.0 * st["E"] + 1.0) / (st["O"] + st["E"] + 1.0)) ** theta[None, :]  # (K,B)
+        acc = _PartialAcc(K, B)
+        template = None
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -123,42 +163,16 @@ def make_estep_kernel(bc, code_cols: list[str], offsets: list[int]) -> Callable:
                 mult += pen[:, gcodes[:, c]].T
             R = R * mult
             R /= np.maximum(R.sum(axis=1, keepdims=True), 1e-30)
+            acc.add(R, dist, gcodes)
             out = pdf.copy()
             out["r"] = list(R.astype(F32))
+            out["o"] = None
+            out["rlogr"] = None
+            out["rdist"] = None
+            template = out
             yield out
-
-    return kernel
-
-
-def make_accumulate_kernel(bc, code_cols: list[str], offsets: list[int], K: int, B: int) -> Callable:
-    """Partial sums per partition: O (K*B), rlogr (K), rdist (scalar).
-    One output row per partition — the A4/A6 partial+final aggregate with
-    the final step on the driver."""
-
-    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        st = bc.value
-        Y, sigma = st["Y"], st["sigma"]
-        O = np.zeros((K, B), dtype=np.float64)
-        rlogr = np.zeros(K, dtype=np.float64)
-        rdist = 0.0
-        seen = False
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            seen = True
-            zn = _stack(pdf["zn"])
-            R = _stack(pdf["r"]).astype(np.float64)
-            gcodes = _codes_matrix(pdf, code_cols, offsets)
-            for c in range(gcodes.shape[1]):
-                np.add.at(O.T, gcodes[:, c], R)
-            safe = np.where(R > 0, R * np.log(np.maximum(R, 1e-30)), 0.0)
-            rlogr += safe.sum(axis=0)
-            dist = 2.0 * (1.0 - zn @ Y)
-            rdist += float((R * dist).sum())
-        if seen:
-            yield pd.DataFrame(
-                {"o": [O.ravel()], "rlogr": [rlogr], "rdist": [rdist]}
-            )
+        if acc.seen:
+            yield acc.row(template)
 
     return kernel
 
