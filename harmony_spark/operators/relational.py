@@ -544,3 +544,95 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.get_json_object("props", "$.k")).alias("with_k"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q48_pivot_contingency",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+               CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+               CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="PIVOT: the contingency table O as a wide matrix (A4's natural "
+    "presentation, /root/reference/src/harmony.cpp:150). Spark pivot() "
+    "with explicit level values so no extra distinct-scan job runs.",
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    wide = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .count()
+    )
+    return wide.select(
+        "c_mktsegment",
+        F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("urgent"),
+        F.coalesce(F.col("2-HIGH"), F.lit(0)).alias("high"),
+        F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("medium"),
+    ).orderBy("c_mktsegment")
+
+
+@register(
+    "q49_semi_join",
+    oracle="""
+        SELECT COUNT(*) AS n FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    """,
+    doc="Left semi join: customers with at least one urgent order "
+    "(EXISTS). Complements the q22 anti join.",
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "q50_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="CUBE grouping sets (completes the rollup/cube/grouping-sets "
+    "surface next to q15).",
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@register(
+    "q51_sql_text_surface",
+    oracle="""
+        SELECT n_name, COUNT(*) AS n_cust, ROUND(AVG(c_acctbal), 6) AS avg_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name HAVING COUNT(*) >= 2 ORDER BY n_name
+    """,
+    doc="The engine's SQL-text entry point: the same ANSI SQL runs via "
+    "spark.sql over registered views (Catalyst path end to end, "
+    "including HAVING).",
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_cust, ROUND(AVG(c_acctbal), 6) AS avg_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name HAVING COUNT(*) >= 2 ORDER BY n_name
+        """
+    )
