@@ -76,6 +76,11 @@ class HarmonySpark:
         N = None
         for v in vars_use:
             rows = df.groupBy(F.col(v).cast("string").alias("lvl")).count().collect()
+            if any(r["lvl"] is None for r in rows):
+                raise ValueError(
+                    f"covariate {v!r} contains NULLs; harmony requires a "
+                    "level for every cell (drop or impute first)"
+                )
             level_counts[v] = [(r["lvl"], r["count"]) for r in rows]
             n_v = sum(c for _, c in level_counts[v])
             N = n_v if N is None else N

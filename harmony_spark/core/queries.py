@@ -47,3 +47,48 @@ def harmony_correct(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         F.col("cell_id").alias("vec_id"), F.col("code_0").alias("batch_code"), "z_corr"
     ).orderBy("vec_id")
+
+
+@register(
+    "harmony_correct_2cov",
+    oracle=None,
+    doc="Two-covariate harmony (the test_two_variable.R configuration "
+    "shape, /root/reference/tests/testthat/test_two_variable.R:5-11): "
+    "embeddings joined with documents metadata for a second covariate; "
+    "exercises the multi-covariate design (stacked one-hot blocks, "
+    "cross-covariate Gram terms, C5 per-covariate support filtering) "
+    "and the auto-lambda path (M8).",
+)
+def harmony_correct_2cov(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.core.algorithm import HarmonySpark
+
+    e = table(spark, sf, "embeddings")
+    d = table(spark, sf, "documents").select(
+        F.col("doc_id").alias("vec_id"), F.col("lang")
+    )
+    cells = e.join(F.broadcast(d), "vec_id").select(
+        "vec_id",
+        "embedding",
+        F.col("label").cast("string").alias("label"),
+        "lang",
+    )
+    model = HarmonySpark(
+        cells,
+        ["label", "lang"],
+        features_col="embedding",
+        id_col="vec_id",
+        nclust=5,
+        max_iter=2,
+        lamb=None,  # auto-lambda (M8)
+        sigma=0.1,
+        seed=42,
+    )
+    out = model.run().persist()
+    out.count()
+    model.cleanup()
+    return out.select(
+        F.col("cell_id").alias("vec_id"),
+        F.col("code_0").alias("label_code"),
+        F.col("code_1").alias("lang_code"),
+        "z_corr",
+    ).orderBy("vec_id")
