@@ -126,6 +126,9 @@ class HarmonySpark:
         self.objective_kmeans: list[float] = []
         self.objective_harmony: list[float] = []
         self.kmeans_rounds: list[int] = []
+        # description of the current soft assignment R (never
+        # materialized; recomputed inside kernels from this state)
+        self._r_state: dict | None = None
 
     # ------------------------------------------------------------ helpers
 
@@ -152,26 +155,17 @@ class HarmonySpark:
         codes = ", ".join(f"{c} int" for c in self.code_cols)
         return (
             f"cell_id long, z_orig array<float>, {codes}, "
-            "zn array<float>, r array<float>, "
+            "zn array<float>, "
             "o array<double>, rlogr array<double>, rdist double"
         )
 
     # ------------------------------------------------------------ passes
     #
-    # Each pass is ONE distributed job: the kernel updates the N-sized
-    # rows AND emits one O/objective partial row per partition (tagged
-    # cell_id NULL). The partials are then read back from the cache —
-    # the aggregation costs no second scan of the data.
-
-    def _run_fused_pass(self, out: DataFrame, push_objective: bool) -> DataFrame:
-        full = self._swap_persist(out)
-        parts = (
-            full.where(F.col("cell_id").isNull())
-            .select("o", "rlogr", "rdist")
-            .collect()
-        )
-        self._finish_partials(parts, push_objective)
-        return full.where(F.col("cell_id").isNotNull()).drop("o", "rlogr", "rdist")
+    # R is never materialized: the current soft assignment is described
+    # by `self._r_state` (Y, sigma [, theta, O, E]) and recomputed
+    # inside whichever kernel needs it. Per round only the cold-start
+    # pass writes N-sized rows (the zn column); the E-steps are
+    # aggregation-only jobs over the cached zn.
 
     def _cold_start_pass(
         self, source: DataFrame, with_prev_correction: bool, push_objective: bool
@@ -179,24 +173,41 @@ class HarmonySpark:
         state = {"Y": self.Y, "sigma": self.p.sigma}
         if with_prev_correction:
             state["W_all"] = self.W_all
+            state["prev_state"] = self._r_state
         bc = self._broadcast(**state)
         kernel = kernels.make_cold_start_kernel(
             bc, self.code_cols, self.p.offsets, self.p.K, self.p.B
         )
-        return self._run_fused_pass(
-            source.mapInPandas(kernel, schema=self._pass_schema), push_objective
+        full = self._swap_persist(source.mapInPandas(kernel, schema=self._pass_schema))
+        parts = (
+            full.where(F.col("cell_id").isNull()).select("o", "rlogr", "rdist").collect()
         )
+        self._finish_partials(parts, push_objective)
+        # the fresh assignment is penalty-free against the current Y
+        self._r_state = {"Y": self.Y, "sigma": self.p.sigma, "penalty": False}
+        return full.where(F.col("cell_id").isNotNull()).drop("o", "rlogr", "rdist")
 
-    def _estep_pass(self, cells: DataFrame) -> DataFrame:
-        bc = self._broadcast(
-            Y=self.Y, sigma=self.p.sigma, theta=self.p.theta, O=self.O, E=self.E
-        )
+    def _estep_pass(self, cells: DataFrame) -> None:
+        """One batch-EM E-step: aggregation-only job, no row rewrite."""
+        state = {
+            "Y": self.Y,
+            "sigma": self.p.sigma,
+            "theta": self.p.theta,
+            "O": self.O,
+            "E": self.E,
+            "penalty": True,
+        }
+        bc = self._broadcast(**state)
         kernel = kernels.make_estep_kernel(
             bc, self.code_cols, self.p.offsets, self.p.K, self.p.B
         )
-        return self._run_fused_pass(
-            cells.mapInPandas(kernel, schema=self._pass_schema), push_objective=True
+        parts = (
+            cells.select("zn", *self.code_cols)
+            .mapInPandas(kernel, schema=kernels.PARTIAL_SCHEMA)
+            .collect()
         )
+        self._r_state = state  # the R defined by THIS state produced these partials
+        self._finish_partials(parts, push_objective=True)
 
     def _finish_partials(self, parts, push_objective: bool) -> None:
         """Final reduction of the per-partition partials: O, E (A4/A5)
@@ -225,8 +236,9 @@ class HarmonySpark:
 
     def _moe_partials(self, cells: DataFrame) -> dict[tuple, tuple[np.ndarray, np.ndarray]]:
         p = self.p
-        kernel = kernels.make_moe_partials_kernel(self.code_cols, p.offsets, p.K, p.d)
-        rows = cells.mapInPandas(
+        bc = self._broadcast(**self._r_state)
+        kernel = kernels.make_moe_partials_kernel(bc, self.code_cols, p.offsets, p.K, p.d)
+        rows = cells.select("z_orig", "zn", *self.code_cols).mapInPandas(
             kernel, schema="combo array<long>, s array<double>, m array<double>"
         ).collect()
         acc: dict[tuple, list] = {}
@@ -361,7 +373,7 @@ class HarmonySpark:
                 )
             iters = 0
             for it in range(p.max_iter_cluster):
-                cells = self._estep_pass(cells)
+                self._estep_pass(cells)
                 iters = it + 1
                 if it > p.window_size and self._kmeans_converged():
                     break
@@ -377,7 +389,7 @@ class HarmonySpark:
             cells = self._swap_persist(cells.localCheckpoint(eager=True))
 
         # final correction materialization (M2)
-        bc = self._broadcast(W_all=self.W_all)
+        bc = self._broadcast(W_all=self.W_all, r_state=self._r_state)
         kernel = kernels.make_correct_kernel(bc, self.code_cols, p.offsets)
         codes = ", ".join(f"{c} int" for c in self.code_cols)
         result = cells.mapInPandas(

@@ -7,16 +7,27 @@ float32 (mirroring the reference's float32 compute path,
 /root/reference/src/types.h:5-9). The N-sized data never visits the
 driver (SURVEY.md §3.4).
 
-Kernel shapes:
-  * estep      — the M1 distance GEMM ``2(1 - Zn Y)`` fused with the P4
-    softmax and the diversity penalty (src/harmony.cpp:141,318-323):
-    broadcast-join-with-compute, no shuffle.
-  * accumulate — partial aggregation of O (A4), per-cluster R log R and
-    R·dist sums (A6): each partition emits one tiny row; the driver
-    finishes the reduction (map-side combine done by hand, shuffle-free).
-  * moe_partials — grouped weighted vector sums keyed by the joint
-    covariate-level combo (A8/A9): emits (combo, S_k, M_kd) partials.
-  * correct    — the M2 correction gather: z = z_orig - sum_k R_k W_k[b(cell)].
+Key design: **R is never materialized.** The soft assignment is a pure
+function of (zn, Y, O_prev, E_prev, sigma, theta) — `recompute_R` — so
+the E-step is an aggregation-only pass whose output is one partial row
+per partition (O, R·logR, R·dist sums), and the MoE/correction passes
+recompute R on the fly from the same broadcast state. Per harmony round
+only ONE pass writes N-sized rows (the cold start, which materializes
+the normalized corrected embedding zn); everything else reads the
+cached zn column. At 100 TB this trades one extra GEMM+softmax per
+consumer against rewriting ~90 floats/cell/pass through Arrow — a
+large net win, and it also removes the K-float R column from the cache.
+
+Kernel map to the reference:
+  * recompute_R   — M1 distance GEMM 2(1 - Zn Y) fused with P4 softmax
+    and the diversity penalty (src/harmony.cpp:141,143-146,318-323).
+  * cold start    — correction gather M2 (src/harmony.cpp:615) + P1
+    normalization + penalty-free assignment (:214-228) + fused A4/A6
+    partials.
+  * estep         — batch-EM diversity E-step, aggregation-only.
+  * moe partials  — grouped weighted vector sums keyed by the joint
+    covariate-level combo (A8/A9: src/harmony.cpp:561-609).
+  * correct       — final M2 materialization.
 """
 
 from __future__ import annotations
@@ -27,6 +38,8 @@ import numpy as np
 import pandas as pd
 
 F32 = np.float32
+
+PARTIAL_SCHEMA = "o array<double>, rlogr array<double>, rdist double"
 
 
 def _stack(series: pd.Series, dtype=F32) -> np.ndarray:
@@ -47,19 +60,31 @@ def _soft_assign(dist: np.ndarray, sigma: np.ndarray) -> np.ndarray:
     return R / np.maximum(R.sum(axis=1, keepdims=True), 1e-30)
 
 
+def recompute_R(zn: np.ndarray, gcodes: np.ndarray, st: dict) -> tuple[np.ndarray, np.ndarray]:
+    """(R, dist) from the broadcast state. st: Y (d,K), sigma (K), and —
+    when st['penalty'] — theta (B), O, E (K,B) of the assignment's
+    defining iteration."""
+    dist = 2.0 * (1.0 - zn @ st["Y"])
+    R = _soft_assign(dist, st["sigma"])
+    if st.get("penalty"):
+        pen = ((2.0 * st["E"] + 1.0) / (st["O"] + st["E"] + 1.0)) ** st["theta"][None, :]
+        mult = np.zeros_like(R)
+        for c in range(gcodes.shape[1]):
+            mult += pen[:, gcodes[:, c]].T
+        R = R * mult
+        R /= np.maximum(R.sum(axis=1, keepdims=True), 1e-30)
+    return R, dist
+
+
 def _correction(z: np.ndarray, R: np.ndarray, gcodes: np.ndarray, W_all: np.ndarray) -> np.ndarray:
     """z - sum_k R_k * sum_cov W_all[k, b_cov], vectorized over the batch.
 
     W_all: (K, B, d) with zero rows for dropped batches / skipped
     clusters (src/harmony.cpp:611-615 with C5 filtering folded in).
     """
-    # Wc[n, k, d] = sum over covariates of W_all[k, gcodes[n, c]]
-    n = z.shape[0]
-    K, B, d = W_all.shape
+    n, d = z.shape
     corr = np.zeros((n, d), dtype=np.float64)
     for c in range(gcodes.shape[1]):
-        # (n, K, d) gather is memory-heavy; contract k first per level.
-        # group rows by level code for cache-friendly GEMMs
         codes_c = gcodes[:, c]
         for b in np.unique(codes_c):
             Wb = W_all[:, b, :]  # (K, d)
@@ -72,8 +97,7 @@ def _correction(z: np.ndarray, R: np.ndarray, gcodes: np.ndarray, W_all: np.ndar
 
 class _PartialAcc:
     """Accumulates O / R·logR / R·dist partials across the Arrow batches
-    of one partition; emitted as a single tag row (cell_id NULL) so the
-    row update and the aggregation share one pass over the data."""
+    of one partition (the map-side combine of A4/A6)."""
 
     def __init__(self, K: int, B: int):
         self.O = np.zeros((K, B), dtype=np.float64)
@@ -84,12 +108,21 @@ class _PartialAcc:
     def add(self, R: np.ndarray, dist: np.ndarray, gcodes: np.ndarray) -> None:
         self.seen = True
         R64 = R.astype(np.float64)
+        # per-level masked sums instead of np.add.at (scatter-add is
+        # ~10x slower than vectorized reductions at this shape)
         for c in range(gcodes.shape[1]):
-            np.add.at(self.O.T, gcodes[:, c], R64)
+            codes_c = gcodes[:, c]
+            for b in np.unique(codes_c):
+                self.O[:, b] += R64[codes_c == b].sum(axis=0)
         self.rlogr += np.where(R64 > 0, R64 * np.log(np.maximum(R64, 1e-30)), 0.0).sum(axis=0)
         self.rdist += float((R64 * dist).sum())
 
-    def row(self, template: pd.DataFrame) -> pd.DataFrame:
+    def partial_frame(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o": [self.O.ravel()], "rlogr": [self.rlogr], "rdist": [self.rdist]}
+        )
+
+    def tag_row(self, template: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({c: [None] for c in template.columns})
         out["o"] = [self.O.ravel()]
         out["rlogr"] = [self.rlogr]
@@ -100,16 +133,19 @@ class _PartialAcc:
 def make_cold_start_kernel(
     bc, code_cols: list[str], offsets: list[int], K: int, B: int, feature_col: str = "z_orig"
 ) -> Callable:
-    """(z_orig, codes, [r]) -> rows with fresh zn (normalized corrected
-    embedding), penalty-free soft assignment r (init:
-    src/harmony.cpp:131-146; cold start: :214-228), plus one O/objective
-    partial row per partition (fused A4/A6 aggregation)."""
+    """Round boundary, the one row-writing pass: apply the previous
+    round's correction (recomputing the previous R from `prev_state`),
+    L2-normalize, penalty-free re-assignment, fused A4/A6 partials
+    (init: src/harmony.cpp:131-146; cold start: :214-228). Emits rows
+    (cell_id, z_orig, codes, zn) plus one NULL-tagged partial row per
+    partition."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         st = bc.value
-        Y = st["Y"]  # (d, K)
+        Y = st["Y"]
         sigma = st["sigma"]
         W_all = st.get("W_all")  # None at init
+        prev_state = st.get("prev_state")
         acc = _PartialAcc(K, B)
         template = None
         for pdf in it:
@@ -118,7 +154,8 @@ def make_cold_start_kernel(
             z = _stack(pdf[feature_col])
             gcodes = _codes_matrix(pdf, code_cols, offsets)
             if W_all is not None:
-                R_prev = _stack(pdf["r"])
+                zn_prev = _stack(pdf["zn"])
+                R_prev, _ = recompute_R(zn_prev, gcodes, prev_state)
                 zc = _correction(z, R_prev, gcodes, W_all)
             else:
                 zc = z
@@ -128,71 +165,59 @@ def make_cold_start_kernel(
             acc.add(R, dist, gcodes)
             out = pdf[["cell_id", feature_col, *code_cols]].copy()
             out["zn"] = list(zn.astype(F32))
-            out["r"] = list(R.astype(F32))
             out["o"] = None
             out["rlogr"] = None
             out["rdist"] = None
             template = out
             yield out
         if acc.seen:
-            yield acc.row(template)
+            yield acc.tag_row(template)
 
     return kernel
 
 
 def make_estep_kernel(bc, code_cols: list[str], offsets: list[int], K: int, B: int) -> Callable:
-    """Batch-EM diversity E-step (src/harmony.cpp:318-323 semantics with
-    the full-batch O/E of the previous iteration; SURVEY.md §7.5), fused
-    with the O/objective partial aggregation."""
+    """Batch-EM diversity E-step as an aggregation-only pass: recompute
+    R with the penalty of the broadcast (O, E) and emit ONLY the
+    per-partition partials — no N-sized output at all
+    (src/harmony.cpp:318-323 semantics; SURVEY.md §7.5)."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         st = bc.value
-        Y, sigma, theta = st["Y"], st["sigma"], st["theta"]
-        pen = ((2.0 * st["E"] + 1.0) / (st["O"] + st["E"] + 1.0)) ** theta[None, :]  # (K,B)
         acc = _PartialAcc(K, B)
-        template = None
         for pdf in it:
             if len(pdf) == 0:
                 continue
             zn = _stack(pdf["zn"])
             gcodes = _codes_matrix(pdf, code_cols, offsets)
-            dist = 2.0 * (1.0 - zn @ Y)
-            R = _soft_assign(dist, sigma)
-            mult = np.zeros_like(R)
-            for c in range(gcodes.shape[1]):
-                mult += pen[:, gcodes[:, c]].T
-            R = R * mult
-            R /= np.maximum(R.sum(axis=1, keepdims=True), 1e-30)
+            R, dist = recompute_R(zn, gcodes, st)
             acc.add(R, dist, gcodes)
-            out = pdf.copy()
-            out["r"] = list(R.astype(F32))
-            out["o"] = None
-            out["rlogr"] = None
-            out["rdist"] = None
-            template = out
-            yield out
         if acc.seen:
-            yield acc.row(template)
+            yield acc.partial_frame()
 
     return kernel
 
 
 def make_moe_partials_kernel(
-    code_cols: list[str], offsets: list[int], K: int, d: int, feature_col: str = "z_orig"
+    bc, code_cols: list[str], offsets: list[int], K: int, d: int, feature_col: str = "z_orig"
 ) -> Callable:
     """Per joint-covariate-combo partials: S (K) = sum_i R_i,
     M (K*d) = sum_i R_i z_orig_i — the A8 Gram entries and A9 RHS in one
-    pass. Emits one row per (partition, combo)."""
+    pass, with R recomputed from the broadcast assignment state. Emits
+    one row per (partition, combo)."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st = bc.value
         acc: dict[tuple, list] = {}
         for pdf in it:
             if len(pdf) == 0:
                 continue
             z = _stack(pdf[feature_col], dtype=np.float64)
-            R = _stack(pdf["r"]).astype(np.float64)
+            zn = _stack(pdf["zn"])
+            gcodes = _codes_matrix(pdf, code_cols, offsets)
+            R, _ = recompute_R(zn, gcodes, st)
+            R = R.astype(np.float64)
             codes = pdf[code_cols].to_numpy(dtype=np.int64)
-            # group rows by joint covariate combo (numpy, no pandas index games)
             uniq, inverse = np.unique(codes, axis=0, return_inverse=True)
             for u in range(len(uniq)):
                 combo_t = tuple(int(x) for x in uniq[u])
@@ -205,12 +230,13 @@ def make_moe_partials_kernel(
                 else:
                     acc[combo_t] = [S, M]
         if acc:
-            rows = {
-                "combo": [np.asarray(c, dtype=np.int64) for c in acc],
-                "s": [v[0] for v in acc.values()],
-                "m": [v[1].ravel() for v in acc.values()],
-            }
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                {
+                    "combo": [np.asarray(c, dtype=np.int64) for c in acc],
+                    "s": [v[0] for v in acc.values()],
+                    "m": [v[1].ravel() for v in acc.values()],
+                }
+            )
 
     return kernel
 
@@ -218,17 +244,20 @@ def make_moe_partials_kernel(
 def make_correct_kernel(
     bc, code_cols: list[str], offsets: list[int], feature_col: str = "z_orig"
 ) -> Callable:
-    """Final materialization: z_corr = z_orig - correction (M2)."""
+    """Final materialization: z_corr = z_orig - correction (M2), with R
+    recomputed from the final assignment state."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         st = bc.value
         W_all = st["W_all"]
+        rs = st["r_state"]
         for pdf in it:
             if len(pdf) == 0:
                 continue
             z = _stack(pdf[feature_col])
-            R = _stack(pdf["r"])
+            zn = _stack(pdf["zn"])
             gcodes = _codes_matrix(pdf, code_cols, offsets)
+            R, _ = recompute_R(zn, gcodes, rs)
             zc = _correction(z, R, gcodes, W_all)
             out = pdf[["cell_id", *code_cols]].copy()
             out["z_corr"] = list(zc.astype(F32))
