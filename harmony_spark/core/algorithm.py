@@ -57,7 +57,11 @@ class HarmonySpark:
         early_stop: bool = True,
         options: HarmonyOptions | None = None,
         seed: int = 42,
+        init_method: str = "sample",
     ):
+        if init_method not in ("sample", "mllib"):
+            raise ValueError("init_method must be 'sample' or 'mllib'")
+        self.init_method = init_method
         self.spark: SparkSession = df.sparkSession
         self.vars_use = list(vars_use)
         self.code_cols = [f"code_{i}" for i in range(len(vars_use))]
@@ -256,13 +260,41 @@ class HarmonySpark:
     # ------------------------------------------------------------ driver math
 
     def _init_Y(self) -> None:
-        """Deterministic sample-based kmeans++/Lloyd init (M4/M5).
+        """Centroid init (M4/M5), two strategies:
 
-        The reference clusters all N cells single-node
-        (src/utils.cpp:52-64); at scale we take a deterministic hash
-        sample — subsequent rounds refine Y through the ridge intercept
-        (M3) anyway."""
+        * ``sample`` (default): deterministic hash sample to the driver,
+          seeded kmeans++/Lloyd in NumPy (shared with the cross-oracle).
+          The reference clusters all N cells single-node
+          (src/utils.cpp:52-64); subsequent rounds refine Y through the
+          ridge intercept (M3) anyway.
+        * ``mllib``: distributed ml.clustering.KMeans (k-means||) over
+          the L2-normalized cells — the fully-distributed path for when
+          even a 30k sample under-represents the data.
+        """
         p = self.p
+        if self.init_method == "mllib":
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+            from pyspark.sql.functions import aggregate as agg_hof, lit, sqrt, transform as tf_hof
+
+            norm = sqrt(
+                agg_hof(
+                    "z_orig",
+                    lit(0.0).cast("double"),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            )
+            vecs = self.cells0.select(
+                array_to_vector(
+                    tf_hof("z_orig", lambda x: x.cast("double") / norm)
+                ).alias("fv")
+            )
+            km = KMeans(k=p.K, maxIter=10, initMode="k-means||", seed=p.seed, featuresCol="fv")
+            model = km.fit(vecs)
+            Y = np.stack([np.asarray(c) for c in model.clusterCenters()]).astype(F32)
+            Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True), 1e-12)
+            self.Y = Yn.T.copy()
+            return
         if p.N <= _INIT_SAMPLE_CAP:
             sample = self.cells0.select("cell_id", "z_orig").orderBy("cell_id")
         else:
@@ -389,6 +421,7 @@ class HarmonySpark:
             cells = self._swap_persist(cells.localCheckpoint(eager=True))
 
         # final correction materialization (M2)
+        self._cells_final = cells
         bc = self._broadcast(W_all=self.W_all, r_state=self._r_state)
         kernel = kernels.make_correct_kernel(bc, self.code_cols, p.offsets)
         codes = ", ".join(f"{c} int" for c in self.code_cols)
@@ -396,6 +429,34 @@ class HarmonySpark:
             kernel, schema=f"cell_id long, {codes}, z_corr array<float>"
         )
         return result
+
+    # ------------------------------------------------------- model getters
+    # Parity with the reference's Rcpp getters (getR/getY/getO/getE,
+    # /root/reference/src/harmony.cpp:672-709). Y/O/E are tiny driver
+    # NumPy; R is distributed and returned as a DataFrame.
+
+    def get_Y(self) -> np.ndarray:
+        """(d, K) centroids, L2-normalized columns."""
+        return self.Y.copy()
+
+    def get_O(self) -> np.ndarray:
+        """(K, B) observed cluster-by-batch co-occurrence."""
+        return self.O.copy()
+
+    def get_E(self) -> np.ndarray:
+        """(K, B) expected counts under batch independence."""
+        return self.E.copy()
+
+    def get_R(self) -> DataFrame:
+        """(cell_id, r ARRAY<FLOAT>) — the final soft assignment,
+        recomputed from the assignment state (R is never stored)."""
+        if getattr(self, "_cells_final", None) is None:
+            raise RuntimeError("run() must complete before get_R()")
+        bc = self._broadcast(**self._r_state)
+        kernel = kernels.make_assignment_kernel(bc, self.code_cols, self.p.offsets)
+        return self._cells_final.select("cell_id", "zn", *self.code_cols).mapInPandas(
+            kernel, schema="cell_id long, r array<float>"
+        )
 
 
     def cleanup(self) -> None:

@@ -241,6 +241,23 @@ def make_moe_partials_kernel(
     return kernel
 
 
+def make_assignment_kernel(bc, code_cols: list[str], offsets: list[int]) -> Callable:
+    """getR parity (/root/reference/src/harmony.cpp:677-679): emit the
+    final soft assignment as (cell_id, r)."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            zn = _stack(pdf["zn"])
+            gcodes = _codes_matrix(pdf, code_cols, offsets)
+            R, _ = recompute_R(zn, gcodes, st)
+            yield pd.DataFrame({"cell_id": pdf["cell_id"], "r": list(R.astype(F32))})
+
+    return kernel
+
+
 def make_correct_kernel(
     bc, code_cols: list[str], offsets: list[int], feature_col: str = "z_orig"
 ) -> Callable:

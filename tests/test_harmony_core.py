@@ -246,3 +246,32 @@ def test_trace_and_sink(spark, spark_fixture_df, tmp_path):
     assert all(r["stdev"] > 0 for r in sd)
     back = spark.read.parquet(str(tmp_path / "emb.parquet"))
     assert back.count() == Z.shape[0]
+
+
+def test_model_getters_and_mllib_init(spark, spark_fixture_df):
+    """Reference getter parity (getR/getY/getO/getE,
+    src/harmony.cpp:672-709) + the distributed MLlib KMeans init path."""
+    from harmony_spark.core.algorithm import HarmonySpark
+
+    df, Z, blob, batch = spark_fixture_df
+    model = HarmonySpark(
+        df, ["batch"], id_col="cell_id", theta=1.0, sigma=0.1, lamb=1.0,
+        nclust=8, max_iter=1, seed=7, init_method="mllib",
+    )
+    model.run().count()
+    Y = model.get_Y()
+    assert Y.shape == (Z.shape[1], 8)
+    np.testing.assert_allclose(np.linalg.norm(Y, axis=0), 1.0, atol=1e-4)
+    O, E = model.get_O(), model.get_E()
+    assert O.shape == E.shape == (8, 3)
+    # O and E both resolve to the same per-batch masses overall
+    np.testing.assert_allclose(O.sum(), E.sum(), rtol=1e-3)
+    R = model.get_R().orderBy("cell_id").collect()
+    Rm = np.stack([r["r"] for r in R])
+    assert Rm.shape == (Z.shape[0], 8)
+    np.testing.assert_allclose(Rm.sum(axis=1), 1.0, atol=1e-4)
+    # R must be consistent with O: aggregate by batch and compare
+    O_check = np.zeros_like(O)
+    for i, b in enumerate(batch):
+        O_check[:, b] += Rm[i]
+    np.testing.assert_allclose(O_check, O, atol=2e-2)
