@@ -91,3 +91,56 @@ def test_mllib_minhash_lsh_agrees_with_exact_jaccard(spark, sf_dir):
     for r in pairs:
         key = (r["da"], r["db"])
         assert key in exact and exact[key] >= 0.8 - 1e-6, (key, r["jd"])
+
+
+def test_pandas_udf_surface_matches_expression_kernels(spark, sf_dir):
+    """Scalar pandas_udf cosine/L2 must agree with the expression-HOF
+    implementations that back q04/q31."""
+    from harmony_spark.functions.udfs import cosine_udf, l2_norm_udf
+    from harmony_spark.extensions.similarity import _dot, _l2
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") < 20)
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    got = pairs.select(
+        "va", "vb",
+        cosine_udf("ea", "eb").alias("c_udf"),
+        (_dot("ea", "eb") / (_l2("ea") * _l2("eb"))).alias("c_expr"),
+        l2_norm_udf("ea").alias("n_udf"),
+        _l2("ea").alias("n_expr"),
+    ).collect()
+    assert got
+    for r in got:
+        assert abs(r["c_udf"] - r["c_expr"]) < 1e-9
+        assert abs(r["n_udf"] - r["n_expr"]) < 1e-9
+
+
+def test_applyinpandas_grouped_zscore_matches_window(spark, sf_dir):
+    """Grouped-map applyInPandas z-score == the q05 window-function
+    z-score (same math, different execution vehicle)."""
+    from harmony_spark.functions.udfs import grouped_zscore
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = {
+        (r["o_custkey"], r["value"]): r["z"]
+        for r in grouped_zscore(orders, "o_custkey", "o_totalprice").collect()
+    }
+    w = Window.partitionBy("o_custkey")
+    z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / F.nullif(
+        F.stddev_samp("o_totalprice").over(w), F.lit(0.0)
+    )
+    want = orders.select(
+        "o_custkey", F.col("o_totalprice").alias("value"),
+        F.greatest(F.least(z, F.lit(10.0)), F.lit(-10.0)).alias("z"),
+    ).collect()
+    assert len(got) >= len(want) - 5  # dict collapses duplicate (key, value) pairs
+    for r in want:
+        k = (r["o_custkey"], r["value"])
+        if k in got:
+            if r["z"] is None:
+                import math
+                assert got[k] is None or math.isnan(got[k])
+            else:
+                assert abs(got[k] - r["z"]) < 1e-9

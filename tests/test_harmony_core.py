@@ -275,3 +275,50 @@ def test_model_getters_and_mllib_init(spark, spark_fixture_df):
     for i, b in enumerate(batch):
         O_check[:, b] += Rm[i]
     np.testing.assert_allclose(O_check, O, atol=2e-2)
+
+
+def test_spark_matches_numpy_oracle_two_covariates(spark, spark_fixture_df):
+    """Cross-oracle allclose with TWO covariates: exercises the stacked
+    one-hot design, cross-covariate Gram terms, and per-covariate C5
+    filtering against the NumPy reference."""
+    from harmony_spark.core.algorithm import HarmonySpark
+
+    df, Z, blob, batch = spark_fixture_df
+    cell_type = (blob >= 1).astype(int)
+    model = HarmonySpark(
+        df,
+        ["cell_type", "batch"],
+        id_col="cell_id",
+        theta=[1.0, 1.0],
+        sigma=0.1,
+        lamb=1.0,
+        nclust=12,
+        max_iter=3,
+        seed=7,
+    )
+    out = model.run().orderBy("cell_id").collect()
+    Zs = np.stack([r["z_corr"] for r in out])
+
+    codes = np.stack([cell_type, batch], axis=1)
+    counts_ct = np.bincount(cell_type, minlength=2)
+    counts_b = np.bincount(batch, minlength=3)
+    p = resolve_params(
+        N=Z.shape[0],
+        d=Z.shape[1],
+        vars_use=["cell_type", "batch"],
+        level_counts={
+            "cell_type": [(f"t{i}", int(c)) for i, c in enumerate(counts_ct)],
+            "batch": [(f"b{i}", int(c)) for i, c in enumerate(counts_b)],
+        },
+        theta=[1.0, 1.0],
+        sigma=0.1,
+        lamb=1.0,
+        nclust=12,
+        max_iter=3,
+        seed=7,
+    )
+    h = run_harmony_numpy(Z, codes, p, mode="batch")
+    np.testing.assert_allclose(
+        np.asarray(model.objective_kmeans), np.asarray(h.objective_kmeans), rtol=2e-3
+    )
+    np.testing.assert_allclose(Zs, h.Z_corr, rtol=3e-3, atol=3e-3)
