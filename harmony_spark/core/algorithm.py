@@ -367,7 +367,12 @@ class HarmonySpark:
                 lam = np.concatenate([[0.0], p.lamb[1:][kept_levels]])
             Gram[np.diag_indices(m + 1)] += lam
             rhs = Uk.T @ Mk  # (m+1, d)
-            W = np.linalg.solve(Gram, rhs)
+            try:
+                W = np.linalg.solve(Gram, rhs)
+            except np.linalg.LinAlgError:
+                # vanishing cluster mass (intercept row has lambda=0);
+                # skip the cluster like the C5 no-support path
+                continue
             Y_new[:, k] = W[0].astype(F32)
             for b in kept_levels:
                 W_all[k, b] = W[pos[b]]

@@ -636,3 +636,108 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY n_name HAVING COUNT(*) >= 2 ORDER BY n_name
         """
     )
+
+
+@register(
+    "q52_date_arithmetic",
+    oracle="""
+        SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+               COUNT(*) AS n,
+               CAST(MIN(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY) AS DATE) AS first_due,
+               CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')) AS BIGINT) AS max_age_days
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    doc="Date arithmetic surface: extract-month bucketing, date + "
+    "interval, datediff against an anchor.",
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    return (
+        o.groupBy(F.month("o_orderdate").cast("int").alias("mo"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.date_add(F.to_date("o_orderdate"), 30)).alias("first_due"),
+            F.max(F.datediff(F.lit("1998-01-01").cast("date"), F.to_date("o_orderdate")))
+            .cast("long")
+            .alias("max_age_days"),
+        )
+        .orderBy("mo")
+    )
+
+
+@register(
+    "q53_string_fns",
+    oracle="""
+        SELECT UPPER(TRIM(r_name)) AS nm,
+               CAST(LENGTH(r_name) AS INT) AS len,
+               REPLACE(LOWER(r_name), 'a', '@') AS repl,
+               LPAD(CAST(r_regionkey AS VARCHAR), 3, '0') AS padded,
+               CONCAT_WS('-', r_name, CAST(r_regionkey AS VARCHAR)) AS joined
+        FROM region ORDER BY nm
+    """,
+    doc="String scalar-function surface: trim/upper/length/replace/"
+    "lpad/concat_ws.",
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    r = table(spark, sf, "region")
+    return r.select(
+        F.upper(F.trim("r_name")).alias("nm"),
+        F.length("r_name").cast("int").alias("len"),
+        F.replace(F.lower("r_name"), F.lit("a"), F.lit("@")).alias("repl"),
+        F.lpad(F.col("r_regionkey").cast("string"), 3, "0").alias("padded"),
+        F.concat_ws("-", "r_name", F.col("r_regionkey").cast("string")).alias("joined"),
+    ).orderBy("nm")
+
+
+@register(
+    "q54_null_semantics",
+    oracle="""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS zero_disc,
+               ROUND(SUM(COALESCE(NULLIF(l_discount, 0.0), 0.01)), 6) AS disc_floor,
+               CAST(SUM(CASE WHEN l_returnflag IS NOT DISTINCT FROM 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nullsafe_r
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    doc="NULL-handling semantics: nullif/coalesce and null-safe "
+    "equality (Spark <=> / IS NOT DISTINCT FROM).",
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    nz = F.nullif("l_discount", F.lit(0.0))
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(nz.isNull(), 1).otherwise(0)).cast("long").alias("zero_disc"),
+            F.round(F.sum(F.coalesce(nz, F.lit(0.01))), 6).alias("disc_floor"),
+            F.sum(F.when(F.col("l_returnflag").eqNullSafe("R"), 1).otherwise(0))
+            .cast("long")
+            .alias("nullsafe_r"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q55_filtered_aggregates",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               ROUND(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 6) AS avg_f
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Filtered aggregates (FILTER clause / conditional aggregation).",
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("n_big"),
+            F.round(
+                F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 6
+            ).alias("avg_f"),
+        )
+        .orderBy("o_orderpriority")
+    )
