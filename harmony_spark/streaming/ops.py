@@ -80,6 +80,15 @@ def stateful_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def enrich_with_users(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static
+    dimension (broadcast to every micro-batch; no stream-side state).
+    The canonical firehose -> dim-lookup pattern at 100 TB/day."""
+    return events.join(F.broadcast(user_dim), "user_id", "left").select(
+        "event_id", "ts", "user_id", "event_type", "value", "segment"
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running event count + value sum — the arbitrary-stateful surface the

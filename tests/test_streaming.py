@@ -76,3 +76,28 @@ def test_custom_stateful_operator(spark, sf_dir):
     g = {r["user_id"]: (r["n_events"], r["value_sum"]) for r in got.collect()}
     b = {r["user_id"]: (r["n_events"], r["value_sum"]) for r in batch.collect()}
     assert g == b
+
+
+def test_stream_static_join(spark, sf_dir):
+    """Stream-static broadcast enrichment: every event row gets its
+    user segment; result equals the batch join."""
+    import pyspark.sql.functions as F
+    from harmony_spark.io import table
+
+    user_dim = (
+        table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    user_dim.persist().count()
+    events = ops.stream_events(spark, sf_dir)
+    got = run_stream(ops.enrich_with_users(events, user_dim), spark, "t_enrich", "append")
+    n_events = table(spark, sf_dir, "events").count()
+    assert got.count() == n_events
+    bad = got.where(
+        (F.col("segment") != F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+        | F.col("segment").isNull()
+    ).count()
+    assert bad == 0
+    user_dim.unpersist()
