@@ -741,3 +741,120 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ------------------------------------------------ compound TPC-H shapes ----
+
+
+@register(
+    "q56_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 6) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 6) AS sum_base,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               COUNT(*) AS n
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-12-01'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan-heavy pricing summary — pushdown filter, "
+    "wide partial+final aggregate, arithmetic in the agg expressions.",
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1997-12-01").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base"),
+            F.round(F.sum(disc), 6).alias("sum_disc"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q57_shipping_priority",
+    oracle="""
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+               o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND l_shipdate > TIMESTAMP '1996-06-30'
+        GROUP BY l_orderkey, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter -> broadcast join chain "
+    "into the fact -> top-k by aggregated revenue.",
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
+    )
+    # orders is fact-sized: leave the lineitem-orders join strategy to
+    # Catalyst/AQE (sort-merge at 100 TB, broadcast at test SF); the
+    # filtered customer dim is explicitly broadcast.
+    return (
+        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q58_local_supplier_volume",
+    oracle="""
+        SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way join with a cross-dimension equality "
+    "(customer and supplier in the same nation) under a region filter.",
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    # lineitem/orders/customer/supplier all scale with the data — their
+    # join strategy is Catalyst/AQE's call; only nation/region (true
+    # constant-size dims) are forced broadcast.
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
