@@ -490,10 +490,62 @@ class HarmonySpark:
         )
 
 
-def run_harmony(df: DataFrame, vars_use: list[str], **kwargs) -> DataFrame:
+def run_harmony(
+    df: DataFrame, vars_use: list[str], mode: str = "batch", **kwargs
+) -> DataFrame:
     """Corrected embeddings for a cells DataFrame — the RunHarmony.default
-    equivalent (/root/reference/R/ui.R:91-296), cells-as-rows."""
-    return HarmonySpark(df, vars_use, **kwargs).run()
+    equivalent (/root/reference/R/ui.R:91-296), cells-as-rows.
+
+    mode:
+      * ``batch`` (default) — the distributed engine (batch-EM E-steps,
+        SURVEY.md §7.5).
+      * ``blocked-local`` — exact reference semantics (sequential
+        5%-block online E-steps, src/harmony.cpp:269-342) via the NumPy
+        implementation on driver-collected data. Parity mode for
+        datasets that fit one node (caps at 2M cells); the distributed
+        mode is the scale path.
+    """
+    if mode == "batch":
+        return HarmonySpark(df, vars_use, **kwargs).run()
+    if mode != "blocked-local":
+        raise ValueError("mode must be 'batch' or 'blocked-local'")
+
+    from harmony_spark.core.numpy_ref import run_harmony_numpy
+    from harmony_spark.core.params import resolve_params
+
+    features_col = kwargs.pop("features_col", "features")
+    id_col = kwargs.pop("id_col", None)
+    seed = kwargs.pop("seed", 42)
+    if id_col is None:
+        df = df.withColumn("cell_id", F.monotonically_increasing_id())
+        id_col = "cell_id"
+    rows = df.select(
+        F.col(id_col).cast("long").alias("cell_id"),
+        F.col(features_col).cast("array<float>").alias("z"),
+        *[F.col(v).cast("string").alias(v) for v in vars_use],
+    ).orderBy("cell_id").collect()
+    if len(rows) > 2_000_000:
+        raise ValueError("blocked-local parity mode caps at 2M cells; use mode='batch'")
+    Z = np.stack([r["z"] for r in rows]).astype(F32)
+    level_counts: dict[str, list[tuple[str, int]]] = {}
+    codes = np.zeros((len(rows), len(vars_use)), dtype=np.int64)
+    for i, v in enumerate(vars_use):
+        vals = [r[v] for r in rows]
+        levels = sorted(set(vals))
+        lut = {lvl: j for j, lvl in enumerate(levels)}
+        codes[:, i] = [lut[x] for x in vals]
+        level_counts[v] = [(lvl, vals.count(lvl)) for lvl in levels]
+    p = resolve_params(
+        N=Z.shape[0], d=Z.shape[1], vars_use=list(vars_use),
+        level_counts=level_counts, seed=seed, **kwargs,
+    )
+    h = run_harmony_numpy(Z, codes, p, mode="blocked")
+    spark = df.sparkSession
+    out = [
+        (int(rows[i]["cell_id"]), [float(x) for x in h.Z_corr[i]])
+        for i in range(len(rows))
+    ]
+    return spark.createDataFrame(out, "cell_id long, z_corr array<float>")
 
 
 def save_embedding(result: DataFrame, path: str, embedding_col: str = "z_corr") -> DataFrame:

@@ -322,3 +322,22 @@ def test_spark_matches_numpy_oracle_two_covariates(spark, spark_fixture_df):
         np.asarray(model.objective_kmeans), np.asarray(h.objective_kmeans), rtol=2e-3
     )
     np.testing.assert_allclose(Zs, h.Z_corr, rtol=3e-3, atol=3e-3)
+
+
+def test_blocked_local_parity_mode(spark, spark_fixture_df):
+    """run_harmony(mode='blocked-local') = the reference's exact
+    sequential-block semantics via the NumPy path, returned as a
+    DataFrame."""
+    from harmony_spark.core.algorithm import run_harmony
+
+    df, Z, blob, batch = spark_fixture_df
+    out = run_harmony(
+        df, ["batch"], mode="blocked-local", id_col="cell_id",
+        theta=1.0, lamb=1.0, nclust=10, max_iter=2, seed=7,
+    ).orderBy("cell_id").collect()
+    Zs = np.stack([r["z_corr"] for r in out])
+    assert Zs.shape == Z.shape and np.isfinite(Zs).all()
+
+    p = resolve(Z, batch, 3, theta=1.0, nclust=10, max_iter=2, seed=7)
+    h = run_harmony_numpy(Z, batch[:, None], p, mode="blocked")
+    np.testing.assert_allclose(Zs, h.Z_corr, rtol=1e-4, atol=1e-4)
