@@ -58,10 +58,17 @@ class HarmonySpark:
         options: HarmonyOptions | None = None,
         seed: int = 42,
         init_method: str = "sample",
+        estep_mode: str = "batch",
+        n_blocks: int | None = None,
     ):
         if init_method not in ("sample", "mllib"):
             raise ValueError("init_method must be 'sample' or 'mllib'")
+        if estep_mode not in ("batch", "blocked"):
+            raise ValueError("estep_mode must be 'batch' or 'blocked'")
         self.init_method = init_method
+        self.estep_mode = estep_mode
+        self._n_blocks_arg = n_blocks
+        self._block_contrib: list[np.ndarray] = []
         self.spark: SparkSession = df.sparkSession
         self.vars_use = list(vars_use)
         self.code_cols = [f"code_{i}" for i in range(len(vars_use))]
@@ -133,6 +140,13 @@ class HarmonySpark:
         # description of the current soft assignment R (never
         # materialized; recomputed inside kernels from this state)
         self._r_state: dict | None = None
+        # online blocked mode: #blocks = ceil(1/block_size) like the
+        # reference (src/harmony.cpp:277) unless overridden
+        self.n_blocks = (
+            self._n_blocks_arg
+            if self._n_blocks_arg is not None
+            else int(np.ceil(1.0 / self.p.block_size))
+        )
 
     # ------------------------------------------------------------ helpers
 
@@ -160,7 +174,7 @@ class HarmonySpark:
         return (
             f"cell_id long, z_orig array<float>, {codes}, "
             "zn array<float>, "
-            "o array<double>, rlogr array<double>, rdist double"
+            "blk int, o array<double>, rlogr array<double>, rdist double"
         )
 
     # ------------------------------------------------------------ passes
@@ -172,46 +186,120 @@ class HarmonySpark:
     # aggregation-only jobs over the cached zn.
 
     def _cold_start_pass(
-        self, source: DataFrame, with_prev_correction: bool, push_objective: bool
+        self, source: DataFrame, with_prev_correction: bool, push_objective: bool, round_idx: int
     ) -> DataFrame:
         state = {"Y": self.Y, "sigma": self.p.sigma}
         if with_prev_correction:
             state["W_all"] = self.W_all
             state["prev_state"] = self._r_state
+        if self.estep_mode == "blocked":
+            state["nb"] = self.n_blocks
+            state["round_idx"] = round_idx
         bc = self._broadcast(**state)
         kernel = kernels.make_cold_start_kernel(
             bc, self.code_cols, self.p.offsets, self.p.K, self.p.B
         )
         full = self._swap_persist(source.mapInPandas(kernel, schema=self._pass_schema))
         parts = (
-            full.where(F.col("cell_id").isNull()).select("o", "rlogr", "rdist").collect()
+            full.where(F.col("cell_id").isNull())
+            .select("blk", "o", "rlogr", "rdist")
+            .collect()
         )
         self._finish_partials(parts, push_objective)
         # the fresh assignment is penalty-free against the current Y
         self._r_state = {"Y": self.Y, "sigma": self.p.sigma, "penalty": False}
-        return full.where(F.col("cell_id").isNotNull()).drop("o", "rlogr", "rdist")
+        return full.where(F.col("cell_id").isNotNull()).drop("blk", "o", "rlogr", "rdist")
 
-    def _estep_pass(self, cells: DataFrame) -> None:
-        """One batch-EM E-step: aggregation-only job, no row rewrite."""
-        state = {
-            "Y": self.Y,
-            "sigma": self.p.sigma,
-            "theta": self.p.theta,
-            "O": self.O,
-            "E": self.E,
-            "penalty": True,
+    def _estep_pass(self, cells: DataFrame, round_idx: int) -> None:
+        """One E-step. ``batch`` mode: one aggregation-only job over all
+        cells. ``blocked`` mode (C3, src/harmony.cpp:269-342): the round's
+        cells are split into n_blocks by the arithmetic hash; each block
+        is removed from O/E (driver subtraction of its cached
+        contribution), reassigned against the decremented penalty, and
+        added back — one aggregation job per block, sequential through
+        the shared O/E exactly like the reference's online update.
+        Block membership is fixed within a round (re-randomized across
+        rounds via the round index); the reference reshuffles every
+        E-step — same randomized-block-coordinate-descent family."""
+        if self.estep_mode == "batch":
+            state = {
+                "Y": self.Y,
+                "sigma": self.p.sigma,
+                "theta": self.p.theta,
+                "O": self.O,
+                "E": self.E,
+                "penalty": True,
+            }
+            bc = self._broadcast(**state)
+            kernel = kernels.make_estep_kernel(
+                bc, self.code_cols, self.p.offsets, self.p.K, self.p.B
+            )
+            parts = (
+                cells.select("cell_id", "zn", *self.code_cols)
+                .mapInPandas(kernel, schema=kernels.PARTIAL_SCHEMA)
+                .collect()
+            )
+            self._r_state = state
+            self._finish_partials(parts, push_objective=True)
+            return
+
+        # blocked online mode
+        p = self.p
+        nb = self.n_blocks
+        states: list[dict] = []
+        rlogr_tot = np.zeros(p.K, dtype=np.float64)
+        rdist_tot = 0.0
+        block_expr = F.pmod(
+            (F.col("cell_id") % kernels.BLOCK_P) * kernels.BLOCK_A
+            + F.lit(round_idx * kernels.BLOCK_B),
+            F.lit(nb),
+        )
+        O = self.O.astype(np.float64)
+        for i in range(nb):
+            C_i = self._block_contrib[i]
+            O_minus = O - C_i
+            mass_minus = O_minus[:, : p.B_vec[0]].sum(axis=1)
+            E_minus = mass_minus[:, None] * p.Pr_b[None, :].astype(np.float64)
+            state_i = {
+                "Y": self.Y,
+                "sigma": p.sigma,
+                "theta": p.theta,
+                "O": O_minus.astype(np.float32),
+                "E": E_minus.astype(np.float32),
+                "penalty": True,
+            }
+            bc = self._broadcast(**state_i)
+            kernel = kernels.make_estep_kernel(
+                bc, self.code_cols, p.offsets, p.K, p.B
+            )
+            parts = (
+                cells.where(block_expr == i)
+                .select("cell_id", "zn", *self.code_cols)
+                .mapInPandas(kernel, schema=kernels.PARTIAL_SCHEMA)
+                .collect()
+            )
+            C_new = np.zeros((p.K, p.B), dtype=np.float64)
+            for row in parts:
+                C_new += np.asarray(row["o"]).reshape(p.K, p.B)
+                rlogr_tot += np.asarray(row["rlogr"])
+                rdist_tot += row["rdist"]
+            O = O_minus + C_new
+            self._block_contrib[i] = C_new
+            states.append(state_i)
+        self.O = O.astype(np.float32)
+        mass = O[:, : p.B_vec[0]].sum(axis=1)
+        self.E = (mass[:, None] * p.Pr_b[None, :].astype(np.float64)).astype(np.float32)
+        self._r_state = {
+            "blocked": True,
+            "states": states,
+            "iter": round_idx,
+            "nb": nb,
         }
-        bc = self._broadcast(**state)
-        kernel = kernels.make_estep_kernel(
-            bc, self.code_cols, self.p.offsets, self.p.K, self.p.B
-        )
-        parts = (
-            cells.select("zn", *self.code_cols)
-            .mapInPandas(kernel, schema=kernels.PARTIAL_SCHEMA)
-            .collect()
-        )
-        self._r_state = state  # the R defined by THIS state produced these partials
-        self._finish_partials(parts, push_objective=True)
+        norm_const = 2000.0 / p.N
+        entropy = float((rlogr_tot * p.sigma).sum())
+        log_term = np.log((self.O + self.E + 1.0) / (2.0 * self.E + 1.0))
+        cross = float((p.sigma[:, None] * p.theta[None, :] * log_term * self.O).sum())
+        self.objective_kmeans.append((rdist_tot + entropy + cross) * norm_const)
 
     def _finish_partials(self, parts, push_objective: bool) -> None:
         """Final reduction of the per-partition partials: O, E (A4/A5)
@@ -220,13 +308,16 @@ class HarmonySpark:
         round>=2 cold start, which in the reference re-estimates O/E
         without recording an objective (src/harmony.cpp:214-228)."""
         p = self.p
-        O = np.zeros((p.K, p.B), dtype=np.float64)
+        nb = self.n_blocks if self.estep_mode == "blocked" else 1
+        per_block = [np.zeros((p.K, p.B), dtype=np.float64) for _ in range(nb)]
         rlogr = np.zeros(p.K, dtype=np.float64)
         rdist = 0.0
         for row in parts:
-            O += np.asarray(row["o"]).reshape(p.K, p.B)
+            per_block[row["blk"] or 0] += np.asarray(row["o"]).reshape(p.K, p.B)
             rlogr += np.asarray(row["rlogr"])
             rdist += row["rdist"]
+        O = np.sum(per_block, axis=0)
+        self._block_contrib = per_block
         self.O = O.astype(F32)
         mass = O[:, : p.B_vec[0]].sum(axis=1)  # sum_i R_ki via covariate 0
         self.E = (mass[:, None] * p.Pr_b[None, :].astype(np.float64)).astype(F32)
@@ -242,7 +333,7 @@ class HarmonySpark:
         p = self.p
         bc = self._broadcast(**self._r_state)
         kernel = kernels.make_moe_partials_kernel(bc, self.code_cols, p.offsets, p.K, p.d)
-        rows = cells.select("z_orig", "zn", *self.code_cols).mapInPandas(
+        rows = cells.select("cell_id", "z_orig", "zn", *self.code_cols).mapInPandas(
             kernel, schema="combo array<long>, s array<double>, m array<double>"
         ).collect()
         acc: dict[tuple, list] = {}
@@ -398,7 +489,7 @@ class HarmonySpark:
         p = self.p
         self._init_Y()
         cells = self._cold_start_pass(
-            self.cells0, with_prev_correction=False, push_objective=True
+            self.cells0, with_prev_correction=False, push_objective=True, round_idx=0
         )
         self.objective_harmony.append(self.objective_kmeans[-1])
 
@@ -406,11 +497,12 @@ class HarmonySpark:
             if round_idx > 0:
                 # cold start: re-estimate R from corrected embedding
                 cells = self._cold_start_pass(
-                    cells, with_prev_correction=True, push_objective=False
+                    cells, with_prev_correction=True, push_objective=False,
+                    round_idx=round_idx,
                 )
             iters = 0
             for it in range(p.max_iter_cluster):
-                self._estep_pass(cells)
+                self._estep_pass(cells, round_idx)
                 iters = it + 1
                 if it > p.window_size and self._kmeans_converged():
                     break

@@ -39,7 +39,7 @@ import pandas as pd
 
 F32 = np.float32
 
-PARTIAL_SCHEMA = "o array<double>, rlogr array<double>, rdist double"
+PARTIAL_SCHEMA = "blk int, o array<double>, rlogr array<double>, rdist double"
 
 
 def _stack(series: pd.Series, dtype=F32) -> np.ndarray:
@@ -60,10 +60,18 @@ def _soft_assign(dist: np.ndarray, sigma: np.ndarray) -> np.ndarray:
     return R / np.maximum(R.sum(axis=1, keepdims=True), 1e-30)
 
 
-def recompute_R(zn: np.ndarray, gcodes: np.ndarray, st: dict) -> tuple[np.ndarray, np.ndarray]:
-    """(R, dist) from the broadcast state. st: Y (d,K), sigma (K), and —
-    when st['penalty'] — theta (B), O, E (K,B) of the assignment's
-    defining iteration."""
+# arithmetic block assignment for the online blocked E-step (C3):
+# reproducible in both NumPy and Spark SQL, bounded int64 arithmetic
+BLOCK_P = 1_000_003
+BLOCK_A = 2_654_435_761
+BLOCK_B = 40_503
+
+
+def block_ids(cell_ids: np.ndarray, iter_idx: int, n_blocks: int) -> np.ndarray:
+    return ((cell_ids % BLOCK_P) * BLOCK_A + iter_idx * BLOCK_B) % n_blocks
+
+
+def _apply_state(zn, gcodes, st):
     dist = 2.0 * (1.0 - zn @ st["Y"])
     R = _soft_assign(dist, st["sigma"])
     if st.get("penalty"):
@@ -74,6 +82,26 @@ def recompute_R(zn: np.ndarray, gcodes: np.ndarray, st: dict) -> tuple[np.ndarra
         R = R * mult
         R /= np.maximum(R.sum(axis=1, keepdims=True), 1e-30)
     return R, dist
+
+
+def recompute_R(
+    zn: np.ndarray, gcodes: np.ndarray, st: dict, cell_ids: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """(R, dist) from the broadcast state. st: Y (d,K), sigma (K), and —
+    when st['penalty'] — theta (B), O, E (K,B) of the assignment's
+    defining iteration. A blocked state (st['blocked']) carries one
+    sub-state per online block; each cell's R comes from its block's
+    state (requires cell_ids)."""
+    if st.get("blocked"):
+        blocks = block_ids(cell_ids, st["iter"], st["nb"])
+        R = np.empty((zn.shape[0], st["states"][0]["Y"].shape[1]), dtype=zn.dtype)
+        dist = np.empty_like(R)
+        for i, sub in enumerate(st["states"]):
+            mask = blocks == i
+            if mask.any():
+                R[mask], dist[mask] = _apply_state(zn[mask], gcodes[mask], sub)
+        return R, dist
+    return _apply_state(zn, gcodes, st)
 
 
 def _correction(z: np.ndarray, R: np.ndarray, gcodes: np.ndarray, W_all: np.ndarray) -> np.ndarray:
@@ -97,36 +125,56 @@ def _correction(z: np.ndarray, R: np.ndarray, gcodes: np.ndarray, W_all: np.ndar
 
 class _PartialAcc:
     """Accumulates O / R·logR / R·dist partials across the Arrow batches
-    of one partition (the map-side combine of A4/A6)."""
+    of one partition (the map-side combine of A4/A6), optionally split
+    per online block (C3)."""
 
-    def __init__(self, K: int, B: int):
-        self.O = np.zeros((K, B), dtype=np.float64)
-        self.rlogr = np.zeros(K, dtype=np.float64)
-        self.rdist = 0.0
+    def __init__(self, K: int, B: int, n_blocks: int = 1):
+        self.nb = n_blocks
+        self.O = np.zeros((n_blocks, K, B), dtype=np.float64)
+        self.rlogr = np.zeros((n_blocks, K), dtype=np.float64)
+        self.rdist = np.zeros(n_blocks, dtype=np.float64)
         self.seen = False
 
-    def add(self, R: np.ndarray, dist: np.ndarray, gcodes: np.ndarray) -> None:
+    def add(self, R: np.ndarray, dist: np.ndarray, gcodes: np.ndarray, blocks=None) -> None:
         self.seen = True
         R64 = R.astype(np.float64)
-        # per-level masked sums instead of np.add.at (scatter-add is
-        # ~10x slower than vectorized reductions at this shape)
-        for c in range(gcodes.shape[1]):
-            codes_c = gcodes[:, c]
-            for b in np.unique(codes_c):
-                self.O[:, b] += R64[codes_c == b].sum(axis=0)
-        self.rlogr += np.where(R64 > 0, R64 * np.log(np.maximum(R64, 1e-30)), 0.0).sum(axis=0)
-        self.rdist += float((R64 * dist).sum())
+        safe = np.where(R64 > 0, R64 * np.log(np.maximum(R64, 1e-30)), 0.0)
+        rd = R64 * dist
+        if blocks is None:
+            slots = [(0, slice(None))]
+        else:
+            slots = [(i, blocks == i) for i in range(self.nb)]
+        for i, sel in slots:
+            Ri = R64[sel]
+            if Ri.shape[0] == 0:
+                continue
+            gi = gcodes[sel]
+            # per-level masked sums instead of np.add.at (scatter-add is
+            # ~10x slower than vectorized reductions at this shape)
+            for c in range(gi.shape[1]):
+                codes_c = gi[:, c]
+                for b in np.unique(codes_c):
+                    self.O[i, :, b] += Ri[codes_c == b].sum(axis=0)
+            self.rlogr[i] += safe[sel].sum(axis=0)
+            self.rdist[i] += float(rd[sel].sum())
 
     def partial_frame(self) -> pd.DataFrame:
+        rows = [i for i in range(self.nb)]
         return pd.DataFrame(
-            {"o": [self.O.ravel()], "rlogr": [self.rlogr], "rdist": [self.rdist]}
+            {
+                "blk": rows,
+                "o": [self.O[i].ravel() for i in rows],
+                "rlogr": [self.rlogr[i] for i in rows],
+                "rdist": [float(self.rdist[i]) for i in rows],
+            }
         )
 
-    def tag_row(self, template: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({c: [None] for c in template.columns})
-        out["o"] = [self.O.ravel()]
-        out["rlogr"] = [self.rlogr]
-        out["rdist"] = [self.rdist]
+    def tag_rows(self, template: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({c: [None] * self.nb for c in template.columns})
+        out["blk"] = list(range(self.nb))
+        out["o"] = [self.O[i].ravel() for i in range(self.nb)]
+        out["rlogr"] = [self.rlogr[i] for i in range(self.nb)]
+        out["rdist"] = [float(self.rdist[i]) for i in range(self.nb)]
         return out
 
 
@@ -146,32 +194,37 @@ def make_cold_start_kernel(
         sigma = st["sigma"]
         W_all = st.get("W_all")  # None at init
         prev_state = st.get("prev_state")
-        acc = _PartialAcc(K, B)
+        nb = st.get("nb", 1)  # >1: emit per-block partials for C3
+        round_idx = st.get("round_idx", 0)
+        acc = _PartialAcc(K, B, n_blocks=nb)
         template = None
         for pdf in it:
             if len(pdf) == 0:
                 continue
+            cell_ids = pdf["cell_id"].to_numpy(dtype=np.int64)
             z = _stack(pdf[feature_col])
             gcodes = _codes_matrix(pdf, code_cols, offsets)
             if W_all is not None:
                 zn_prev = _stack(pdf["zn"])
-                R_prev, _ = recompute_R(zn_prev, gcodes, prev_state)
+                R_prev, _ = recompute_R(zn_prev, gcodes, prev_state, cell_ids=cell_ids)
                 zc = _correction(z, R_prev, gcodes, W_all)
             else:
                 zc = z
             zn = _normalize_rows(zc)
             dist = 2.0 * (1.0 - zn @ Y)
             R = _soft_assign(dist, sigma)
-            acc.add(R, dist, gcodes)
+            blocks = block_ids(cell_ids, round_idx, nb) if nb > 1 else None
+            acc.add(R, dist, gcodes, blocks=blocks)
             out = pdf[["cell_id", feature_col, *code_cols]].copy()
             out["zn"] = list(zn.astype(F32))
+            out["blk"] = None
             out["o"] = None
             out["rlogr"] = None
             out["rdist"] = None
             template = out
             yield out
         if acc.seen:
-            yield acc.tag_row(template)
+            yield acc.tag_rows(template)
 
     return kernel
 
@@ -190,7 +243,8 @@ def make_estep_kernel(bc, code_cols: list[str], offsets: list[int], K: int, B: i
                 continue
             zn = _stack(pdf["zn"])
             gcodes = _codes_matrix(pdf, code_cols, offsets)
-            R, dist = recompute_R(zn, gcodes, st)
+            cell_ids = pdf["cell_id"].to_numpy(dtype=np.int64)
+            R, dist = recompute_R(zn, gcodes, st, cell_ids=cell_ids)
             acc.add(R, dist, gcodes)
         if acc.seen:
             yield acc.partial_frame()
@@ -215,7 +269,8 @@ def make_moe_partials_kernel(
             z = _stack(pdf[feature_col], dtype=np.float64)
             zn = _stack(pdf["zn"])
             gcodes = _codes_matrix(pdf, code_cols, offsets)
-            R, _ = recompute_R(zn, gcodes, st)
+            cell_ids = pdf["cell_id"].to_numpy(dtype=np.int64)
+            R, _ = recompute_R(zn, gcodes, st, cell_ids=cell_ids)
             R = R.astype(np.float64)
             codes = pdf[code_cols].to_numpy(dtype=np.int64)
             uniq, inverse = np.unique(codes, axis=0, return_inverse=True)
@@ -252,7 +307,8 @@ def make_assignment_kernel(bc, code_cols: list[str], offsets: list[int]) -> Call
                 continue
             zn = _stack(pdf["zn"])
             gcodes = _codes_matrix(pdf, code_cols, offsets)
-            R, _ = recompute_R(zn, gcodes, st)
+            cell_ids = pdf["cell_id"].to_numpy(dtype=np.int64)
+            R, _ = recompute_R(zn, gcodes, st, cell_ids=cell_ids)
             yield pd.DataFrame({"cell_id": pdf["cell_id"], "r": list(R.astype(F32))})
 
     return kernel
@@ -274,7 +330,8 @@ def make_correct_kernel(
             z = _stack(pdf[feature_col])
             zn = _stack(pdf["zn"])
             gcodes = _codes_matrix(pdf, code_cols, offsets)
-            R, _ = recompute_R(zn, gcodes, rs)
+            cell_ids = pdf["cell_id"].to_numpy(dtype=np.int64)
+            R, _ = recompute_R(zn, gcodes, rs, cell_ids=cell_ids)
             zc = _correction(z, R, gcodes, W_all)
             out = pdf[["cell_id", *code_cols]].copy()
             out["z_corr"] = list(zc.astype(F32))

@@ -149,22 +149,72 @@ class HarmonyNumpy:
                 np.add.at(self.O.T, self.gcodes[idx, c], Rb)
 
     def _update_R_batch(self):
-        """Full-batch EM variant (the Spark engine's mode)."""
+        """Full-batch EM variant (the Spark engine's default mode)."""
         R = self._soft_assign(self.dist_mat)
         R = R * self._penalty_per_cell(self.O, self.E)
         R /= np.maximum(R.sum(axis=1, keepdims=True), 1e-30)
         self.R = R
         self.O, self.E = self._accumulate_OE(R)
 
+    def _update_R_blocked_hash(self, round_idx: int):
+        """Online blocked update with the Spark engine's deterministic
+        arithmetic block assignment (fixed within a round) — the exact
+        mirror of HarmonySpark(estep_mode='blocked') for cross-checking.
+        Same O-=block / reassign / O+=block semantics as the reference
+        (src/harmony.cpp:269-342); only the shuffle source differs."""
+        from harmony_spark.core.kernels import block_ids
+
+        p = self.p
+        nb = int(np.ceil(1.0 / p.block_size))
+        cell_ids = np.arange(p.N, dtype=np.int64)
+        blocks = block_ids(cell_ids, round_idx, nb)
+        O64 = self.O.astype(np.float64)
+        for i in range(nb):
+            idx = np.flatnonzero(blocks == i)
+            if len(idx) == 0:
+                continue
+            C_i = np.zeros_like(O64)
+            Rb_old = self.R[idx].astype(np.float64)
+            for c in range(self.gcodes.shape[1]):
+                codes_c = self.gcodes[idx, c]
+                for b in np.unique(codes_c):
+                    C_i[:, b] += Rb_old[codes_c == b].sum(axis=0)
+            O_minus = O64 - C_i
+            mass_minus = O_minus[:, : p.B_vec[0]].sum(axis=1)
+            E_minus = (mass_minus[:, None] * p.Pr_b[None, :].astype(np.float64)).astype(F32)
+            O_minus32 = O_minus.astype(F32)
+            Rb = np.exp(-self.dist_mat[idx] / p.sigma[None, :])
+            Rb /= np.maximum(Rb.sum(axis=1, keepdims=True), 1e-30)
+            pen = ((2.0 * E_minus + 1.0) / (O_minus32 + E_minus + 1.0)) ** p.theta[None, :]
+            mult = np.zeros_like(Rb)
+            for c in range(self.gcodes.shape[1]):
+                mult += pen[:, self.gcodes[idx, c]].T
+            Rb = Rb * mult
+            Rb /= np.maximum(Rb.sum(axis=1, keepdims=True), 1e-30)
+            self.R[idx] = Rb
+            C_new = np.zeros_like(O64)
+            Rb64 = Rb.astype(np.float64)
+            for c in range(self.gcodes.shape[1]):
+                codes_c = self.gcodes[idx, c]
+                for b in np.unique(codes_c):
+                    C_new[:, b] += Rb64[codes_c == b].sum(axis=0)
+            O64 = O_minus + C_new
+        self.O = O64.astype(F32)
+        mass = O64[:, : p.B_vec[0]].sum(axis=1)
+        self.E = (mass[:, None] * p.Pr_b[None, :].astype(np.float64)).astype(F32)
+
     def cluster(self) -> int:
         """cluster_cpp (src/harmony.cpp:208-262)."""
         p = self.p
         if len(self.objective_harmony) != 1:
             self._cold_start()
+        round_idx = len(self.kmeans_rounds)
         iters_done = 0
         for it in range(p.max_iter_cluster):
             if self.mode == "blocked":
                 self._update_R_blocked()
+            elif self.mode == "blocked-hash":
+                self._update_R_blocked_hash(round_idx)
             else:
                 self._update_R_batch()
             self._compute_objective()

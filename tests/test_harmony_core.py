@@ -341,3 +341,31 @@ def test_blocked_local_parity_mode(spark, spark_fixture_df):
     p = resolve(Z, batch, 3, theta=1.0, nclust=10, max_iter=2, seed=7)
     h = run_harmony_numpy(Z, batch[:, None], p, mode="blocked")
     np.testing.assert_allclose(Zs, h.Z_corr, rtol=1e-4, atol=1e-4)
+
+
+def test_spark_blocked_estep_matches_numpy(spark, spark_fixture_df):
+    """Distributed online blocked E-step (C3) == the NumPy blocked-hash
+    oracle, exactly: same arithmetic block assignment, same
+    subtract/reassign/add-back sequence through shared O/E."""
+    from harmony_spark.core.algorithm import HarmonySpark
+
+    df, Z, blob, batch = spark_fixture_df
+    model = HarmonySpark(
+        df, ["batch"], id_col="cell_id", theta=1.0, sigma=0.1, lamb=1.0,
+        nclust=15, max_iter=2, seed=7, estep_mode="blocked", n_blocks=5,
+    )
+    out = model.run().orderBy("cell_id").collect()
+    Zs = np.stack([r["z_corr"] for r in out])
+
+    from harmony_spark.core.params import HarmonyOptions
+    p = resolve_params(
+        N=Z.shape[0], d=Z.shape[1], vars_use=["batch"],
+        level_counts={"batch": [(f"b{i}", int(c)) for i, c in enumerate(np.bincount(batch, minlength=3))]},
+        theta=1.0, sigma=0.1, lamb=1.0, nclust=15, max_iter=2, seed=7,
+        options=HarmonyOptions(block_size=0.2),  # 1/0.2 = 5 blocks
+    )
+    h = run_harmony_numpy(Z, batch[:, None], p, mode="blocked-hash")
+    np.testing.assert_allclose(
+        np.asarray(model.objective_kmeans), np.asarray(h.objective_kmeans), rtol=2e-3
+    )
+    np.testing.assert_allclose(Zs, h.Z_corr, rtol=3e-3, atol=3e-3)
