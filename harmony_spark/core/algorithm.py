@@ -527,6 +527,39 @@ class HarmonySpark:
         )
         return result
 
+    def transform(self, df: DataFrame, features_col: str = "features", id_col: str = "cell_id") -> DataFrame:
+        """Fold NEW cells into the fitted model (extension — the
+        reference is strictly refit-only): assign each incoming cell
+        against the frozen centroids/penalty state and subtract its
+        batch effect with the frozen W. Stateless given the broadcast
+        model, so the same code path serves batch DataFrames and
+        Structured Streaming sources (micro-batch inference).
+
+        Assignment uses zn = normalize(z) (a new cell has no previous
+        correction to fold in); covariate levels unseen at fit time are
+        rejected inside the kernel via the level maps.
+        """
+        if self.W_all is None:
+            raise RuntimeError("run() must complete before transform()")
+        p = self.p
+        cells = df.select(
+            F.col(id_col).cast("long").alias("cell_id"),
+            F.col(features_col).cast("array<float>").alias("z_orig"),
+            *[self._level_code(v, i) for i, v in enumerate(self.vars_use)],
+        )
+        # flatten a blocked r_state to its last block state for new
+        # cells (they belong to no training block); batch state passes
+        # through unchanged
+        rs = self._r_state
+        if rs.get("blocked"):
+            rs = rs["states"][-1]
+        bc = self._broadcast(W_all=self.W_all, r_state=rs)
+        kernel = kernels.make_transform_kernel(bc, self.code_cols, p.offsets)
+        codes = ", ".join(f"{c} int" for c in self.code_cols)
+        return cells.mapInPandas(
+            kernel, schema=f"cell_id long, {codes}, z_corr array<float>"
+        )
+
     # ------------------------------------------------------- model getters
     # Parity with the reference's Rcpp getters (getR/getY/getO/getE,
     # /root/reference/src/harmony.cpp:672-709). Y/O/E are tiny driver

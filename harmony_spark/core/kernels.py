@@ -314,6 +314,29 @@ def make_assignment_kernel(bc, code_cols: list[str], offsets: list[int]) -> Call
     return kernel
 
 
+def make_transform_kernel(bc, code_cols: list[str], offsets: list[int]) -> Callable:
+    """Model inference for unseen cells: zn = normalize(z), assign
+    against the frozen state, subtract the frozen batch effect."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st = bc.value
+        W_all = st["W_all"]
+        rs = st["r_state"]
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            z = _stack(pdf["z_orig"])
+            gcodes = _codes_matrix(pdf, code_cols, offsets)
+            zn = _normalize_rows(z)
+            R, _ = _apply_state(zn, gcodes, rs)
+            zc = _correction(z, R, gcodes, W_all)
+            out = pdf[["cell_id", *code_cols]].copy()
+            out["z_corr"] = list(zc.astype(F32))
+            yield out
+
+    return kernel
+
+
 def make_correct_kernel(
     bc, code_cols: list[str], offsets: list[int], feature_col: str = "z_orig"
 ) -> Callable:

@@ -101,3 +101,43 @@ def test_stream_static_join(spark, sf_dir):
     ).count()
     assert bad == 0
     user_dim.unpersist()
+
+
+def test_streaming_harmony_inference(spark, sf_dir):
+    """Fit harmony once, then fold new cells in via transform() — the
+    streaming micro-batch path must produce exactly the batch-transform
+    result for the same rows."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from harmony_spark.core.algorithm import HarmonySpark
+    from harmony_spark.io import table
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("string").alias("label")
+    )
+    model = HarmonySpark(
+        e, ["label"], features_col="embedding", id_col="vec_id",
+        nclust=5, max_iter=1, lamb=1.0, seed=42,
+    )
+    model.run().count()
+
+    batch_out = {
+        r["cell_id"]: r["z_corr"]
+        for r in model.transform(e, features_col="embedding", id_col="vec_id").collect()
+    }
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .select("vec_id", "embedding", F.col("label").cast("string").alias("label"))
+    )
+    stream_corrected = model.transform(stream, features_col="embedding", id_col="vec_id")
+    got = run_stream(stream_corrected, spark, "t_harmony_infer", "append")
+    stream_out = {r["cell_id"]: r["z_corr"] for r in got.collect()}
+
+    assert set(stream_out) == set(batch_out)
+    for k in batch_out:
+        np.testing.assert_allclose(stream_out[k], batch_out[k], atol=1e-6)
