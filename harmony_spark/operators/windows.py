@@ -68,3 +68,83 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
     return first100.select(
         "o_orderkey", F.round(F.avg("o_totalprice").over(w), 6).alias("w3")
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q59_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="Explicit GROUPING SETS (completes rollup/cube/sets next to "
+    "q15/q50); via the SQL-text path.",
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@register(
+    "q60_window_analytics",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               LEAD(o_totalprice) OVER w AS next_price,
+               ROUND(FIRST_VALUE(o_totalprice) OVER w, 6) AS first_price,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey LIMIT 100
+    """,
+    doc="Analytic window functions: lead / first_value / ntile over a "
+    "per-customer time ordering.",
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        table(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.round(F.first("o_totalprice").over(w), 6).alias("first_price"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q61_range_frame",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_similar
+        FROM orders ORDER BY o_custkey, o_orderkey LIMIT 100
+    """,
+    doc="Value-based RANGE window frame: per customer, how many of their "
+    "orders are within 1000 below this order's price (peer rows "
+    "included, deterministic under ties).",
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return (
+        table(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.count("*").over(w).cast("long").alias("n_similar"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(100)
+    )
