@@ -369,3 +369,41 @@ def test_spark_blocked_estep_matches_numpy(spark, spark_fixture_df):
         np.asarray(model.objective_kmeans), np.asarray(h.objective_kmeans), rtol=2e-3
     )
     np.testing.assert_allclose(Zs, h.Z_corr, rtol=3e-3, atol=3e-3)
+
+
+def test_c5_support_filter_active_cross_oracle(spark, spark_fixture_df):
+    """Force the batch-support filter (C5) to actually drop batches
+    (aggressive cutoff) and verify Spark still matches the NumPy oracle
+    — the subtle path where cells of dropped batches are excluded from
+    both the regression and the correction."""
+    from harmony_spark.core.algorithm import HarmonySpark
+    from harmony_spark.core.params import HarmonyOptions
+
+    df, Z, blob, batch = spark_fixture_df
+    opts = HarmonyOptions(batch_prop_cutoff=0.15)
+    model = HarmonySpark(
+        df, ["batch"], id_col="cell_id", theta=1.0, sigma=0.1, lamb=1.0,
+        nclust=12, max_iter=2, seed=7, options=opts,
+    )
+    out = model.run().orderBy("cell_id").collect()
+    Zs = np.stack([r["z_corr"] for r in out])
+
+    p = resolve(Z, batch, 3, theta=1.0, nclust=12, max_iter=2, seed=7,
+                options=HarmonyOptions(batch_prop_cutoff=0.15))
+    h = run_harmony_numpy(Z, batch[:, None], p, mode="batch")
+    # sanity: the cutoff actually dropped something somewhere
+    avg_R = h.O / p.N_b[None, :]
+    assert (avg_R <= 0.15).any(), "cutoff never fired; fixture too uniform"
+    np.testing.assert_allclose(Zs, h.Z_corr, rtol=3e-3, atol=3e-3)
+
+
+def test_theta_zero_is_neutral_penalty():
+    """theta=0 makes the diversity multiplier constant per cell, so the
+    batch E-step equals the penalty-free assignment exactly."""
+    Z, blob, batch = make_fixture(n=200)
+    p = resolve(Z, batch, 3, theta=0.0, nclust=8, max_iter=1)
+    h = HarmonyNumpy(Z, batch[:, None], p, mode="batch")
+    h.init_cluster()
+    R_plain = h.R.copy()
+    h._update_R_batch()
+    np.testing.assert_allclose(h.R, R_plain, atol=1e-5)
