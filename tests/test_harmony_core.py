@@ -407,3 +407,20 @@ def test_theta_zero_is_neutral_penalty():
     R_plain = h.R.copy()
     h._update_R_batch()
     np.testing.assert_allclose(h.R, R_plain, atol=1e-5)
+
+
+def test_matrix_api_orientation_inference(spark):
+    """S1/S2 port: run_harmony_matrices accepts cells-as-rows OR
+    cells-as-columns (dimension matched against metadata length) and a
+    bare metadata vector."""
+    from harmony_spark.api import run_harmony_matrices
+
+    Z, blob, batch = make_fixture(n=120)
+    meta = [f"b{b}" for b in batch]
+    kw = dict(theta=1.0, lamb=1.0, nclust=6, max_iter=1, seed=3)
+    out_rows = run_harmony_matrices(spark, Z, meta, **kw)
+    out_cols = run_harmony_matrices(spark, Z.T, meta, **kw)
+    assert out_rows.shape == Z.shape
+    np.testing.assert_allclose(out_rows, out_cols, atol=1e-6)
+    with pytest.raises(ValueError, match="number of labels"):
+        run_harmony_matrices(spark, Z[:50], meta, **kw)
