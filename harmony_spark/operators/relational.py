@@ -858,3 +858,51 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@register(
+    "q62_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) AS med_qty,
+               ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p90_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (median / p90) per group — the "
+    "sort-based aggregate surface.",
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("med_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q63_statistical_aggs",
+    oracle="""
+        SELECT l_linestatus,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS qty_disc_cov,
+               ROUND(STDDEV_POP(l_tax), 6) AS tax_sd
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    doc="Statistical aggregates: Pearson correlation, sample covariance, "
+    "population stddev.",
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_cov"),
+            F.round(F.stddev_pop("l_tax"), 6).alias("tax_sd"),
+        )
+        .orderBy("l_linestatus")
+    )
