@@ -50,6 +50,42 @@ def harmony_correct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "harmony_correct_blocked",
+    oracle=None,
+    doc="Harmony with the distributed ONLINE blocked E-step (C3, "
+    "/root/reference/src/harmony.cpp:269-342): per block, subtract the "
+    "cached O/E contribution, reassign against the decremented penalty, "
+    "add back — one aggregation job per block. Cross-checked against "
+    "the NumPy blocked-hash oracle in tests.",
+)
+def harmony_correct_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.core.algorithm import HarmonySpark
+
+    e = table(spark, sf, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("string").alias("label")
+    )
+    model = HarmonySpark(
+        e,
+        ["label"],
+        features_col="embedding",
+        id_col="vec_id",
+        nclust=5,
+        max_iter=2,
+        lamb=1.0,
+        sigma=0.1,
+        seed=42,
+        estep_mode="blocked",
+        n_blocks=5,
+    )
+    out = model.run().persist()
+    out.count()
+    model.cleanup()
+    return out.select(
+        F.col("cell_id").alias("vec_id"), F.col("code_0").alias("batch_code"), "z_corr"
+    ).orderBy("vec_id")
+
+
+@register(
     "harmony_correct_2cov",
     oracle=None,
     doc="Two-covariate harmony (the test_two_variable.R configuration "
