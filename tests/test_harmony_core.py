@@ -424,3 +424,21 @@ def test_matrix_api_orientation_inference(spark):
     np.testing.assert_allclose(out_rows, out_cols, atol=1e-6)
     with pytest.raises(ValueError, match="number of labels"):
         run_harmony_matrices(spark, Z[:50], meta, **kw)
+
+
+def test_single_level_covariate_degenerates_gracefully(spark):
+    """A covariate with ONE level carries no batch information: C5 finds
+    <2 qualifying levels, every cluster's correction is skipped, and the
+    output equals the input embedding (no crash, no NaNs)."""
+    from harmony_spark.core.algorithm import HarmonySpark
+
+    Z, blob, batch = make_fixture(n=80)
+    rows = [(int(i), [float(x) for x in Z[i]], "only") for i in range(Z.shape[0])]
+    df = spark.createDataFrame(rows, "cell_id long, features array<float>, batch string")
+    model = HarmonySpark(
+        df, ["batch"], id_col="cell_id", theta=1.0, lamb=1.0,
+        nclust=5, max_iter=1, seed=3,
+    )
+    out = model.run().orderBy("cell_id").collect()
+    Zs = np.stack([r["z_corr"] for r in out])
+    np.testing.assert_allclose(Zs, Z, atol=1e-5)
