@@ -442,3 +442,30 @@ def test_single_level_covariate_degenerates_gracefully(spark):
     out = model.run().orderBy("cell_id").collect()
     Zs = np.stack([r["z_corr"] for r in out])
     np.testing.assert_allclose(Zs, Z, atol=1e-5)
+
+
+def test_counts_to_harmony_pipeline(spark, sf_dir):
+    """Full reference user workflow on testdata: sparse counts -> scale
+    (P2) -> MLlib PCA -> harmony. lineitem reinterpreted as a counts
+    matrix (cell=order, gene=part), orders metadata as covariates."""
+    from harmony_spark.core.pipeline import harmonize_expression
+    from harmony_spark.io import table
+    import pyspark.sql.functions as F
+
+    coo = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("cell_id"),
+        (F.dense_rank().over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("l_partkey")) - 1).alias("gene_id"),
+        F.col("l_quantity").alias("value"),
+    )
+    meta = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("cell_id"), F.col("o_orderpriority").alias("prio")
+    )
+    out = harmonize_expression(
+        coo, meta, ["prio"], n_pcs=5, nclust=4, max_iter=1, lamb=1.0, seed=11
+    )
+    rows = out.collect()
+    import numpy as np
+    Z = np.stack([r["z_corr"] for r in rows])
+    assert Z.shape[1] == 5
+    assert Z.shape[0] == coo.select("cell_id").distinct().count()
+    assert np.isfinite(Z).all()
