@@ -1,28 +1,31 @@
 """The harmony algorithm as a Spark driver loop.
 
 Architecture (SURVEY.md §3.4, §7): the cells live in a persisted
-DataFrame ``(cell_id, z_orig ARRAY<FLOAT>, code_<i> INT, zn, r)``;
-all O(K·B)/O(B³) state (Y, O, E, W, λ, θ, σ) lives on the driver as
-NumPy and is broadcast each pass. Every reference C++ call becomes one
-or two narrow mapInPandas passes over the cached DataFrame plus a tiny
-partial-aggregate collect — the N-sized data never moves to the driver
-and never shuffles.
+DataFrame ``(cell_id, z_orig ARRAY<FLOAT>, code_<i> INT, zn)``; all
+O(K·B)/O(B³) state (Y, O, E, W, λ, θ, σ) lives on the driver as NumPy
+and is broadcast each pass. The soft assignment R is NEVER materialized
+— it is a pure function of (zn, Y, O_prev, E_prev), described by
+``self._r_state`` and recomputed inside whichever kernel needs it. The
+N-sized data never moves to the driver and never shuffles.
 
 Per harmony round (reference lifecycle R/utils.R:15-46):
-  cold-start pass (src/harmony.cpp:214-228)  -> new zn, penalty-free r
-  accumulate pass                            -> O, E, objective
-  x max_iter_cluster:  E-step pass (:318-323) + accumulate pass
-  moe partials pass (:561-609)               -> per-combo Gram/RHS sums
+  cold-start pass (src/harmony.cpp:214-228) — the ONE row-writing job:
+    apply previous correction, normalize -> zn, fused O/E/objective
+    partials (tag rows);
+  x max_iter_cluster E-steps (:318-323) — aggregation-only jobs:
+    * ``estep_mode="batch"``: one job, full-batch fixed point;
+    * ``estep_mode="blocked"``: the reference's online update (C3),
+      one job per block — driver subtracts the block's cached O/E
+      contribution, the job reassigns it against the decremented
+      penalty, the new contribution is added back;
+  moe partials pass (:561-609)  -> per-combo Gram/RHS sums;
   driver: C5 support filter (:350-402), λ auto (M8), K ridge solves
-  (M6), centroid update (M3)                 -> broadcast W_all
-convergence: window-3 cluster check + harmony check (:173-205), driver
-floats.
-
-E-step mode: full-batch EM (the reference's sequential 5%-block online
-update C3 serializes ~20 dependent jobs per E-step; the batch fixed
-point is the scale-correct Spark form — SURVEY.md §7.5. The blocked
-semantics live in the NumPy cross-oracle, numpy_ref.py, and the tests
-verify both modes satisfy the reference's invariants).
+  (M6), centroid update (M3)    -> W_all for the next round.
+Convergence: window-3 cluster check + harmony check (:173-205), driver
+floats. Both E-step modes are pinned to the NumPy cross-oracle
+(numpy_ref.py) by allclose tests; ``run_harmony(mode="blocked-local")``
+additionally offers the literal RNG-shuffled reference semantics for
+single-node-sized data.
 """
 
 from __future__ import annotations

@@ -5,15 +5,18 @@ reproduces the C++ math of /root/reference/src/harmony.cpp step by step
 (cells-as-rows orientation) and is used by the tests to pin the Spark
 engine's kernels to the reference semantics.
 
-Two E-step modes:
-  * ``blocked``  — the reference's sequential online update
-    (update_R, src/harmony.cpp:269-342): shuffle, 5% blocks, subtract
-    block from E/O, recompute block R with the diversity penalty, add
-    back.
-  * ``batch``    — full-batch EM: new R for all cells from the previous
-    iteration's O/E, then O/E recomputed. Same fixed-point family; this
-    is what the Spark engine runs (one distributed pass instead of ~20
-    sequential dependent jobs — SURVEY.md §7.5 trade-off).
+Three E-step modes:
+  * ``blocked``      — the reference's sequential online update
+    (update_R, src/harmony.cpp:269-342): RNG shuffle, 5% blocks,
+    subtract block from E/O, recompute block R with the diversity
+    penalty, add back.
+  * ``blocked-hash`` — the same online update with the Spark engine's
+    deterministic arithmetic block assignment (fixed within a round);
+    the exact mirror of HarmonySpark(estep_mode='blocked') for
+    cross-checking.
+  * ``batch``        — full-batch EM: new R for all cells from the
+    previous iteration's O/E, then O/E recomputed. Same fixed-point
+    family; the Spark engine's default (SURVEY.md §7.5 trade-off).
 """
 
 from __future__ import annotations
