@@ -38,7 +38,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts(events: DataFrame, size: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
