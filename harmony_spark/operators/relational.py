@@ -906,3 +906,29 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "q64_json_typed",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Typed JSON parsing: from_json with an explicit schema (vs the "
+    "path extraction of q26) — struct field access, aggregated.",
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    ev = table_parallel(spark, sf, "events")
+    k = F.from_json("props", "k INT")["k"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).cast("long").alias("k_sum"),
+            F.max(k).cast("int").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
