@@ -2,7 +2,12 @@
 
 AQE's skew-join splitting handles most skew at runtime
 (spark.sql.adaptive.skewJoin, on in harmony_spark.session); these are
-the explicit tools for the cases AQE can't fix:
+the explicit tools for the cases AQE can't fix. Measured guidance
+(PERFORMANCE.md): do NOT salt algebraic aggregates — Catalyst's
+map-side partial aggregation already collapses a hot key per mapper and
+salting only adds a shuffle stage; salt when the operator has no
+map-side combine (joins on the probe side, collect_list/exact-distinct
+aggregates) and AQE cannot split the key further:
 
   * salted_aggregate — a hot grouping key overwhelms one reducer even
     with AQE (skew is in the AGG, not a join). Two-stage: salt the key,
