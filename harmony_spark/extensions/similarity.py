@@ -134,28 +134,31 @@ def _bucket_sql() -> str:
     return " || ".join(bits)
 
 
+_MAX_DIM = 128
+
+
+def _plane_signs(j: int, n: int = _MAX_DIM) -> list[float]:
+    """The md5-derived hyperplane signs depend only on (plane, index),
+    so they are precomputed driver-side — the executor does pure
+    arithmetic, zero runtime hashing (the DuckDB oracle still computes
+    its md5s and gets identical signs)."""
+    import hashlib
+
+    return [
+        1.0 if hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0] >= "8" else -1.0
+        for i in range(n)
+    ]
+
+
 def _bucket_spark() -> Column:
-    def signed_term(j: int):
-        def f(x, i):
-            return F.when(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.lit(str(j)), i.cast("string")).cast("binary")),
-                    1,
-                    1,
-                )
-                >= "8",
-                x.cast("double"),
-            ).otherwise(-x.cast("double"))
-
-        return f
-
     bits = []
     for j in range(N_PLANES):
+        signs = F.array(*[F.lit(s) for s in _plane_signs(j)])
         proj = F.aggregate(
             F.zip_with(
                 "embedding",
-                F.sequence(F.lit(0), F.size("embedding") - 1),
-                signed_term(j),
+                F.slice(signs, 1, F.size("embedding")),
+                lambda x, s: x.cast("double") * s,
             ),
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
