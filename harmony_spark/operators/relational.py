@@ -319,7 +319,7 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
     "q14_grouped_weighted_vector_sums",
     oracle="""
         SELECT l_returnflag,
-               ROUND(SUM(l_discount * l_extendedprice), 6) AS wz1,
+               ROUND(SUM(l_discount * l_extendedprice), 2) AS wz1,
                ROUND(SUM(l_discount * l_quantity), 6) AS wz2
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -332,7 +332,7 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
         table(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.sum(F.col("l_discount") * F.col("l_extendedprice")), 6).alias("wz1"),
+            F.round(F.sum(F.col("l_discount") * F.col("l_extendedprice")), 2).alias("wz1"),
             F.round(F.sum(F.col("l_discount") * F.col("l_quantity")), 6).alias("wz2"),
         )
         .orderBy("l_returnflag")
@@ -751,9 +751,9 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 6) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 6) AS sum_base,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
                ROUND(AVG(l_quantity), 6) AS avg_qty,
                COUNT(*) AS n
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-12-01'
@@ -771,9 +771,9 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base"),
-            F.round(F.sum(disc), 6).alias("sum_disc"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(disc), 2).alias("sum_disc"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count("*").alias("n"),
         )
@@ -819,7 +819,7 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q58_local_supplier_volume",
     oracle="""
-        SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM customer JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -852,7 +852,7 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             )
         )
