@@ -70,7 +70,7 @@ def harmony_correct_blocked(spark: SparkSession, sf: str) -> DataFrame:
         features_col="embedding",
         id_col="vec_id",
         nclust=5,
-        max_iter=2,
+        max_iter=1,
         lamb=1.0,
         sigma=0.1,
         seed=42,

@@ -111,3 +111,33 @@ def test_ivf_ann_matches_bruteforce_neighbors(spark, sf_dir):
     for r in ivf:
         if (r["q_id"], r["c_id"]) in brute:
             assert abs(brute[(r["q_id"], r["c_id"])] - r["cos"]) < 1e-9
+
+
+def test_scale_expression_matches_dense_numpy(spark):
+    """P2 kernel vs a dense NumPy z-score on random sparse matrices:
+    implicit zeros included in mu/sd, clipping applied."""
+    import numpy as np
+    from harmony_spark.functions.preprocessing import scale_expression
+
+    rng = np.random.default_rng(5)
+    n_cells, n_genes = 40, 15
+    dense = np.zeros((n_genes, n_cells))
+    mask = rng.random((n_genes, n_cells)) < 0.25
+    dense[mask] = rng.exponential(50, size=mask.sum())
+    rows = [
+        (int(c), int(g), float(dense[g, c]))
+        for g in range(n_genes)
+        for c in range(n_cells)
+        if mask[g, c]
+    ]
+    coo = spark.createDataFrame(rows, "cell_id long, gene_id long, value double")
+    got = {
+        (r["cell_id"], r["gene_id"]): r["scaled"]
+        for r in scale_expression(coo, n_cells=n_cells).collect()
+    }
+    mu = dense.mean(axis=1)
+    sd = dense.std(axis=1, ddof=1)
+    want = np.clip((dense - mu[:, None]) / sd[:, None], -10, 10)
+    assert len(got) == len(rows)
+    for (c, g), v in got.items():
+        assert abs(v - want[g, c]) < 1e-9, (c, g, v, want[g, c])
