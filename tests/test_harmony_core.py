@@ -469,3 +469,17 @@ def test_counts_to_harmony_pipeline(spark, sf_dir):
     assert Z.shape[1] == 5
     assert Z.shape[0] == coo.select("cell_id").distinct().count()
     assert np.isfinite(Z).all()
+
+
+def test_early_stop_toggle():
+    """early_stop=False sets epsilon_harmony to -inf: the loop must run
+    all max_iter rounds (R/ui.R:137-141); with early_stop=True on an
+    immediately-converging fixture it stops sooner."""
+    Z, blob, batch = make_fixture(n=200)
+    p_off = resolve(Z, batch, 3, theta=1.0, nclust=8, max_iter=4, early_stop=False)
+    h_off = run_harmony_numpy(Z, batch[:, None], p_off, mode="batch")
+    assert len(h_off.kmeans_rounds) == 4  # never converges "early"
+
+    p_on = resolve(Z, batch, 3, theta=1.0, nclust=8, max_iter=4, early_stop=True)
+    h_on = run_harmony_numpy(Z, batch[:, None], p_on, mode="batch")
+    assert len(h_on.kmeans_rounds) <= 4
