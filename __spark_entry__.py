@@ -8,7 +8,15 @@ runs the flagship pipeline on sf0.001.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the package lives next to this file; make the import robust to the
+# driver loading this module by path from another working directory
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from pyspark.sql import DataFrame, SparkSession
 
