@@ -1,0 +1,292 @@
+"""Advanced operator surface: IVF ANN with deterministic centroids, as-of
+join, correlated scalar subqueries, and NTILE bucketing.
+
+These extend SURVEY.md §2.8/§2.10 beyond the declared corpus:
+
+* q65 — the IVF (inverted-file) ANN scale path made oracle-checkable by
+  fixing the coarse centroids to md5-derived unit vectors (same trick as
+  q38's LSH hyperplanes). At 100 TB: the centroid table broadcasts, the
+  assignment is one narrow pass over the corpus, and each query ranks only
+  ~probe/C of the data.
+* q66 — as-of join (most recent prior click per error event). Spark lacks
+  a native ASOF JOIN; the scalable implementation is the union+window
+  pattern — tag both streams, one shuffle on user_id, `last(ignorenulls)`
+  over an unbounded-preceding frame. That is O(n log n) per key and never
+  materializes the O(errors × clicks) range-join intermediate. The DuckDB
+  oracle uses its native ASOF LEFT JOIN — an independent implementation
+  path cross-checking the same semantics.
+* q67 — correlated scalar subquery (with empty-relation COALESCE
+  semantics); Catalyst decorrelates it to a left outer aggregate join.
+* q68 — NTILE decile bucketing with exact (min/max/count) per-bucket
+  stats.
+
+The harmony reference has no joins/subqueries at all (SURVEY.md §2.4);
+this is the general relational surface the engine exposes on top of the
+same Catalyst machinery the harmony core rides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from harmony_spark.io import table
+from harmony_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# q65 — IVF ANN with deterministic centroids
+# ---------------------------------------------------------------------------
+
+_IVF_C = 8  # coarse centroids
+_IVF_DIM = 64  # embeddings table dimension (TESTDATA.md)
+_IVF_PROBE = 2  # cells probed per query
+_IVF_K = 5  # results per query
+
+
+def _ivf_centroids() -> list[list[float]]:
+    """C unit-norm centroids with components derived from md5(c{j}:{i}) —
+    deterministic, engine-independent, embedded as literals on BOTH the
+    Spark and DuckDB sides so assignment arithmetic is identical."""
+    cents = []
+    for j in range(_IVF_C):
+        raw = [
+            int(hashlib.md5(f"c{j}:{i}".encode()).hexdigest()[:8], 16) / 2**31 - 1.0
+            for i in range(_IVF_DIM)
+        ]
+        n = math.sqrt(sum(x * x for x in raw))
+        cents.append([x / n for x in raw])
+    return cents
+
+
+def _dlit(x: float) -> str:
+    """A SQL double literal that parses bit-identically in DuckDB (which
+    otherwise reads bare decimal literals as DECIMAL): force scientific
+    notation, which both engines parse as DOUBLE."""
+    r = repr(x)
+    return r if "e" in r or "inf" in r or "nan" in r else r + "e0"
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _l2(col) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            col,
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def _ivf_oracle() -> str:
+    cent_rows = ",\n          ".join(
+        f"({j}, [{', '.join(_dlit(x) for x in c)}])"
+        for j, c in enumerate(_ivf_centroids())
+    )
+    return f"""
+        WITH cent(cid, centroid) AS (VALUES
+          {cent_rows}),
+        e AS (SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS n
+              FROM embeddings),
+        scored AS (
+          SELECT vec_id, embedding, n, cid,
+                 list_sum(list_transform(list_zip(embedding, centroid),
+                          p -> CAST(p[1] AS DOUBLE) * p[2])) / n AS score
+          FROM e, cent),
+        assigned AS (
+          SELECT vec_id, embedding, n, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS arn
+            FROM scored) t WHERE arn = 1),
+        probes AS (
+          SELECT vec_id AS q_id, embedding AS qe, n AS qn, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS arn
+            FROM scored WHERE vec_id < 3) t WHERE arn <= {_IVF_PROBE})
+        SELECT q_id, c_id, cos, CAST(rn AS BIGINT) AS rn FROM (
+          SELECT q_id, a.vec_id AS c_id,
+                 ROUND(list_sum(list_transform(list_zip(qe, a.embedding),
+                       p -> CAST(p[1] AS DOUBLE) * p[2])) / (qn * a.n), 6) AS cos,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY ROUND(list_sum(list_transform(list_zip(qe, a.embedding),
+                               p -> CAST(p[1] AS DOUBLE) * p[2])) / (qn * a.n), 6) DESC,
+                              a.vec_id) AS rn
+          FROM probes p JOIN assigned a USING (cid)
+          WHERE p.q_id <> a.vec_id) t
+        WHERE rn <= {_IVF_K} ORDER BY q_id, rn
+    """
+
+
+@register(
+    "q65_ivf_ann",
+    oracle=_ivf_oracle(),
+    doc="IVF ANN, fully oracle-checked: md5-derived deterministic coarse "
+    "centroids (broadcast), one narrow assignment pass, per-query ranking "
+    "restricted to the nearest `probe` cells. The 100 TB path: search "
+    "touches ~probe/C of the corpus instead of all of it.",
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    cents = _ivf_centroids()
+    centroids = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)], "cid int, centroid array<double>"
+    )
+    e = table(spark, sf, "embeddings").select(
+        "vec_id", "embedding", _l2("embedding").alias("n")
+    )
+    scored = e.join(F.broadcast(centroids)).withColumn(
+        "score", _dot("embedding", "centroid") / F.col("n")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cid"))
+    assigned = (
+        scored.withColumn("arn", F.row_number().over(w_assign))
+        .where(F.col("arn") == 1)
+        .select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"),
+            F.col("n").alias("cn"), "cid",
+        )
+    )
+    probes = (
+        scored.where(F.col("vec_id") < 3)
+        .withColumn("arn", F.row_number().over(w_assign))
+        .where(F.col("arn") <= _IVF_PROBE)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"),
+            F.col("n").alias("qn"), "cid",
+        )
+    )
+    cos = F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6)
+    w_rank = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        assigned.join(F.broadcast(probes), "cid")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("rn") <= _IVF_K)
+        .orderBy("q_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q66 — as-of join via union + window (scale path), vs native ASOF oracle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q66_asof_join",
+    oracle="""
+        SELECT e.event_id,
+               epoch_us(c.ts) AS click_us,
+               epoch_us(e.ts) - epoch_us(c.ts) AS lag_us
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+        ORDER BY e.event_id LIMIT 200
+    """,
+    doc="As-of join: most recent click at-or-before each error, per user. "
+    "Spark has no ASOF JOIN; the scale implementation is union+window "
+    "(tag streams, one shuffle on user_id, last(ignorenulls) over an "
+    "unbounded-preceding frame) — never materializes the errors x clicks "
+    "range-join intermediate. Oracle = DuckDB's native ASOF LEFT JOIN, an "
+    "independent implementation of the same semantics.",
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.lit(1).alias("tag"), "event_id",
+        F.lit(None).cast("long").alias("c_us"),
+    )
+    # Clicks sort before errors at equal ts (tag 0 < 1) => e.ts >= c.ts
+    # inclusive semantics, matching ASOF's >= bound.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(errors)
+        .withColumn("click_us", F.last("c_us", ignorenulls=True).over(w))
+        .where(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "click_us",
+            (F.unix_micros("ts") - F.col("click_us")).alias("lag_us"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q67 — correlated scalar subquery (Catalyst decorrelation)
+# ---------------------------------------------------------------------------
+
+_Q67_SQL = """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT COALESCE(MAX(o_totalprice), 0.0) / 20
+                       FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey LIMIT 100
+"""
+
+
+@register(
+    "q67_correlated_subquery",
+    oracle=_Q67_SQL,
+    doc="Correlated scalar subquery with empty-relation COALESCE semantics "
+    "(customers whose balance exceeds 5% of their max order). Catalyst "
+    "decorrelates to a left-outer aggregate join; MAX keeps the predicate "
+    "exact (order-independent) across engines.",
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    table(spark, sf, "customer").createOrReplaceTempView("customer")
+    table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q67_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q68 — NTILE bucketing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q68_ntile_deciles",
+    oracle="""
+        SELECT decile, COUNT(*) AS n,
+               ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+        FROM (SELECT o_totalprice,
+                     CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+              FROM orders) t
+        GROUP BY decile ORDER BY decile
+    """,
+    doc="NTILE(10) decile bucketing of order value with exact per-bucket "
+    "stats (count/min/max only — order-independent, no float-sum edge). "
+    "Global NTILE is a single-partition window at local scale; at 100 TB "
+    "the same statistic comes from approx_percentile boundaries + a "
+    "distributed bucket join (see tests/test_scale_utils.py).",
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        table(spark, sf, "orders")
+        .select("o_totalprice", F.ntile(10).over(w).cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )

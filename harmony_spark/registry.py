@@ -46,7 +46,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the registry."""
-    from harmony_spark.operators import relational, windows, streaming_batch  # noqa: F401
+    from harmony_spark.operators import advanced, relational, windows, streaming_batch  # noqa: F401
     from harmony_spark.extensions import dedup, multimodal, similarity, text_analysis  # noqa: F401
     from harmony_spark.functions import preprocessing  # noqa: F401
     from harmony_spark.core import queries as core_queries  # noqa: F401
