@@ -6,6 +6,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion (collect) so the measurement covers
 scan -> shuffle -> result, not just plan construction. A warmup query
 first absorbs JVM/codegen startup.
+
+Opt-in comparison mode: HARMONY_BENCH_DUCKDB=1 additionally times each
+query's oracle SQL in DuckDB on the same machine/files and appends
+"duckdb_queries"/"duckdb_total" keys (the driver contract keys are
+unchanged). This gives a single-node engine-vs-engine table: DuckDB is
+the fastest-practical single-node baseline, Spark is the one that keeps
+scaling past one node.
 """
 
 from __future__ import annotations
@@ -45,17 +52,42 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({nrows} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+
+    if os.environ.get("HARMONY_BENCH_DUCKDB"):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.sql("SELECT count(*) FROM lineitem").fetchall()  # warmup
+        dtimings: dict[str, float] = {}
+        dtotal = 0.0
+        for name in sorted(specs):
+            if specs[name].oracle is None:
+                continue
+            best = None
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                con.sql(specs[name].oracle).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            dtimings[name] = round(best, 3)
+            dtotal += best
+            print(f"# duckdb {name}: {best:.3f}s", file=sys.stderr)
+        out["duckdb_queries"] = dtimings
+        out["duckdb_total"] = round(dtotal, 3)
+
+    print(json.dumps(out))
     spark.stop()
 
 
