@@ -495,6 +495,12 @@ class HarmonySpark:
             self.cells0, with_prev_correction=False, push_objective=True, round_idx=0
         )
         self.objective_harmony.append(self.objective_kmeans[-1])
+        # cells0 (its own z_orig copy) is only a source for init + the
+        # round-0 pass; dropping it now halves the steady-state cache —
+        # at 1e9 cells x 64 dims that is ~256 GB of cluster memory back.
+        # (_cold_start_pass materialized `cells` eagerly, so nothing
+        # recomputes through this lineage.)
+        self.cells0.unpersist()
 
         for round_idx in range(p.max_iter):
             if round_idx > 0:
@@ -517,8 +523,17 @@ class HarmonySpark:
 
             if self._harmony_converged():
                 break
-            # truncate lineage between rounds
-            cells = self._swap_persist(cells.localCheckpoint(eager=True))
+            # truncate lineage between rounds. localCheckpoint already
+            # stores the partitions (MEMORY_AND_DISK) — persisting on top
+            # would hold a SECOND full copy, so track the checkpoint
+            # directly; the checkpoint blocks are released by the
+            # ContextCleaner once the next round's pass materializes and
+            # drops the reference.
+            ck = cells.localCheckpoint(eager=True)
+            if self._persisted is not None:
+                self._persisted.unpersist()
+                self._persisted = None
+            cells = ck
 
         # final correction materialization (M2)
         self._cells_final = cells
