@@ -1,0 +1,105 @@
+"""File-layout utilities: clustered (sorted) parquet writes for scan
+pruning at scale.
+
+At 100 TB the cheapest query is the one that never reads the data.
+Parquet stores min/max statistics per row group; Spark pushes
+predicates into the reader, which skips any row group whose stats
+exclude the predicate. That skipping is only effective if rows are
+*clustered* — a random layout gives every row group ~the full value
+range, so nothing is skippable. These helpers produce the layout:
+
+  * write_clustered — global range-partition on the cluster keys +
+    sort within partitions, then write. Every file owns a disjoint key
+    range and every row group within a file covers a narrow slice;
+    point/range predicates on the key then touch one file and a couple
+    of row groups. This is the open-source emulation of Z-order /
+    liquid clustering for the single-key-prefix case (for genuinely
+    multi-dimensional pruning, interleave the bits of two keys into a
+    computed `zorder_key` column and cluster on that).
+  * write_partitioned — directory-level partitioning (`partitionBy`):
+    Catalyst prunes entire directories at plan time (PartitionFilters)
+    before any file is opened. Use for low-cardinality keys (date,
+    tenant); high-cardinality keys belong in the row-group clustering.
+  * clustering_quality — measures the layout: reads parquet footers
+    (no data pages) and returns the average fraction of row groups a
+    random point-lookup on the key must scan. ~1.0 for a random
+    layout, ~1/num_row_groups for a perfect clustering. This is the
+    number a table-maintenance job would monitor to decide when to
+    re-cluster.
+
+The reference engine has no storage layer at all (in-memory matrices,
+/root/reference/src/harmony.h:50); this surface exists because a
+100 TB engine is mostly a storage-layout engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+) -> None:
+    """Range-partition on cluster_cols (global sort order across files),
+    sort within partitions (ordered row groups within each file), write
+    parquet. One shuffle — the same cost as any repartition — paid once
+    at write time, repaid on every subsequent selective scan."""
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Directory-partitioned write: plan-time pruning via PartitionFilters
+    (no file of a non-matching partition is even listed)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def clustering_quality(path: str, column: str) -> float:
+    """Average fraction of row groups a point lookup on `column` must
+    read, estimated from parquet footer min/max stats only.
+
+    For each observed distinct-range midpoint probe we count row groups
+    whose [min, max] contains it. Returns mean(matching/total); lower is
+    better (1.0 = every lookup scans everything)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    spans: list[tuple] = []  # (min, max) per row group
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        try:
+            ci = [meta.schema.column(i).name for i in range(meta.num_columns)].index(column)
+        except ValueError:
+            raise ValueError(f"column {column!r} not in {f}")
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or st.min is None:
+                return 1.0  # no stats -> nothing prunable
+            spans.append((st.min, st.max))
+    if not spans:
+        return 1.0
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    if hi == lo:
+        return 1.0
+    # probe at 64 evenly spaced points across the global range
+    probes = [lo + (hi - lo) * i / 63 for i in range(64)]
+    fracs = [
+        sum(1 for s in spans if s[0] <= p <= s[1]) / len(spans) for p in probes
+    ]
+    return sum(fracs) / len(fracs)

@@ -141,3 +141,54 @@ def test_scale_expression_matches_dense_numpy(spark):
     assert len(got) == len(rows)
     for (c, g), v in got.items():
         assert abs(v - want[g, c]) < 1e-9, (c, g, v, want[g, c])
+
+
+# ---------------------------------------------------------------- layout
+
+
+def test_clustered_write_enables_rowgroup_pruning(spark, sf_dir, tmp_path):
+    """write_clustered must produce near-disjoint row-group key ranges
+    (the property parquet min/max skipping needs), and the filtered read
+    must push the predicate to the scan."""
+    from harmony_spark.operators import layout
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    random_path = str(tmp_path / "events_random")
+    clustered_path = str(tmp_path / "events_clustered")
+    # adversarial baseline: shuffle rows randomly, several small row
+    # groups per file so spans exist to measure
+    ev.repartition(4).write.mode("overwrite").option(
+        "parquet.block.size", 64 * 1024
+    ).parquet(random_path)
+    layout.write_clustered(ev, clustered_path, ["user_id"], num_files=4)
+
+    q_random = layout.clustering_quality(random_path, "user_id")
+    q_clustered = layout.clustering_quality(clustered_path, "user_id")
+    # random layout: every row group spans ~the full user range
+    assert q_random > 0.8
+    # clustered: a point lookup touches a small fraction of row groups
+    assert q_clustered < 0.5
+    assert q_clustered < q_random / 2
+
+    got = spark.read.parquet(clustered_path).where(F.col("user_id") == 7)
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)" in _plan(got)
+    want = ev.where(F.col("user_id") == 7)
+    assert sorted(r["event_id"] for r in got.collect()) == sorted(
+        r["event_id"] for r in want.collect()
+    )
+
+
+def test_partitioned_write_plans_partition_filters(spark, sf_dir, tmp_path):
+    """Directory partitioning must prune at plan time (PartitionFilters),
+    before any file is read."""
+    from harmony_spark.operators import layout
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = str(tmp_path / "events_bytype")
+    layout.write_partitioned(ev, path, ["event_type"])
+
+    got = spark.read.parquet(path).where(F.col("event_type") == "click")
+    plan = _plan(got)
+    assert "PartitionFilters" in plan and "event_type" in plan
+    n_click = ev.where(F.col("event_type") == "click").count()
+    assert got.count() == n_click
