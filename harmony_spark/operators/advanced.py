@@ -290,3 +290,126 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q69 — LATERAL (correlated table subquery) top-k join
+# ---------------------------------------------------------------------------
+
+_Q69_SQL = """
+    SELECT c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS price
+    FROM customer, LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                            WHERE o_custkey = c_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c_custkey < 50
+    ORDER BY c_custkey, price DESC, o_orderkey
+"""
+
+
+@register(
+    "q69_lateral_topk",
+    oracle=_Q69_SQL,
+    doc="LATERAL correlated table subquery (top-2 orders per customer). "
+    "Catalyst plans the decorrelated form — a ranking window over the "
+    "join — so the per-key LIMIT never executes as N driver queries; "
+    "DuckDB runs its native LATERAL. Independent plans, same semantics.",
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    table(spark, sf, "customer").createOrReplaceTempView("customer")
+    table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q69_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q70 — array unnest with position -> per-dimension statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q70_dim_stats",
+    oracle="""
+        SELECT CAST(i AS BIGINT) AS dim,
+               ROUND(AVG(CAST(x AS DOUBLE)), 6) AS mu,
+               ROUND(MIN(CAST(x AS DOUBLE)), 6) AS lo,
+               ROUND(MAX(CAST(x AS DOUBLE)), 6) AS hi
+        FROM (SELECT UNNEST(embedding) AS x, generate_subscripts(embedding, 1) AS i
+              FROM embeddings) t
+        GROUP BY i ORDER BY dim
+    """,
+    doc="Per-dimension statistics of the embedding column via positional "
+    "unnest (posexplode) — the A7 stddev-sink shape generalized to array "
+    "columns. One explode + hash agg on 64 keys; the 100 TB plan is a "
+    "partial agg per partition, 64-row shuffle.",
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "embeddings")
+        .select(F.posexplode("embedding").alias("pos", "x"))
+        .select((F.col("pos") + 1).cast("long").alias("dim"), F.col("x").cast("double").alias("x"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mu"),
+            F.round(F.min("x"), 6).alias("lo"),
+            F.round(F.max("x"), 6).alias("hi"),
+        )
+        .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71 — UNPIVOT / stack
+# ---------------------------------------------------------------------------
+
+_Q71_SQL = """
+    SELECT l_orderkey, l_linenumber, metric, ROUND(val, 6) AS val
+    FROM lineitem UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber, metric
+"""
+
+
+@register(
+    "q71_unpivot",
+    oracle=_Q71_SQL,
+    doc="UNPIVOT (wide->long reshape) of three measure columns — the "
+    "relational inverse of q48's pivot. Both engines run their native "
+    "UNPIVOT; a narrow 3x row expansion, no shuffle before the sort.",
+)
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q71_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q72 — deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q72_hash_sample",
+    oracle="""
+        SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 6) AS q,
+               ROUND(AVG(l_discount), 6) AS d
+        FROM lineitem
+        WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                         || CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    doc="Deterministic ~1/8 hash sample (md5 of the row key) — the "
+    "reproducible dev-subset pattern for 100 TB tables: the same rows "
+    "are selected on every engine and every run, unlike TABLESAMPLE. "
+    "The predicate is cheap, pushdown-safe arithmetic on two scanned "
+    "columns.",
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit(":"), F.col("l_linenumber").cast("string")
+    )
+    return (
+        table(spark, sf, "lineitem")
+        .where(F.substring(F.md5(key), 1, 1).isin("0", "1"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 6).alias("q"),
+            F.round(F.avg("l_discount"), 6).alias("d"),
+        )
+    )
