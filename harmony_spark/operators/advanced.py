@@ -135,33 +135,51 @@ def _ivf_oracle() -> str:
     "touches ~probe/C of the corpus instead of all of it.",
 )
 def q65(spark: SparkSession, sf: str) -> DataFrame:
-    cents = _ivf_centroids()
-    centroids = spark.createDataFrame(
-        [(j, c) for j, c in enumerate(cents)], "cid int, centroid array<double>"
+    # Assignment is ROW-LOCAL: the centroid matrix is a literal array
+    # column, the per-row scores a transform() over it, the cell id an
+    # argmax — no join and no window for the full-corpus pass (the
+    # oracle's ROW_NUMBER-over-score spelling picks the same cell:
+    # array_position takes the FIRST max, i.e. the lowest cid on ties).
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in _ivf_centroids()])
+    scores = F.transform(
+        cent_arr, lambda c: _dot("embedding", c) / F.col("n")
     )
-    e = table(spark, sf, "embeddings").select(
-        "vec_id", "embedding", _l2("embedding").alias("n")
+    e = (
+        table(spark, sf, "embeddings")
+        .select("vec_id", "embedding", _l2("embedding").alias("n"))
+        .withColumn("scores", scores)
     )
-    scored = e.join(F.broadcast(centroids)).withColumn(
-        "score", _dot("embedding", "centroid") / F.col("n")
+    assigned = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.col("n").alias("cn"),
+        (F.expr("array_position(scores, array_max(scores))") - 1).cast("int").alias("cid"),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cid"))
-    assigned = (
-        scored.withColumn("arn", F.row_number().over(w_assign))
-        .where(F.col("arn") == 1)
-        .select(
-            F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"),
-            F.col("n").alias("cn"), "cid",
+    # probes: the query's `_IVF_PROBE` best cells = cid order sorted by
+    # (score desc, cid) — an array_sort comparator, still row-local.
+    cid_seq = F.sequence(F.lit(0), F.lit(_IVF_C - 1))
+
+    def _by_score(a, b):
+        sa, sb = F.element_at("scores", a + 1), F.element_at("scores", b + 1)
+        return (
+            F.when(sa > sb, F.lit(-1))
+            .when(sa < sb, F.lit(1))
+            .when(a < b, F.lit(-1))
+            .when(a > b, F.lit(1))
+            .otherwise(F.lit(0))
         )
-    )
+
     probes = (
-        scored.where(F.col("vec_id") < 3)
-        .withColumn("arn", F.row_number().over(w_assign))
-        .where(F.col("arn") <= _IVF_PROBE)
+        e.where(F.col("vec_id") < 3)
         .select(
-            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"),
-            F.col("n").alias("qn"), "cid",
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.col("n").alias("qn"),
+            F.explode(
+                F.slice(F.array_sort(cid_seq, _by_score), 1, _IVF_PROBE)
+            ).alias("cid"),
         )
+        .withColumn("cid", F.col("cid").cast("int"))
     )
     cos = F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6)
     w_rank = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
