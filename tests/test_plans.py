@@ -88,3 +88,74 @@ def test_q35_join_keyed_on_band(spark, sf_dir):
 def test_whole_stage_codegen_on_relational_path(spark, sf_dir):
     plan = plan_of(load_all()["q13_grouped_weighted_sums"], spark, sf_dir, mode="codegen")
     assert "WholeStageCodegen" in plan
+
+
+# Queries where a nested-loop join IS the declared plan because one side
+# is provably tiny — a scalar/aggregate output or a fixed id window —
+# so the "nested loop" is really a broadcast of a handful of rows.
+_TINY_SIDE_NESTED_LOOP_OK = {
+    "q09_batch_priors",  # join vs the 1-row global count
+    "q12_expected_counts",  # cross join of two tiny aggregate outputs
+    "q31_pairwise_dot",  # vec_id < 5 window, inequality pairing
+    "q37_cosine_topk",  # inequality join vs 3 broadcast query vectors
+    "q45_embedding_neardup",  # vec_id < 150 exact-verification window
+    "q33_ngram_jaccard",  # doc_id-windowed token-set pairs
+}
+
+
+def test_no_unbounded_cartesian_anywhere(spark, sf_dir):
+    """Corpus-wide guardrail: no registered query may plan a cartesian /
+    nested-loop join whose BOTH sides grow with the data. Queries where
+    one side is a scalar aggregate or a fixed id window are exempt by
+    design (the nested loop touches O(corpus x constant) rows)."""
+    for name, spec in sorted(load_all().items()):
+        if name in _TINY_SIDE_NESTED_LOOP_OK or spec.oracle is None:
+            continue
+        plan = plan_of(spec, spark, sf_dir, mode="simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q68_decile_scale_path_matches_exact(spark, sf_dir):
+    """The NTILE decile query's 100 TB variant: approx_percentile
+    boundaries + a bucket expression (no global single-partition
+    window). Bucket counts must agree with exact NTILE within the
+    sketch's accuracy bound."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from harmony_spark.io import table
+
+    orders = table(spark, sf_dir, "orders")
+    n = orders.count()
+    # exact deciles (the oracle-checked q68 path)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    exact = {
+        r["decile"]: r["n"]
+        for r in orders.select(
+            F.ntile(10).over(w).alias("decile"), F.col("o_totalprice")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # scale path: distributed sketch boundaries, then a row-local bucket
+    bounds = orders.select(
+        F.percentile_approx(
+            "o_totalprice", [i / 10 for i in range(1, 10)], 10_000
+        ).alias("b")
+    ).first()["b"]
+    bucket = F.lit(1)
+    for b in bounds:
+        bucket = bucket + F.when(F.col("o_totalprice") > b, 1).otherwise(0)
+    approx = {
+        r["decile"]: r["n"]
+        for r in orders.select(bucket.alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(range(1, 11))
+    for d in range(1, 11):
+        # within 5% of N of the exact decile occupancy
+        assert abs(approx[d] - exact[d]) <= max(0.05 * n, 5), (d, approx[d], exact[d])
