@@ -227,6 +227,109 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The full (unlimited) LSH candidate-pair edge set of q35."""
+    sig = _minhash_sig_spark(table_parallel(spark, sf, "documents"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.md5(F.concat(F.col(f"mh_{2 * b}"), F.col(f"mh_{2 * b + 1}")).cast("binary")).alias("band"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc_id", F.col("bb.b").alias("b"), F.col("bb.band").alias("band")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+
+
+@register(
+    "q73_dedup_components",
+    oracle=f"""
+        WITH RECURSIVE sig AS ({_minhash_sig_sql()}),
+        bands AS (
+          SELECT doc_id, b, band FROM (
+            SELECT doc_id,
+                   UNNEST([0, 1, 2, 3]) AS b,
+                   UNNEST([md5(mh_0 || mh_1), md5(mh_2 || mh_3),
+                           md5(mh_4 || mh_5), md5(mh_6 || mh_7)]) AS band
+            FROM sig) x),
+        e AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id),
+        bi AS (SELECT da AS a, db AS b FROM e
+               UNION ALL SELECT db AS a, da AS b FROM e),
+        reach(a, b) AS (
+          SELECT a, b FROM bi
+          UNION
+          SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a),
+        cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+               FROM reach GROUP BY a)
+        SELECT cluster_id, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc
+        FROM cc GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    doc="Near-dup CLUSTERS: connected components of the LSH candidate "
+    "graph (q35's edges), the canonical keep-one-per-cluster dedup for "
+    "training corpora. Spark side is iterative min-label propagation "
+    "(one equi-join + agg per round, lineage truncated per iteration; "
+    "O(component diameter) rounds — at 100 TB swap in the large-star/"
+    "small-star round-compressed variant, same per-round plan). Oracle "
+    "is DuckDB's WITH RECURSIVE transitive closure — an independent "
+    "algorithm agreeing on the same partition of the graph.",
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    e = _lsh_pairs(spark, sf)
+    bi = e.select(F.col("da").alias("src"), F.col("db").alias("dst")).unionByName(
+        e.select(F.col("db").alias("src"), F.col("da").alias("dst"))
+    )
+    bi = bi.persist()
+    labels = (
+        bi.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(32):  # diameter bound; near-dup components are shallow
+        nbr = (
+            bi.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(F.sum("lbl")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # min-labels are monotone; fixpoint reached
+            break
+        prev_sum = new_sum
+    bi.unpersist()
+    return (
+        labels.groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc"))
+        .orderBy("cluster_id")
+    )
+
+
 def _simhash_expr_spark() -> Column:
     """16-bit SimHash as a bit string: bit j = sign of sum over distinct
     tokens of +-1 where the sign is the top bit of md5(j:token)."""

@@ -431,3 +431,65 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("d"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 — time-series gap fill + forward fill (hypertable rollup shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q74_gap_fill",
+    oracle="""
+        WITH hourly AS (
+          SELECT user_id, date_trunc('hour', ts) AS h, ROUND(SUM(value), 6) AS v
+          FROM events WHERE user_id < 5 GROUP BY user_id, date_trunc('hour', ts)),
+        spine AS (
+          SELECT user_id, UNNEST(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h
+          FROM (SELECT user_id, MIN(h) AS hmin, MAX(h) AS hmax
+                FROM hourly GROUP BY user_id) b),
+        joined AS (
+          SELECT s.user_id, s.h, hourly.v,
+                 CASE WHEN hourly.v IS NULL THEN 1 ELSE 0 END AS is_gap
+          FROM spine s LEFT JOIN hourly
+            ON s.user_id = hourly.user_id AND s.h = hourly.h)
+        SELECT user_id, h, CAST(is_gap AS INT) AS is_gap,
+               last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM joined ORDER BY user_id, h LIMIT 500
+    """,
+    doc="Hypertable-style gap fill: per-user hourly rollup, a generated "
+    "time spine (sequence + explode), LEFT JOIN, and forward fill via "
+    "last(ignorenulls) over an unbounded-preceding frame. Everything "
+    "stays partitioned by user_id — one shuffle for the rollup, one for "
+    "the window; the spine generation is row-local arithmetic.",
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").where(F.col("user_id") < 5)
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.round(F.sum("value"), 6).alias("v")
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(hmin, hmax, interval 1 hour)")).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left").select(
+        "user_id", "h", "v", F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_gap")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.select(
+            "user_id", "h", F.col("is_gap").cast("int").alias("is_gap"),
+            F.last("v", ignorenulls=True).over(w).alias("filled"),
+        )
+        .orderBy("user_id", "h")
+        .limit(500)
+    )
