@@ -254,9 +254,7 @@ def _lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "q73_dedup_components",
-    oracle=f"""
+_CC_ORACLE = f"""
         WITH RECURSIVE sig AS ({_minhash_sig_sql()}),
         bands AS (
           SELECT doc_id, b, band FROM (
@@ -279,7 +277,12 @@ def _lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
                FROM reach GROUP BY a)
         SELECT cluster_id, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc
         FROM cc GROUP BY cluster_id ORDER BY cluster_id
-    """,
+    """
+
+
+@register(
+    "q73_dedup_components",
+    oracle=_CC_ORACLE,
     doc="Near-dup CLUSTERS: connected components of the LSH candidate "
     "graph (q35's edges), the canonical keep-one-per-cluster dedup for "
     "training corpora. Spark side is iterative min-label propagation "
@@ -326,6 +329,27 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
     return (
         labels.groupBy(F.col("lbl").alias("cluster_id"))
         .agg(F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc"))
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "q75_dedup_components_star",
+    oracle=_CC_ORACLE,
+    doc="Same clustering as q73 but via the round-compressed alternating "
+    "large-star/small-star algorithm (operators/graph.py) — O(log n) "
+    "rounds regardless of component diameter, the variant that holds up "
+    "when near-dup chains get long at 100 TB. Checked against the same "
+    "WITH RECURSIVE transitive-closure oracle as q73, so the two Spark "
+    "algorithms and DuckDB's closure all agree on the partition.",
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.operators.graph import connected_components
+
+    labels = connected_components(_lsh_pairs(spark, sf), "da", "db")
+    return (
+        labels.groupBy(F.col("component").alias("cluster_id"))
+        .agg(F.count("*").alias("n_docs"), F.max("node").alias("max_doc"))
         .orderBy("cluster_id")
     )
 

@@ -1,0 +1,114 @@
+"""Round-compressed connected components: alternating large-star /
+small-star (Kiveris et al., "Connected Components in MapReduce and
+Beyond", ACM SoCC 2014 — the algorithm behind GraphFrames'
+connectedComponents).
+
+Why a second CC implementation: q73's min-label propagation
+(extensions/dedup.py) runs one join+agg round per *hop*, i.e.
+O(component diameter) rounds.  Near-dup clusters are usually shallow,
+but at 100 TB a single chain-shaped component (docs A~B~C~... via
+successive small edits) makes the round count unbounded.  The
+alternating-star algorithm contracts paths by pointer doubling and
+converges in O(log n) rounds regardless of diameter, with the same
+per-round physical plan (one shuffle for the groupBy-min, one shuffle
+for the join back — both on the node-id key, so AQE coalesces them).
+
+State between rounds is only the edge set; lineage is truncated with
+an eager localCheckpoint per round, so plan size stays constant no
+matter how many rounds run.  No driver-side state beyond a convergence
+checksum (2 scalars per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Orient every edge big->small, drop loops and duplicates."""
+    return (
+        e.select(
+            F.greatest("u", "v").alias("u"),
+            F.least("u", "v").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    # emitted (v, m) always has v > u >= m, so it is already canonical
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect u and all its smaller neighbors to their minimum."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    j = e.join(mins, "u")
+    out = j.select(F.col("u"), F.col("m").alias("v")).unionByName(
+        j.where(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    )
+    return out.distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Label every node that appears in ``edges`` with its component's
+    minimum node id.  Returns DataFrame[node, component].
+
+    Ids may be any orderable type (long, string).  Isolated nodes don't
+    appear in an edge list and so are absent — same contract as q73.
+    ``stats['rounds']`` reports the number of star rounds if a dict is
+    passed (used by tests to pin the O(log n) behavior).
+    """
+    e = _canon(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
+
+    prev = None
+    rounds = 0
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        # set fingerprint of the (distinct) edge set; equal => fixpoint
+        # (bit_xor, not sum: ANSI mode makes sum overflow on 64-bit hashes)
+        cur = e2.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        e = e2
+        if prev is not None and (cur["n"], cur["h"]) == prev:
+            break
+        prev = (cur["n"], cur["h"])
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # at the fixpoint the edge set is a star forest: (node, root) with
+    # node > root; roots only ever appear on the v side
+    non_roots = e.groupBy("u").agg(F.min("v").alias("component"))
+    roots = (
+        e.select("v")
+        .distinct()
+        .join(non_roots.select("u").withColumnRenamed("u", "v"), "v", "left_anti")
+        .select(F.col("v").alias("u"), F.col("v").alias("component"))
+    )
+    return non_roots.unionByName(roots).withColumnRenamed("u", "node")
