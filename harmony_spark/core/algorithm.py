@@ -578,6 +578,28 @@ class HarmonySpark:
             kernel, schema=f"cell_id long, {codes}, z_corr array<float>"
         )
 
+    def assign(self, df: DataFrame, features_col: str = "features", id_col: str = "cell_id") -> DataFrame:
+        """Soft-assign NEW cells against the frozen model without
+        correcting them: (cell_id, codes, r ARRAY<FLOAT>). The input to
+        monitoring statistics (streaming/drift.py) — works on batch and
+        streaming DataFrames alike."""
+        if self.W_all is None:
+            raise RuntimeError("run() must complete before assign()")
+        cells = df.select(
+            F.col(id_col).cast("long").alias("cell_id"),
+            F.col(features_col).cast("array<float>").alias("z_orig"),
+            *[self._level_code(v, i) for i, v in enumerate(self.vars_use)],
+        )
+        rs = self._r_state
+        if rs.get("blocked"):
+            rs = rs["states"][-1]
+        bc = self._broadcast(W_all=self.W_all, r_state=rs)
+        kernel = kernels.make_infer_assignment_kernel(bc, self.code_cols, self.p.offsets)
+        codes = ", ".join(f"{c} int" for c in self.code_cols)
+        return cells.mapInPandas(
+            kernel, schema=f"cell_id long, {codes}, r array<float>"
+        )
+
     # ------------------------------------------------------- model getters
     # Parity with the reference's Rcpp getters (getR/getY/getO/getE,
     # /root/reference/src/harmony.cpp:672-709). Y/O/E are tiny driver

@@ -314,6 +314,30 @@ def make_assignment_kernel(bc, code_cols: list[str], offsets: list[int]) -> Call
     return kernel
 
 
+def make_infer_assignment_kernel(bc, code_cols: list[str], offsets: list[int]) -> Callable:
+    """Soft cluster assignment for unseen cells (the monitoring path):
+    zn = normalize(z_orig), R from the frozen assignment state — the
+    first half of make_transform_kernel without the correction. Emits
+    (cell_id, codes, r) so downstream drift statistics stay aggregation-
+    only over tiny (K,) vectors."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st = bc.value
+        rs = st["r_state"]
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            z = _stack(pdf["z_orig"])
+            gcodes = _codes_matrix(pdf, code_cols, offsets)
+            zn = _normalize_rows(z)
+            R, _ = _apply_state(zn, gcodes, rs)
+            out = pdf[["cell_id", *code_cols]].copy()
+            out["r"] = list(R.astype(F32))
+            yield out
+
+    return kernel
+
+
 def make_transform_kernel(bc, code_cols: list[str], offsets: list[int]) -> Callable:
     """Model inference for unseen cells: zn = normalize(z), assign
     against the frozen state, subtract the frozen batch effect."""

@@ -128,3 +128,49 @@ def harmony_correct_2cov(spark: SparkSession, sf: str) -> DataFrame:
         F.col("code_1").alias("lang_code"),
         "z_corr",
     ).orderBy("vec_id")
+
+
+@register(
+    "harmony_stream_drift",
+    oracle=None,
+    doc="Streaming covariate-drift monitor (streaming/drift.py): fit on "
+    "the embeddings table, then re-stream the same cells through "
+    "applyInPandasWithState keeping running per-batch assignment mass "
+    "and a chi-square statistic vs the fit-time P(cluster|batch). "
+    "In-sample the stream must NOT drift; the statistic flags arriving "
+    "populations that stopped matching the frozen model (refit signal). "
+    "Non-SQL-expressible (stateful streaming) — rows-only check.",
+)
+def harmony_stream_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.core.algorithm import HarmonySpark
+    from harmony_spark.streaming.drift import drift_monitor
+
+    e = table(spark, sf, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("string").alias("label")
+    )
+    model = HarmonySpark(
+        e, ["label"], features_col="embedding", id_col="vec_id",
+        nclust=5, max_iter=1, lamb=1.0, seed=42,
+    )
+    model.run().count()
+
+    raw_schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf)
+        .select("vec_id", "embedding", F.col("label").cast("string").alias("label"))
+    )
+    mon = drift_monitor(model, stream, features_col="embedding", id_col="vec_id")
+    q = (
+        mon.writeStream.format("memory")
+        .queryName("harmony_stream_drift_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        "SELECT batch_code, n_cells, chi2, chi2_crit, drifted "
+        "FROM harmony_stream_drift_mem ORDER BY batch_code, n_cells"
+    )

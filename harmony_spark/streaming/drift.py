@@ -1,0 +1,93 @@
+"""Streaming covariate-drift monitor for a fitted harmony model.
+
+The fitted model's O matrix (K clusters x B batch levels, reference
+getter parity /root/reference/src/harmony.cpp:681-683) records how each
+batch distributed over clusters at fit time.  When new cells stream in,
+each micro-batch is soft-assigned against the frozen state
+(HarmonySpark.assign) and a per-batch running sum of assignment mass is
+kept in stream state; a chi-square statistic against the fit-time
+conditional distribution P(cluster | batch) flags batches whose new
+cells no longer look like their training population — the signal that
+the frozen correction (transform()) has gone stale and a refit is due.
+
+Scale shape: the per-cell work is one Arrow batch pass (mapInPandas);
+stream state per key is (long, K doubles) — a few hundred bytes per
+batch level regardless of row count, so a 1000-executor stream carries
+state proportional to |levels|, not |cells|.  The statistic is a
+monitoring heuristic (soft counts are not iid multinomial draws); the
+threshold is the Wilson-Hilferty normal approximation of the
+chi-square quantile, z_crit sigmas out, with no SciPy dependency.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def chi2_critical(df_free: int, z: float = 3.0) -> float:
+    """Wilson-Hilferty approximation of the chi-square(df) quantile at
+    z standard normal deviations (z=3 ~= 99.87th percentile)."""
+    c = 2.0 / (9.0 * df_free)
+    return df_free * (1.0 - c + z * c**0.5) ** 3
+
+
+def drift_monitor(
+    model,
+    new_cells: DataFrame,
+    features_col: str = "features",
+    id_col: str = "cell_id",
+    z_crit: float = 3.0,
+) -> DataFrame:
+    """Stateful stream: one row per (batch level, trigger) with the
+    running cell count, chi-square drift statistic vs the fit-time
+    cluster mix, and a drifted flag.  ``new_cells`` must be a streaming
+    DataFrame; drift is tracked on the model's FIRST covariate (the
+    batch variable, offset 0 into O's columns)."""
+    assigned = model.assign(new_cells, features_col=features_col, id_col=id_col)
+    key_col = model.code_cols[0]
+
+    O = model.get_O()  # (K, B) — tiny; captured into the closure
+    K = O.shape[0]
+    col_mass = O.sum(axis=0)
+    marginal = O.sum(axis=1) / max(float(O.sum()), 1e-12)
+    # fit-time P(cluster | batch); unseen/empty levels fall back to the
+    # marginal mix so they still produce a (large) finite statistic
+    cond = np.where(col_mass > 0, O / np.maximum(col_mass, 1e-12), marginal[:, None])
+    crit = chi2_critical(K - 1, z_crit)
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        b = int(key[0])
+        n, sums = state.get if state.exists else (0, [0.0] * K)
+        s = np.asarray(sums, dtype=np.float64)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            R = np.stack(pdf["r"].to_numpy())
+            n += len(pdf)
+            s += R.sum(axis=0, dtype=np.float64)
+        state.update((int(n), [float(x) for x in s]))
+        p0 = cond[:, b] if 0 <= b < cond.shape[1] else marginal
+        q = s / max(n, 1)
+        chi2 = float(n * np.sum((q - p0) ** 2 / np.maximum(p0, 1e-12)))
+        yield pd.DataFrame(
+            {
+                "batch_code": [b],
+                "n_cells": [int(n)],
+                "chi2": [round(chi2, 6)],
+                "chi2_crit": [round(crit, 6)],
+                "drifted": [bool(chi2 > crit)],
+            }
+        )
+
+    return assigned.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType="batch_code int, n_cells long, chi2 double, chi2_crit double, drifted boolean",
+        stateStructType="n long, sums array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -141,3 +141,57 @@ def test_streaming_harmony_inference(spark, sf_dir):
     assert set(stream_out) == set(batch_out)
     for k in batch_out:
         np.testing.assert_allclose(stream_out[k], batch_out[k], atol=1e-6)
+
+
+def test_drift_monitor_stateful_across_triggers(spark, sf_dir, tmp_path):
+    """Fit once, then stream (a) the training cells split over 3 files /
+    3 triggers — state must accumulate across triggers and nothing may
+    drift — and (b) a shifted copy — every batch must flag."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from harmony_spark.core.algorithm import HarmonySpark
+    from harmony_spark.io import table
+    from harmony_spark.streaming.drift import drift_monitor
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("string").alias("label")
+    )
+    model = HarmonySpark(
+        e, ["label"], features_col="embedding", id_col="vec_id",
+        nclust=5, max_iter=1, lamb=1.0, seed=42,
+    )
+    model.run().count()
+    batch_sizes = {r["label"]: r["n"] for r in e.groupBy("label").agg(F.count("*").alias("n")).collect()}
+
+    insample_dir = str(tmp_path / "insample")
+    e.repartition(3).write.parquet(insample_dir)
+    shifted_dir = str(tmp_path / "shifted")
+    e.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x + F.lit(0.5)).cast("array<float>"),
+    ).write.parquet(shifted_dir)
+
+    def run_drift(path, name, max_files=None):
+        reader = spark.readStream.schema(e.schema)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        stream = reader.parquet(path)
+        mon = drift_monitor(model, stream, features_col="embedding", id_col="vec_id")
+        return run_stream(mon, spark, name, "update").collect()
+
+    rows = run_drift(insample_dir, "t_drift_in", max_files=1)
+    # state crossed micro-batch boundaries: some key reported more than once
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["batch_code"], []).append(r["n_cells"])
+    assert max(len(v) for v in per_key.values()) > 1
+    # final running count per batch equals the true batch size
+    label_of = dict(enumerate(model.p.levels[0]))
+    for b, counts in per_key.items():
+        assert max(counts) == batch_sizes[label_of[b]]
+    assert not any(r["drifted"] for r in rows)
+    assert all(r["chi2"] < r["chi2_crit"] for r in rows)
+
+    rows = run_drift(shifted_dir, "t_drift_shift")
+    assert len(rows) == len(per_key)
+    assert all(r["drifted"] and r["chi2"] > r["chi2_crit"] for r in rows)
