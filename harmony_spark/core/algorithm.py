@@ -63,12 +63,14 @@ class HarmonySpark:
         init_method: str = "sample",
         estep_mode: str = "batch",
         n_blocks: int | None = None,
+        init_Y: "np.ndarray | None" = None,
     ):
         if init_method not in ("sample", "mllib"):
             raise ValueError("init_method must be 'sample' or 'mllib'")
         if estep_mode not in ("batch", "blocked"):
             raise ValueError("estep_mode must be 'batch' or 'blocked'")
         self.init_method = init_method
+        self._init_Y_arg = init_Y
         self.estep_mode = estep_mode
         self._n_blocks_arg = n_blocks
         self._block_contrib: list[np.ndarray] = []
@@ -112,6 +114,11 @@ class HarmonySpark:
             options=options,
             seed=seed,
         )
+
+        if init_Y is not None and np.shape(init_Y) != (self.p.d, self.p.K):
+            raise ValueError(
+                f"init_Y shape {np.shape(init_Y)} != (d={self.p.d}, K={self.p.K})"
+            )
 
         # ---- encode covariate levels to codes (Phi never materialized) ----
         cells = df.select(
@@ -364,8 +371,22 @@ class HarmonySpark:
         * ``mllib``: distributed ml.clustering.KMeans (k-means||) over
           the L2-normalized cells — the fully-distributed path for when
           even a 30k sample under-represents the data.
+
+        A caller-provided ``init_Y`` (warm start — typically
+        ``prev_model.get_Y()`` when new cells arrive and the corpus is
+        refit incrementally; the reference is refit-from-scratch-only)
+        overrides both: no sample collect, no kmeans, the loop starts
+        from the previous optimum and converges in fewer rounds.
         """
         p = self.p
+        if self._init_Y_arg is not None:
+            Y = np.asarray(self._init_Y_arg, dtype=F32)
+            if Y.shape != (p.d, p.K):
+                raise ValueError(
+                    f"init_Y shape {Y.shape} != (d={p.d}, K={p.K})"
+                )
+            self.Y = Y / np.maximum(np.linalg.norm(Y, axis=0, keepdims=True), 1e-12)
+            return
         if self.init_method == "mllib":
             from pyspark.ml.clustering import KMeans
             from pyspark.ml.functions import array_to_vector

@@ -483,3 +483,40 @@ def test_early_stop_toggle():
     p_on = resolve(Z, batch, 3, theta=1.0, nclust=8, max_iter=4, early_stop=True)
     h_on = run_harmony_numpy(Z, batch[:, None], p_on, mode="batch")
     assert len(h_on.kmeans_rounds) <= 4
+
+
+def test_warm_start_matches_cold_quality(spark, sf_dir):
+    """Incremental refit (extension; the reference is refit-only): when
+    new cells arrive, init_Y=prev.get_Y() must reach the cold-fit
+    objective within tolerance while skipping the init phase (no sample
+    collect / kmeans job — the init cost that matters at 1e9 cells)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from harmony_spark.core.algorithm import HarmonySpark
+    from harmony_spark.io import table
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("string").alias("label")
+    )
+    kw = dict(
+        features_col="embedding", id_col="vec_id",
+        nclust=5, max_iter=10, lamb=1.0, seed=42,
+    )
+    prev = HarmonySpark(e.where(F.col("vec_id") % 5 != 0), ["label"], **kw)
+    prev.run().count()
+
+    cold = HarmonySpark(e, ["label"], **kw)
+    cold.run().count()
+    warm = HarmonySpark(e, ["label"], init_Y=prev.get_Y(), **kw)
+    out = warm.run()
+    assert out.count() == e.count()
+
+    ratio = warm.objective_harmony[-1] / cold.objective_harmony[-1]
+    assert 0.97 < ratio < 1.03, ratio
+    # warm centroids remain unit-norm after the override
+    np.testing.assert_allclose(
+        np.linalg.norm(warm.get_Y(), axis=0), 1.0, atol=1e-5
+    )
+
+    with pytest.raises(ValueError, match="init_Y shape"):
+        HarmonySpark(e, ["label"], init_Y=prev.get_Y()[:, :3], **kw)
