@@ -91,3 +91,59 @@ def drift_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class DriftRefitController:
+    """Closes the monitoring loop: when the drift monitor flags the same
+    batch level for ``consecutive`` triggers in a row, invoke a refit
+    callback (typically a warm-started fit over base + staged cells,
+    ``HarmonySpark(..., init_Y=prev.get_Y())``) exactly once per drift
+    episode.
+
+    The controller consumes the TINY monitor output (one row per batch
+    level per trigger) through foreachBatch, so driver-side state is a
+    dict of small ints — nothing scales with cell count.  The refit
+    itself is the caller's batch job; the controller only decides WHEN.
+
+    Usage::
+
+        mon = drift_monitor(model, stream, ...)
+        ctl = DriftRefitController(refit=lambda episode: ..., consecutive=2)
+        q = ctl.attach(mon)          # starts the streaming query
+        q.awaitTermination()
+        ctl.refits                   # [(epoch_id, [batch codes]), ...]
+    """
+
+    def __init__(self, refit, consecutive: int = 2):
+        self.refit = refit
+        self.consecutive = consecutive
+        self._streak: dict[int, int] = {}
+        self._in_episode = False
+        self.refits: list[tuple[int, list[int]]] = []
+
+    def _on_batch(self, df: DataFrame, epoch_id: int) -> None:
+        rows = df.collect()  # <= |batch levels| rows — driver-tiny
+        if not rows:
+            return
+        flagged = sorted({r["batch_code"] for r in rows if r["drifted"]})
+        reported = {r["batch_code"] for r in rows}
+        for b in reported:
+            self._streak[b] = self._streak.get(b, 0) + 1 if b in flagged else 0
+        ripe = sorted(b for b, n in self._streak.items() if n >= self.consecutive)
+        if ripe and not self._in_episode:
+            # one refit per episode: stays latched until drift clears
+            self._in_episode = True
+            self.refits.append((int(epoch_id), ripe))
+            self.refit(ripe)
+        elif not flagged:
+            self._in_episode = False
+
+    def attach(self, monitor_df: DataFrame, query_name: str = "drift_refit"):
+        """Start the control query over a drift_monitor() stream."""
+        return (
+            monitor_df.writeStream.queryName(query_name)
+            .outputMode("update")
+            .foreachBatch(self._on_batch)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -195,3 +195,54 @@ def test_drift_monitor_stateful_across_triggers(spark, sf_dir, tmp_path):
     rows = run_drift(shifted_dir, "t_drift_shift")
     assert len(rows) == len(per_key)
     assert all(r["drifted"] and r["chi2"] > r["chi2_crit"] for r in rows)
+
+
+def test_drift_refit_controller_closes_loop(spark, sf_dir, tmp_path):
+    """Shifted cells stream in over 3 triggers: the controller must fire
+    the refit callback exactly once (2-consecutive latch), and a
+    warm-started refit on the shifted corpus must stop flagging it."""
+    import pyspark.sql.functions as F
+    from harmony_spark.core.algorithm import HarmonySpark
+    from harmony_spark.io import table
+    from harmony_spark.streaming.drift import DriftRefitController, drift_monitor
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("string").alias("label")
+    )
+    kw = dict(
+        features_col="embedding", id_col="vec_id",
+        nclust=5, max_iter=1, lamb=1.0, seed=42,
+    )
+    model = HarmonySpark(e, ["label"], **kw)
+    model.run().count()
+
+    shifted = e.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x + F.lit(0.5)).cast("array<float>"),
+    )
+    shifted_dir = str(tmp_path / "shifted")
+    shifted.repartition(3).write.parquet(shifted_dir)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shifted_dir)
+    )
+    mon = drift_monitor(model, stream, features_col="embedding", id_col="vec_id")
+
+    episodes = []
+    ctl = DriftRefitController(refit=episodes.append, consecutive=2)
+    q = ctl.attach(mon)
+    q.awaitTermination(120)
+
+    # 3 triggers, all drifted: latch must allow exactly one refit
+    assert len(ctl.refits) == 1 and len(episodes) == 1
+    assert episodes[0]  # at least one batch level named
+
+    # close the loop: warm-start refit on the drifted corpus clears it
+    refit = HarmonySpark(shifted, ["label"], init_Y=model.get_Y(), **kw)
+    refit.run().count()
+    mon2 = drift_monitor(refit, spark.readStream.schema(e.schema).parquet(shifted_dir),
+                         features_col="embedding", id_col="vec_id")
+    rows = run_stream(mon2, spark, "t_refit_clear", "update").collect()
+    assert rows and not any(r["drifted"] for r in rows)
