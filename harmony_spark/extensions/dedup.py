@@ -205,6 +205,11 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     "goes quadratic in corpus size — the 100 TB-safe dedup plan.",
 )
 def q35(spark: SparkSession, sf: str) -> DataFrame:
+    return _lsh_pairs(spark, sf).orderBy("da", "db").limit(1000)
+
+
+def _band_table(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, b, band): each doc's LSH band hashes, exploded."""
     sig = _minhash_sig_spark(table_parallel(spark, sf, "documents"))
     band_cols = [
         F.struct(
@@ -213,33 +218,14 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "doc_id", F.col("bb.b").alias("b"), F.col("bb.band").alias("band")
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
-        .orderBy("da", "db")
-        .limit(1000)
     )
 
 
 def _lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """The full (unlimited) LSH candidate-pair edge set of q35."""
-    sig = _minhash_sig_spark(table_parallel(spark, sf, "documents"))
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("b"),
-            F.md5(F.concat(F.col(f"mh_{2 * b}"), F.col(f"mh_{2 * b + 1}")).cast("binary")).alias("band"),
-        )
-        for b in range(N_BANDS)
-    ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "doc_id", F.col("bb.b").alias("b"), F.col("bb.band").alias("band")
-    )
+    bands = _band_table(spark, sf)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -412,4 +398,46 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("n_docs") > 1)
         .orderBy("simhash")
         .limit(200)
+    )
+
+
+@register(
+    "q76_lsh_pairs_skew_safe",
+    oracle=f"""
+        WITH sig AS ({_minhash_sig_sql()}),
+        bands AS (
+          SELECT doc_id, b, band FROM (
+            SELECT doc_id,
+                   UNNEST([0, 1, 2, 3]) AS b,
+                   UNNEST([md5(mh_0 || mh_1), md5(mh_2 || mh_3),
+                           md5(mh_4 || mh_5), md5(mh_6 || mh_7)]) AS band
+            FROM sig) x)
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id
+        ORDER BY da, db LIMIT 1000
+    """,
+    doc="q35's LSH candidate pairs via the skew-safe path "
+    "(operators/skew.py self_pairs_skew_safe): hot band buckets are "
+    "decomposed into block-pair shuffle keys (triangle replication, "
+    "1-Bucket-Theta family) so a boilerplate-heavy bucket's |B|^2 work "
+    "spreads over n(n+1)/2 tasks instead of one reducer. hot_threshold "
+    "is forced low here so the triangle path executes on real data; the "
+    "oracle (identical to q35's) proves the decomposition loses/dups no "
+    "pair.",
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.operators.skew import self_pairs_skew_safe
+
+    pairs = self_pairs_skew_safe(
+        _band_table(spark, sf),
+        key_cols=["b", "band"],
+        id_col="doc_id",
+        hot_threshold=2,  # force the triangle path at test scale
+        n_blocks=4,
+    )
+    return (
+        pairs.select(F.col("id_a").alias("da"), F.col("id_b").alias("db"))
+        .distinct()
+        .orderBy("da", "db")
+        .limit(1000)
     )

@@ -81,3 +81,80 @@ def write_bucketed(
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
     """Join two same-bucketed saved tables — shuffle-free by layout."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def self_pairs_skew_safe(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    hot_threshold: int = 100_000,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All intra-bucket ordered pairs (id_a < id_b) per key, with HOT
+    buckets decomposed into block-pair tasks.
+
+    The plain bucket-local self-join (q35) is 100 TB-safe only while
+    every bucket is small: one boilerplate-heavy band bucket with 1M
+    members puts 5e11 comparisons on ONE reducer, and AQE cannot split
+    it (the skew is inside a single join key, and splitting a self-join
+    key misses cross-split pairs). The fix is the triangle replication
+    scheme (cf. Okcan & Riedewald's 1-Bucket-Theta, SIGMOD'11): rows of
+    a hot bucket are hashed into n blocks; each unordered block pair
+    (i<=j) becomes its own shuffle key, so the bucket's |B|^2 work
+    spreads over n(n+1)/2 tasks at a replication cost of ~n/2 copies
+    per row — tunable, and paid ONLY by buckets over the threshold.
+
+    Detection is one aggregation; the hot-key list is broadcast (hot
+    buckets are few by nature — that is what makes them hot). Cold
+    buckets take the plain self-join path unchanged.
+    """
+    keys = [F.col(k) for k in key_cols]
+    hot_keys = (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("_bucket_n"))
+        .where(F.col("_bucket_n") > hot_threshold)
+        .select(*key_cols)
+        .withColumn("_hot", F.lit(True))
+    )
+    tagged = df.join(F.broadcast(hot_keys), key_cols, "left")
+
+    cold = tagged.where(F.col("_hot").isNull()).drop("_hot")
+    ca, cb = cold.alias("a"), cold.alias("b")
+    cold_pairs = ca.join(
+        cb,
+        [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+        + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")],
+    ).select(
+        *[F.col(f"a.{k}") for k in key_cols],
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+
+    hot = tagged.where(F.col("_hot")).drop("_hot").withColumn(
+        "_blk", F.pmod(F.xxhash64(id_col), F.lit(n_blocks)).cast("int")
+    )
+    # left leg: a row in block p serves tasks (p, j) for j >= p
+    # right leg: a row in block q serves tasks (i, q) for i <= q
+    left = hot.withColumn("_i", F.col("_blk")).withColumn(
+        "_j", F.explode(F.sequence(F.col("_blk"), F.lit(n_blocks - 1)))
+    )
+    right = hot.withColumn("_j", F.col("_blk")).withColumn(
+        "_i", F.explode(F.sequence(F.lit(0), F.col("_blk")))
+    )
+    la, rb = left.alias("a"), right.alias("b")
+    same_task = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols] + [
+        F.col("a._i") == F.col("b._i"),
+        F.col("a._j") == F.col("b._j"),
+    ]
+    # diagonal tasks (i==j) order ids to avoid dup/self pairs; off-
+    # diagonal blocks are disjoint, so each unordered pair appears in
+    # exactly one task — normalize orientation on output instead
+    orient = (F.col("a._i") != F.col("a._j")) | (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    hot_pairs = la.join(rb, same_task + [orient]).select(
+        *[F.col(f"a.{k}") for k in key_cols],
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+    )
+    return cold_pairs.unionByName(hot_pairs)

@@ -192,3 +192,33 @@ def test_partitioned_write_plans_partition_filters(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "event_type" in plan
     n_click = ev.where(F.col("event_type") == "click").count()
     assert got.count() == n_click
+
+
+def test_self_pairs_skew_safe_exact(spark):
+    """Triangle-decomposed pair generation must emit exactly the naive
+    self-join's pair set: one hot bucket (120 rows -> 7140 pairs spread
+    over 10 block-pair tasks) plus cold buckets on the plain path."""
+    import pyspark.sql.functions as F
+
+    from harmony_spark.operators.skew import self_pairs_skew_safe
+
+    rows = [("hot", i) for i in range(120)] + [
+        (f"cold{g}", 1000 + g * 10 + i) for g in range(5) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "k string, id long")
+
+    got = self_pairs_skew_safe(
+        df, key_cols=["k"], id_col="id", hot_threshold=50, n_blocks=4
+    )
+    a, b = df.alias("a"), df.alias("b")
+    naive = a.join(
+        b, (F.col("a.k") == F.col("b.k")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.k").alias("k"),
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+    )
+    g = sorted(map(tuple, got.collect()))
+    n = sorted(map(tuple, naive.collect()))
+    assert len(g) == len(n) == 120 * 119 // 2 + 5 * 6
+    assert g == n
