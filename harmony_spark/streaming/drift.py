@@ -42,16 +42,21 @@ def drift_monitor(
     features_col: str = "features",
     id_col: str = "cell_id",
     z_crit: float = 3.0,
+    covariate: int = 0,
 ) -> DataFrame:
-    """Stateful stream: one row per (batch level, trigger) with the
+    """Stateful stream: one row per (covariate level, trigger) with the
     running cell count, chi-square drift statistic vs the fit-time
     cluster mix, and a drifted flag.  ``new_cells`` must be a streaming
-    DataFrame; drift is tracked on the model's FIRST covariate (the
-    batch variable, offset 0 into O's columns)."""
+    DataFrame; ``covariate`` selects which of the model's covariates is
+    tracked (default the first — the batch variable; its level codes
+    index the matching column block of O via the covariate's offset).
+    Run one monitor per covariate to track several concurrently."""
     assigned = model.assign(new_cells, features_col=features_col, id_col=id_col)
-    key_col = model.code_cols[0]
+    key_col = model.code_cols[covariate]
 
-    O = model.get_O()  # (K, B) — tiny; captured into the closure
+    O_all = model.get_O()  # (K, B_total) — tiny; captured into closure
+    off = model.p.offsets[covariate]
+    O = O_all[:, off : off + model.p.B_vec[covariate]]
     K = O.shape[0]
     col_mass = O.sum(axis=0)
     marginal = O.sum(axis=1) / max(float(O.sum()), 1e-12)

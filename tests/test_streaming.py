@@ -246,3 +246,47 @@ def test_drift_refit_controller_closes_loop(spark, sf_dir, tmp_path):
                          features_col="embedding", id_col="vec_id")
     rows = run_stream(mon2, spark, "t_refit_clear", "update").collect()
     assert rows and not any(r["drifted"] for r in rows)
+
+
+def test_drift_monitor_second_covariate(spark, sf_dir, tmp_path):
+    """covariate=1 tracks the second covariate's levels against its own
+    column block of O: in-sample clean, shifted flagged."""
+    import pyspark.sql.functions as F
+    from harmony_spark.core.algorithm import HarmonySpark
+    from harmony_spark.io import table
+    from harmony_spark.streaming.drift import drift_monitor
+
+    e = table(spark, sf_dir, "embeddings")
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    cells = e.join(F.broadcast(d), "vec_id").select(
+        "vec_id", "embedding",
+        F.col("label").cast("string").alias("label"), "lang",
+    )
+    model = HarmonySpark(
+        cells, ["label", "lang"], features_col="embedding", id_col="vec_id",
+        nclust=5, max_iter=1, lamb=1.0, seed=42,
+    )
+    model.run().count()
+
+    in_dir, sh_dir = str(tmp_path / "in"), str(tmp_path / "sh")
+    cells.write.parquet(in_dir)
+    cells.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x + F.lit(0.5)).cast("array<float>"),
+    ).write.parquet(sh_dir)
+
+    def monitor(path, name):
+        stream = spark.readStream.schema(cells.schema).parquet(path)
+        mon = drift_monitor(
+            model, stream, features_col="embedding", id_col="vec_id", covariate=1
+        )
+        return run_stream(mon, spark, name, "update").collect()
+
+    rows = monitor(in_dir, "t_drift_cov2_in")
+    n_langs = len(model.p.levels[1])
+    assert {r["batch_code"] for r in rows} == set(range(n_langs))
+    assert not any(r["drifted"] for r in rows)
+    rows = monitor(sh_dir, "t_drift_cov2_sh")
+    assert all(r["drifted"] for r in rows)
