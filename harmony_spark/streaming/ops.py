@@ -112,3 +112,24 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def parquet_sink(df: DataFrame, path: str, checkpoint: str, query_name: str = "parquet_sink"):
+    """Durable streaming sink: append parquet with a checkpoint.
+
+    The checkpoint (WAL + source offsets + file-sink manifest) is what
+    makes restarts exactly-once: a restarted query resumes from the
+    committed offsets and never re-emits a batch that already reached
+    the sink manifest, so crash/redeploy at any point yields each input
+    row exactly once in the output table. availableNow drains what
+    exists and stops — the batch-ingest-shaped trigger for periodic
+    runs of the same checkpointed pipeline."""
+    return (
+        df.writeStream.format("parquet")
+        .queryName(query_name)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -222,3 +222,19 @@ def test_self_pairs_skew_safe_exact(spark):
     n = sorted(map(tuple, naive.collect()))
     assert len(g) == len(n) == 120 * 119 // 2 + 5 * 6
     assert g == n
+
+
+def test_self_pairs_skew_safe_shuffles_on_block_pairs(spark):
+    """The scale claim itself: the hot path's join must shuffle on the
+    composite (key, block_i, block_j) key — that is what spreads a hot
+    bucket over n(n+1)/2 reducers instead of one."""
+    import re
+
+    from harmony_spark.operators.skew import self_pairs_skew_safe
+
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(120)], "k string, id long"
+    )
+    p = self_pairs_skew_safe(df, ["k"], "id", hot_threshold=50, n_blocks=4)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"SortMergeJoin \[k#\d+, _i#\d+, _j#\d+\]", plan), plan

@@ -290,3 +290,47 @@ def test_drift_monitor_second_covariate(spark, sf_dir, tmp_path):
     assert not any(r["drifted"] for r in rows)
     rows = monitor(sh_dir, "t_drift_cov2_sh")
     assert all(r["drifted"] for r in rows)
+
+
+def test_parquet_sink_checkpoint_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-restart semantics of the durable sink: run 1 drains file
+    A; files B,C then arrive; run 2 (same checkpoint) must emit B+C and
+    NOT re-emit A, leaving the sink exactly equal to the input set."""
+    import shutil
+
+    import pyspark.sql.functions as F
+    from harmony_spark.io import table
+    from harmony_spark.streaming.ops import parquet_sink
+
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    parts = events.randomSplit([1.0, 1.0, 1.0], seed=7)
+    staged = [str(tmp_path / f"staged{i}") for i in range(3)]
+    for df, p in zip(parts, staged):
+        df.coalesce(1).write.parquet(p)
+
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def arrive(i):
+        for f in (tmp_path / f"staged{i}").glob("part-*.parquet"):
+            shutil.copy(f, src / f"file{i}.parquet")
+
+    def drain():
+        q = parquet_sink(
+            spark.readStream.schema(events.schema).parquet(str(src)), sink, ckpt
+        )
+        q.awaitTermination(120)
+
+    arrive(0)
+    drain()
+    n_a = parts[0].count()
+    assert spark.read.parquet(sink).count() == n_a
+
+    arrive(1)
+    arrive(2)
+    drain()
+    got = spark.read.parquet(sink)
+    assert got.count() == events.count()  # A exactly once, B+C added
+    assert got.select(F.countDistinct("event_id")).first()[0] == events.count()
