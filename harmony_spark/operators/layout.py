@@ -103,3 +103,60 @@ def clustering_quality(path: str, column: str) -> float:
         sum(1 for s in spans if s[0] <= p <= s[1]) / len(spans) for p in probes
     ]
     return sum(fracs) / len(fracs)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
+    """Computed Morton (Z-order) key: each column is scaled to a
+    2^bits-bucket grid (equi-width over its observed min/max — one tiny
+    agg) and the bucket bits are interleaved. Rows close in Z-key are
+    close in EVERY clustered dimension, so row-group min/max stats
+    become selective for predicates on any single one — the plain-
+    parquet emulation of Delta/Iceberg Z-ordering.
+
+    Returns (column_expression, stats_row) — the expression references
+    only built-in bit ops, so it stays in whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"min_{c}") for c in cols],
+        *[F.max(c).alias(f"max_{c}") for c in cols],
+    ).first()
+    n_buckets = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+        span = (hi - lo) or 1
+        bucket = F.least(
+            F.lit(n_buckets),
+            ((F.col(c) - F.lit(lo)) * n_buckets / F.lit(span)).cast("long"),
+        )
+        for j in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, j).bitwiseAND(F.lit(1)),
+                    j * len(cols) + ci,
+                )
+            )
+    return z, stats
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+) -> None:
+    """Cluster on the interleaved key and write: multi-dimensional
+    row-group pruning from a single sort, where write_clustered only
+    serves its first column."""
+    z, _ = zorder_key(df, cols, bits)
+    zdf = df.withColumn("_zkey", z)
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        zdf.repartitionByRange(n, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -238,3 +238,31 @@ def test_self_pairs_skew_safe_shuffles_on_block_pairs(spark):
     p = self_pairs_skew_safe(df, ["k"], "id", hot_threshold=50, n_blocks=4)
     plan = p._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"SortMergeJoin \[k#\d+, _i#\d+, _j#\d+\]", plan), plan
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Single-key clustering serves only its own column; the Morton
+    layout must make row-group stats selective on BOTH clustered
+    columns (measured from parquet footers, no data pages)."""
+    from harmony_spark.operators.layout import (
+        clustering_quality,
+        write_clustered,
+        write_zordered,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    plain, bykey, zord = (
+        str(tmp_path / "plain"), str(tmp_path / "bykey"), str(tmp_path / "zord")
+    )
+    li.write.parquet(plain)
+    write_clustered(li, bykey, ["l_partkey"], num_files=8)
+    write_zordered(li, zord, ["l_partkey", "l_suppkey"], bits=8, num_files=8)
+
+    assert clustering_quality(plain, "l_partkey") > 0.95
+    assert clustering_quality(bykey, "l_partkey") < 0.3  # its own key: strong
+    assert clustering_quality(bykey, "l_suppkey") > 0.95  # other key: nothing
+    # zorder: both dimensions substantially prunable
+    assert clustering_quality(zord, "l_partkey") < 0.8
+    assert clustering_quality(zord, "l_suppkey") < 0.8
