@@ -108,7 +108,10 @@ def run_checks() -> int:
         "q35_minhash_lsh_pairs",  # md5/HOF kernels
         "q65_ivf_ann",  # literal-array argmax + window
         "q73_dedup_components",  # iterative loop + localCheckpoint
+        "q75_dedup_components_star",  # round-compressed CC
+        "q76_lsh_pairs_skew_safe",  # triangle-decomposed hot buckets
         "harmony_correct",  # full harmony: broadcasts + Arrow passes
+        "harmony_stream_drift",  # stateful streaming on real executors
     ]
     for name in slice_:
         t0 = time.time()
