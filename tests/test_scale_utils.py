@@ -266,3 +266,33 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     # zorder: both dimensions substantially prunable
     assert clustering_quality(zord, "l_partkey") < 0.8
     assert clustering_quality(zord, "l_suppkey") < 0.8
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """The Spark bit-op expression must equal a reference Python Morton
+    encode for the same equi-width bucketing."""
+    from harmony_spark.operators.layout import zorder_key
+
+    rows = [(i, (i * 37) % 100, float((i * 13) % 50)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, a long, b double")
+    z, stats = zorder_key(df, ["a", "b"], bits=4)
+    got = {r["id"]: r["z"] for r in df.select("id", z.alias("z")).collect()}
+
+    n_buckets = 15
+    amin, amax = stats["min_a"], stats["max_a"]
+    bmin, bmax = stats["min_b"], stats["max_b"]
+
+    def bucket(x, lo, hi):
+        return min(n_buckets, int((x - lo) * n_buckets / ((hi - lo) or 1)))
+
+    def interleave(ba, bb):
+        zz = 0
+        for j in range(4):
+            zz |= ((ba >> j) & 1) << (2 * j)
+            zz |= ((bb >> j) & 1) << (2 * j + 1)
+        return zz
+
+    for i, a, b in rows:
+        assert got[i] == interleave(
+            bucket(a, amin, amax), bucket(b, bmin, bmax)
+        ), (i, a, b)
