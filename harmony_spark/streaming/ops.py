@@ -133,3 +133,39 @@ def parquet_sink(df: DataFrame, path: str, checkpoint: str, query_name: str = "p
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the documents table (schema from the batch
+    footer; new parquet files landing in the directory are the
+    micro-batches — the training-corpus ingest shape)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def ingest_documents(docs: DataFrame, min_tokens: int = 20, max_tokens: int = 60) -> DataFrame:
+    """Streaming training-data ingest: quality gate + exact-dup drop.
+
+    The length-window quality gate (q40's criterion) runs as a
+    stateless filter; dedup keys on the canonical content fingerprint
+    (q41: md5 of the sorted distinct token set) so the dedup state and
+    shuffle carry 16-byte digests, never documents. dropDuplicates
+    state grows with distinct fingerprints per run — bound it by
+    running availableNow batches over a checkpointed parquet_sink
+    (state resets per run, the sink manifest keeps cross-run
+    exactly-once) or, with an event-time column, by a watermark."""
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(toks)), " ").cast("binary")
+    )
+    return (
+        docs.withColumn("n_tokens", F.size(toks))
+        .where(F.col("n_tokens").between(min_tokens, max_tokens))
+        .withColumn("fp", fp)
+        .dropDuplicates(["fp"])
+        .select("doc_id", "lang", "source", "n_tokens", "fp")
+    )

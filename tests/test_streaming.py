@@ -334,3 +334,31 @@ def test_parquet_sink_checkpoint_exactly_once(spark, sf_dir, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == events.count()  # A exactly once, B+C added
     assert got.select(F.countDistinct("event_id")).first()[0] == events.count()
+
+
+def test_streaming_document_ingest_matches_batch(spark, sf_dir):
+    """Quality gate + fingerprint dedup over the documents stream must
+    keep exactly one representative per surviving fingerprint, matching
+    the batch computation."""
+    import pyspark.sql.functions as F
+    from harmony_spark.io import table
+
+    got = run_stream(
+        ops.ingest_documents(ops.stream_documents(spark, sf_dir)),
+        spark, "t_doc_ingest", "append",
+    ).collect()
+
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    batch = (
+        table(spark, sf_dir, "documents")
+        .withColumn("n_tokens", F.size(toks))
+        .where(F.col("n_tokens").between(20, 60))
+        .withColumn(
+            "fp",
+            F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ").cast("binary")),
+        )
+    )
+    want_fps = {r["fp"] for r in batch.select("fp").distinct().collect()}
+    assert {r["fp"] for r in got} == want_fps
+    assert len(got) == len(want_fps)  # exactly one survivor per fp
+    assert all(20 <= r["n_tokens"] <= 60 for r in got)
