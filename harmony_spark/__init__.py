@@ -18,3 +18,38 @@ driver contract in ``__spark_entry__.py``.
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level exports (PEP 562): the package stays import-light (no
+# pyspark import until a symbol is touched), but users get the whole
+# public surface as `from harmony_spark import X`.
+_EXPORTS = {
+    "HarmonySpark": ("harmony_spark.core.algorithm", "HarmonySpark"),
+    "run_harmony": ("harmony_spark.core.algorithm", "run_harmony"),
+    "run_harmony_matrices": ("harmony_spark.api", "run_harmony_matrices"),
+    "get_spark": ("harmony_spark.session", "get_spark"),
+    "load_all": ("harmony_spark.registry", "load_all"),
+    "ship": ("harmony_spark.deploy", "ship"),
+    "drift_monitor": ("harmony_spark.streaming.drift", "drift_monitor"),
+    "DriftRefitController": ("harmony_spark.streaming.drift", "DriftRefitController"),
+    "parquet_sink": ("harmony_spark.streaming.ops", "parquet_sink"),
+    "ingest_documents": ("harmony_spark.streaming.ops", "ingest_documents"),
+    "connected_components": ("harmony_spark.operators.graph", "connected_components"),
+    "self_pairs_skew_safe": ("harmony_spark.operators.skew", "self_pairs_skew_safe"),
+    "write_clustered": ("harmony_spark.operators.layout", "write_clustered"),
+    "write_partitioned": ("harmony_spark.operators.layout", "write_partitioned"),
+    "write_zordered": ("harmony_spark.operators.layout", "write_zordered"),
+    "clustering_quality": ("harmony_spark.operators.layout", "clustering_quality"),
+    "scale_expression": ("harmony_spark.functions.preprocessing", "scale_expression"),
+}
+
+__all__ = sorted(_EXPORTS) + ["__version__"]
+
+
+def __getattr__(name: str):
+    try:
+        mod_name, attr = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(f"module 'harmony_spark' has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)

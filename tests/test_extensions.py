@@ -144,3 +144,10 @@ def test_applyinpandas_grouped_zscore_matches_window(spark, sf_dir):
                 assert got[k] is None or math.isnan(got[k])
             else:
                 assert abs(got[k] - r["z"]) < 1e-9
+
+
+def test_package_top_level_exports_resolve():
+    import harmony_spark as h
+
+    for name in h.__all__:
+        assert getattr(h, name) is not None, name
