@@ -85,3 +85,47 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .agg(F.count("*").alias("n_unique"))
     )
+
+
+@register(
+    "q77_interval_join",
+    oracle="""
+        SELECT v.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(datediff('microseconds', v.ts, c.ts)) AS BIGINT) AS sum_delay_us
+        FROM events v JOIN events c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        GROUP BY v.user_id ORDER BY v.user_id
+    """,
+    doc="Interval (event-time range) join: every click within one hour "
+    "after a view by the same user — the batch equivalent of the "
+    "watermarked stream-stream join (streaming/ops.py "
+    "interval_join_views_clicks). Equi-key on user_id carries the "
+    "shuffle; the time bound is a residual predicate, so the plan is a "
+    "plain sort-merge join, never a cross product. Delays summed in "
+    "exact integer microseconds for engine-portable hashing.",
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("sum_delay_us"),
+        )
+        .orderBy("user_id")
+    )

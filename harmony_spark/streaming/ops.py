@@ -169,3 +169,31 @@ def ingest_documents(docs: DataFrame, min_tokens: int = 20, max_tokens: int = 60
         .dropDuplicates(["fp"])
         .select("doc_id", "lang", "source", "n_tokens", "fp")
     )
+
+
+def interval_join_views_clicks(events: DataFrame) -> DataFrame:
+    """Watermarked stream-stream self-join: clicks within one hour
+    after a view by the same user (q77's streaming form).
+
+    Both legs carry watermarks and the join has an explicit event-time
+    bound, which is what lets the engine age out buffered view rows
+    once no qualifying click can still arrive — state stays
+    proportional to one watermark-window of traffic, not the stream's
+    history. The click watermark is the view watermark + the join
+    range, per the stream-stream join state-cleanup rule."""
+    v = (
+        events.where(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    return v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "v_ts", "c_ts")

@@ -362,3 +362,23 @@ def test_streaming_document_ingest_matches_batch(spark, sf_dir):
     assert {r["fp"] for r in got} == want_fps
     assert len(got) == len(want_fps)  # exactly one survivor per fp
     assert all(20 <= r["n_tokens"] <= 60 for r in got)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream self-join must produce exactly the
+    batch interval join's per-user pair counts (q77)."""
+    import pyspark.sql.functions as F
+
+    got = run_stream(
+        ops.interval_join_views_clicks(ops.stream_events(spark, sf_dir)),
+        spark, "t_interval_join", "append",
+    )
+    g = {
+        r["user_id"]: r["n"]
+        for r in got.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    b = {
+        r["user_id"]: r["n_pairs"]
+        for r in load_all()["q77_interval_join"].fn(spark, sf_dir).collect()
+    }
+    assert g == b
