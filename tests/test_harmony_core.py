@@ -520,3 +520,21 @@ def test_warm_start_matches_cold_quality(spark, sf_dir):
 
     with pytest.raises(ValueError, match="init_Y shape"):
         HarmonySpark(e, ["label"], init_Y=prev.get_Y()[:, :3], **kw)
+
+
+def test_assign_and_transform_require_fitted_model(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from harmony_spark.core.algorithm import HarmonySpark
+    from harmony_spark.io import table
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("string").alias("label")
+    )
+    m = HarmonySpark(
+        e, ["label"], features_col="embedding", id_col="vec_id",
+        nclust=5, max_iter=1, lamb=1.0,
+    )
+    for method in (m.assign, m.transform):
+        with pytest.raises(RuntimeError, match="run\\(\\) must complete"):
+            method(e, features_col="embedding", id_col="vec_id")
+    m.cleanup()
