@@ -291,6 +291,7 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
         .persist()
     )
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    converged = False
     for _ in range(32):  # diameter bound; near-dup components are shallow
         nbr = (
             bi.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
@@ -309,9 +310,18 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # min-labels are monotone; fixpoint reached
+            converged = True
             break
         prev_sum = new_sum
     bi.unpersist()
+    if not converged:
+        # never return a silently-partial clustering: a component deeper
+        # than the round budget needs the O(log n) algorithm instead
+        raise RuntimeError(
+            "label propagation did not reach a fixpoint in 32 rounds "
+            "(component diameter > 32); use q75/connected_components "
+            "(large/small-star), which is logarithmic in diameter"
+        )
     return (
         labels.groupBy(F.col("lbl").alias("cluster_id"))
         .agg(F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc"))

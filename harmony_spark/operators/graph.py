@@ -86,6 +86,7 @@ def connected_components(
 
     prev = None
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         rounds += 1
@@ -97,10 +98,17 @@ def connected_components(
         ).first()
         e = e2
         if prev is not None and (cur["n"], cur["h"]) == prev:
+            converged = True
             break
         prev = (cur["n"], cur["h"])
     if stats is not None:
         stats["rounds"] = rounds
+    if not converged:
+        # O(log^2 n) worst case: hitting this means max_iter was set far
+        # too low for the graph — fail loudly, never emit partial labels
+        raise RuntimeError(
+            f"star rounds did not reach a fixpoint in {max_iter} iterations"
+        )
 
     # at the fixpoint the edge set is a star forest: (node, root) with
     # node > root; roots only ever appear on the v side

@@ -86,3 +86,14 @@ def test_star_matches_label_propagation_on_corpus(spark, sf_dir):
         map(tuple, qs["q75_dedup_components_star"].fn(spark, sf_dir).collect())
     )
     assert a == b
+
+
+def test_nonconvergence_raises_not_partial(spark):
+    # a round budget too small must fail loudly, never emit partial labels
+    from harmony_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(chain, max_iter=2)
