@@ -319,19 +319,40 @@ def make_infer_assignment_kernel(bc, code_cols: list[str], offsets: list[int]) -
     zn = normalize(z_orig), R from the frozen assignment state — the
     first half of make_transform_kernel without the correction. Emits
     (cell_id, codes, r) so downstream drift statistics stay aggregation-
-    only over tiny (K,) vectors."""
+    only over tiny (K,) vectors.
+
+    Covariate levels NEVER seen at fit time arrive as null codes (the
+    level map has no entry). The model has no O/E column for them, so
+    their R is the pure distance softmax (penalty term dropped — the
+    principled limit of "no diversity information for this batch") and
+    their code is emitted as -1; the drift monitor keys them to the
+    sentinel batch and compares against the marginal mix, so a novel
+    population FLAGS instead of crashing the stream."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         st = bc.value
         rs = st["r_state"]
+        nopen = {k: v for k, v in rs.items() if k != "penalty"}
         for pdf in it:
             if len(pdf) == 0:
                 continue
             z = _stack(pdf["z_orig"])
-            gcodes = _codes_matrix(pdf, code_cols, offsets)
             zn = _normalize_rows(z)
-            R, _ = _apply_state(zn, gcodes, rs)
-            out = pdf[["cell_id", *code_cols]].copy()
+            codes_raw = pdf[code_cols]
+            seen = codes_raw.notna().all(axis=1).to_numpy()
+            # assign() always flattens a blocked state before broadcast
+            R = np.empty((len(pdf), rs["Y"].shape[1]), dtype=F32)
+            if seen.any():
+                gcodes = (
+                    codes_raw.to_numpy(dtype="float64")[seen].astype(np.int64)
+                    + np.asarray(offsets, dtype=np.int64)[None, :]
+                )
+                R[seen], _ = _apply_state(zn[seen], gcodes, rs)
+            if (~seen).any():
+                R[~seen], _ = _apply_state(zn[~seen], None, nopen)
+            out = pdf[["cell_id"]].copy()
+            for c in code_cols:
+                out[c] = codes_raw[c].fillna(-1).astype("int32")
             out["r"] = list(R.astype(F32))
             yield out
 
@@ -340,7 +361,13 @@ def make_infer_assignment_kernel(bc, code_cols: list[str], offsets: list[int]) -
 
 def make_transform_kernel(bc, code_cols: list[str], offsets: list[int]) -> Callable:
     """Model inference for unseen cells: zn = normalize(z), assign
-    against the frozen state, subtract the frozen batch effect."""
+    against the frozen state, subtract the frozen batch effect.
+
+    Unknown covariate LEVELS (null codes) are a hard error: W has no
+    coefficients for them, so no correction is defined — raise with a
+    clear message instead of letting int-casting nulls kill the worker.
+    (Use assign()/drift_monitor to detect such populations, then refit
+    with the new level present.)"""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         st = bc.value
@@ -349,6 +376,13 @@ def make_transform_kernel(bc, code_cols: list[str], offsets: list[int]) -> Calla
         for pdf in it:
             if len(pdf) == 0:
                 continue
+            bad = pdf[code_cols].isna().any(axis=1)
+            if bad.any():
+                raise ValueError(
+                    f"transform(): {int(bad.sum())} cells carry covariate "
+                    "levels unseen at fit time (no W coefficients exist "
+                    "for them); detect with drift_monitor and refit"
+                )
             z = _stack(pdf["z_orig"])
             gcodes = _codes_matrix(pdf, code_cols, offsets)
             zn = _normalize_rows(z)

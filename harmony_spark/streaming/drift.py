@@ -66,7 +66,9 @@ def drift_monitor(
     crit = chi2_critical(K - 1, z_crit)
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        b = int(key[0])
+        # -1 = the sentinel for levels unseen at fit time (see
+        # make_infer_assignment_kernel); compared against the marginal
+        b = -1 if key[0] is None else int(key[0])
         n, sums = state.get if state.exists else (0, [0.0] * K)
         s = np.asarray(sums, dtype=np.float64)
         for pdf in pdfs:
@@ -79,13 +81,16 @@ def drift_monitor(
         p0 = cond[:, b] if 0 <= b < cond.shape[1] else marginal
         q = s / max(n, 1)
         chi2 = float(n * np.sum((q - p0) ** 2 / np.maximum(p0, 1e-12)))
+        # a level unseen at fit time (sentinel -1) is a refit signal BY
+        # DEFINITION — no W column exists for it — regardless of how its
+        # cluster mix compares to the marginal
         yield pd.DataFrame(
             {
                 "batch_code": [b],
                 "n_cells": [int(n)],
                 "chi2": [round(chi2, 6)],
                 "chi2_crit": [round(crit, 6)],
-                "drifted": [bool(chi2 > crit)],
+                "drifted": [bool(b < 0 or chi2 > crit)],
             }
         )
 

@@ -382,3 +382,40 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         for r in load_all()["q77_interval_join"].fn(spark, sf_dir).collect()
     }
     assert g == b
+
+
+def test_drift_monitor_unseen_level_flags_not_crashes(spark, sf_dir, tmp_path):
+    """A covariate level that never existed at fit time is the sharpest
+    drift signal: it must surface as sentinel batch_code -1 and flag,
+    not kill the stream; transform() on the same data must raise a
+    clear error instead of an opaque worker crash."""
+    import pyspark.sql.functions as F
+    from harmony_spark.core.algorithm import HarmonySpark
+    from harmony_spark.io import table
+    from harmony_spark.streaming.drift import drift_monitor
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("string").alias("label")
+    )
+    model = HarmonySpark(
+        e, ["label"], features_col="embedding", id_col="vec_id",
+        nclust=5, max_iter=1, lamb=1.0, seed=42,
+    )
+    model.run().count()
+
+    novel = e.withColumn("label", F.lit("brand_new_batch"))
+    novel_dir = str(tmp_path / "novel")
+    novel.write.parquet(novel_dir)
+
+    stream = spark.readStream.schema(e.schema).parquet(novel_dir)
+    mon = drift_monitor(model, stream, features_col="embedding", id_col="vec_id")
+    rows = run_stream(mon, spark, "t_drift_novel", "update").collect()
+    assert len(rows) == 1
+    assert rows[0]["batch_code"] == -1
+    assert rows[0]["n_cells"] == e.count()
+    assert rows[0]["drifted"]
+
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="unseen at fit time"):
+        model.transform(novel, features_col="embedding", id_col="vec_id").collect()
