@@ -296,3 +296,30 @@ def test_zorder_key_matches_python_interleave(spark):
         assert got[i] == interleave(
             bucket(a, amin, amax), bucket(b, bmin, bmax)
         ), (i, a, b)
+
+
+def test_ivf_index_search_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persistent-index search must push the probe cells into
+    PartitionFilters — the scan lists only probed cid directories."""
+    import pyspark.sql.functions as F
+
+    from harmony_spark.operators.advanced import (
+        _ivf_scored,
+        build_ivf_index,
+        ivf_search,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, sf_dir, idx)
+    queries = _ivf_scored(spark, sf_dir).where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("n").alias("qn"),
+        "scores",
+    )
+    res = ivf_search(spark, idx, queries)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    # the filter clause names cid right after PartitionFilters
+    assert "cid" in plan.split("PartitionFilters", 1)[1][:120], plan
+    assert len(res.collect()) > 0
