@@ -160,3 +160,56 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    cluster_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Rewrite a parquet directory into ~target_mb files; returns
+    (files_before, files_after).
+
+    Streaming sinks (parquet_sink) emit at least one file per trigger,
+    and at 100 TB the small-file problem is what kills scan throughput
+    (one task + one footer round-trip per tiny file). Compaction is the
+    maintenance job: read, re-cluster (optionally on cluster_cols,
+    restoring row-group pruning that interleaved appends destroyed),
+    write to a staging dir sized from the actual bytes, swap. The swap
+    is directory-rename based — atomic on a local/HDFS-style filesystem;
+    on object stores run it under a table format or a lock.
+
+    Compacting a STREAMING sink directory drops its _spark_metadata
+    manifest: the result is a plain parquet table (batch reads list
+    files directly — correct), but the producing stream must restart
+    with a fresh checkpoint to keep appending. That lifecycle — drain
+    with availableNow, compact, re-point — is the manifest-less
+    equivalent of what a table format's commit log automates.
+    """
+    import glob
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    total_mb = sum(os.path.getsize(f) for f in files) / (1024 * 1024)
+    n_out = max(1, round(total_mb / target_mb))
+
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "._compact"
+    if cluster_cols:
+        (
+            df.repartitionByRange(n_out, *cluster_cols)
+            .sortWithinPartitions(*cluster_cols)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+    else:
+        df.coalesce(n_out).write.mode("overwrite").parquet(staging)
+
+    backup = path.rstrip("/") + "._old"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    new_files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    return len(files), len(new_files)

@@ -419,3 +419,36 @@ def test_drift_monitor_unseen_level_flags_not_crashes(spark, sf_dir, tmp_path):
 
     with pytest.raises(Exception, match="unseen at fit time"):
         model.transform(novel, features_col="embedding", id_col="vec_id").collect()
+
+
+def test_sink_compaction_preserves_rows(spark, sf_dir, tmp_path):
+    """Three availableNow sink runs leave >=3 files; compaction must
+    collapse them without losing or duplicating a row."""
+    import glob
+
+    import pyspark.sql.functions as F
+    from harmony_spark.io import table
+    from harmony_spark.operators.layout import compact_parquet
+    from harmony_spark.streaming.ops import parquet_sink
+
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    parts = events.randomSplit([1.0, 1.0, 1.0], seed=11)
+    src = tmp_path / "src"
+    src.mkdir()
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(tmp_path / f"st{i}"))
+        for f in (tmp_path / f"st{i}").glob("part-*.parquet"):
+            f.rename(src / f"file{i}.parquet")
+        q = parquet_sink(
+            spark.readStream.schema(events.schema).parquet(str(src)), sink, ckpt,
+        )
+        q.awaitTermination(120)
+
+    before = len(glob.glob(f"{sink}/*.parquet"))
+    assert before >= 3
+    n_before, n_after = compact_parquet(spark, sink, target_mb=128)
+    assert (n_before, n_after) == (before, 1)
+    got = spark.read.parquet(sink)
+    assert got.count() == events.count()
+    assert got.select(F.countDistinct("event_id")).first()[0] == events.count()
