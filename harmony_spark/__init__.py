@@ -39,6 +39,9 @@ _EXPORTS = {
     "write_partitioned": ("harmony_spark.operators.layout", "write_partitioned"),
     "write_zordered": ("harmony_spark.operators.layout", "write_zordered"),
     "clustering_quality": ("harmony_spark.operators.layout", "clustering_quality"),
+    "compact_parquet": ("harmony_spark.operators.layout", "compact_parquet"),
+    "build_ivf_index": ("harmony_spark.operators.advanced", "build_ivf_index"),
+    "ivf_search": ("harmony_spark.operators.advanced", "ivf_search"),
     "scale_expression": ("harmony_spark.functions.preprocessing", "scale_expression"),
 }
 
