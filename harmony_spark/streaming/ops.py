@@ -197,3 +197,33 @@ def interval_join_views_clicks(events: DataFrame) -> DataFrame:
         & (F.col("c_ts") > F.col("v_ts"))
         & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("user_id", "v_ts", "c_ts")
+
+
+def interval_left_join_views_clicks(events: DataFrame) -> DataFrame:
+    """Left-outer variant of interval_join_views_clicks: views with no
+    qualifying click emit (user_id, v_ts, NULL) once the watermark
+    passes their join window — the "abandoned view" stream.
+
+    Outer semantics under watermarks are inherently best-effort at the
+    stream tail: a view is only declared unmatched when the watermark
+    proves no click can still arrive, so rows near end-of-stream stay
+    buffered. Matched output is a subset of the batch inner join (a
+    click later than the view watermark may find its view evicted);
+    tighten the view watermark to trade state for completeness."""
+    v = (
+        events.where(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "30 minutes")
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "90 minutes")
+    )
+    return v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("user_id", "v_ts", "c_ts")

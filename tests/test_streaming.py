@@ -452,3 +452,57 @@ def test_sink_compaction_preserves_rows(spark, sf_dir, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == events.count()
     assert got.select(F.countDistinct("event_id")).first()[0] == events.count()
+
+
+def test_stream_stream_left_outer_interval_join(spark, sf_dir, tmp_path):
+    """Outer rows must emit once the watermark passes their window:
+    matched output is a subset of the batch inner join, unmatched views
+    carry NULL click times, nothing is fabricated."""
+    import pyspark.sql.functions as F
+    from harmony_spark.io import table
+
+    ev = table(spark, sf_dir, "events")
+    srt = str(tmp_path / "sorted")
+    ev.orderBy("ts").coalesce(1).write.parquet(srt)
+    rows = spark.read.parquet(srt).collect()
+    n = len(rows)
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for i in range(3):  # time-ordered thirds -> watermark advances per trigger
+        part = spark.createDataFrame(rows[i * n // 3 : (i + 1) * n // 3], ev.schema)
+        part.coalesce(1).write.parquet(str(tmp_path / f"p{i}"))
+        for f in (tmp_path / f"p{i}").glob("part-*.parquet"):
+            f.rename(stream_dir / f"file{i}.parquet")
+
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    got = run_stream(
+        ops.interval_left_join_views_clicks(raw), spark, "t_outer_join", "append"
+    ).collect()
+
+    matched = {(r["user_id"], r["v_ts"], r["c_ts"]) for r in got if r["c_ts"] is not None}
+    unmatched = [r for r in got if r["c_ts"] is None]
+    assert unmatched, "watermark advancement must flush unmatched views"
+    assert all(r["v_ts"] is not None for r in got)
+
+    v = ev.where(F.col("event_type") == "view").select("user_id", F.col("ts").alias("v_ts"))
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    inner = {
+        (r["user_id"], r["v_ts"], r["c_ts"])
+        for r in v.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).select("user_id", "v_ts", "c_ts").collect()
+    }
+    assert matched <= inner
+    # an unmatched view really has no qualifying click in the batch view
+    inner_views = {(u, t) for u, t, _ in inner}
+    for r in unmatched:
+        assert (r["user_id"], r["v_ts"]) not in inner_views
