@@ -165,10 +165,13 @@ def test_drift_monitor_stateful_across_triggers(spark, sf_dir, tmp_path):
 
     insample_dir = str(tmp_path / "insample")
     e.repartition(3).write.parquet(insample_dir)
+    # guaranteed drift at ANY fixture: every cell points exactly at
+    # centroid 0, so the assignment mix collapses to (almost) one-hot —
+    # chi2 grows with n regardless of the data's cluster structure
+    c0 = [float(v) for v in model.get_Y()[:, 0]]
     shifted_dir = str(tmp_path / "shifted")
     e.withColumn(
-        "embedding",
-        F.transform("embedding", lambda x: x + F.lit(0.5)).cast("array<float>"),
+        "embedding", F.array(*[F.lit(v) for v in c0]).cast("array<float>")
     ).write.parquet(shifted_dir)
 
     def run_drift(path, name, max_files=None):
@@ -218,7 +221,7 @@ def test_drift_refit_controller_closes_loop(spark, sf_dir, tmp_path):
 
     shifted = e.withColumn(
         "embedding",
-        F.transform("embedding", lambda x: x + F.lit(0.5)).cast("array<float>"),
+        F.transform("embedding", lambda x: x + F.lit(2.0)).cast("array<float>"),
     )
     shifted_dir = str(tmp_path / "shifted")
     shifted.repartition(3).write.parquet(shifted_dir)
@@ -274,7 +277,7 @@ def test_drift_monitor_second_covariate(spark, sf_dir, tmp_path):
     cells.write.parquet(in_dir)
     cells.withColumn(
         "embedding",
-        F.transform("embedding", lambda x: x + F.lit(0.5)).cast("array<float>"),
+        F.transform("embedding", lambda x: x + F.lit(2.0)).cast("array<float>"),
     ).write.parquet(sh_dir)
 
     def monitor(path, name):
