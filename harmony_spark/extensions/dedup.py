@@ -451,3 +451,53 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("da", "db")
         .limit(1000)
     )
+
+
+@register(
+    "q86_substring_shingle_dedup",
+    oracle=r"""
+        WITH sh AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+                 i -> array_to_string(toks[i:i+7], ' '))) AS shingle
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                FROM documents) t
+        ),
+        g AS (SELECT shingle, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY shingle)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_dup_shingles,
+               CAST((SELECT COUNT(DISTINCT doc_id) FROM sh
+                     WHERE shingle IN (SELECT shingle FROM g WHERE nd > 1)) AS BIGINT)
+                   AS n_docs_affected
+        FROM g
+    """,
+    doc="Exact-substring dedup census (Lee et al. 2022 'Deduplicating "
+    "Training Data' family): every 8-token shingle, which of them occur "
+    "in more than one document, and how many documents carry a shared "
+    "shingle. Row-local shingle generation (higher-order transform + "
+    "posexplode — no self-join), then one hash aggregate keyed on the "
+    "shingle. At 100 TB the groupBy key becomes xxhash64(shingle) so the "
+    "shuffle carries 8-byte keys instead of 8-token strings; the string "
+    "form here keeps the oracle exact.",
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    shingles = F.expr(
+        "transform(sequence(0, size(toks) - 8), "
+        "i -> concat_ws(' ', slice(toks, i + 1, 8)))"
+    )
+    sh = (
+        table_parallel(spark, sf, "documents")
+        .select("doc_id", _tokens().alias("toks"))
+        .where(F.size("toks") >= 8)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+    )
+    g = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = g.where(F.col("nd") > 1)
+    totals = g.agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.count(F.when(F.col("nd") > 1, 1)).cast("long").alias("n_dup_shingles"),
+    )
+    affected = (
+        sh.join(dup.select("shingle"), "shingle", "left_semi")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs_affected"))
+    )
+    return totals.crossJoin(affected)

@@ -219,3 +219,70 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), "tok")
         .limit(50)
     )
+
+
+# Fixed scrub list for q84 — the redaction machinery (word-boundary
+# regexp_replace) is what matters; swap the pattern for PII regexes
+# (emails/phones/SSNs) on a real corpus.
+_SCRUB_PATTERN = r"\b(the|a|and|of|to)\b"
+
+
+@register(
+    "q84_regex_scrub",
+    oracle=r"""
+        SELECT source,
+               COUNT(*) AS docs,
+               CAST(SUM(len(text)) AS BIGINT) AS raw_chars,
+               CAST(SUM(len(regexp_replace(lower(text), '\b(the|a|and|of|to)\b', '', 'g'))) AS BIGINT) AS scrubbed_chars
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="Regex redaction/scrub transform: word-boundary regexp_replace "
+    "over every document, per-source before/after char accounting. The "
+    "PII-redaction shape for a training pipeline — pattern is a constant, "
+    "the transform is a pure JVM column expression (no UDF), so the scan "
+    "+ replace pipeline stays in whole-stage codegen and scales linearly "
+    "with corpus bytes; no shuffle until the tiny per-source aggregate.",
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    scrubbed = F.regexp_replace(F.lower(F.col("text")), _SCRUB_PATTERN, "")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.length("text")).cast("long").alias("raw_chars"),
+            F.sum(F.length(scrubbed)).cast("long").alias("scrubbed_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q85_bigram_counts",
+    oracle=r"""
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])) AS bigram
+              FROM (SELECT string_split_regex(lower(text), '\s+') AS toks
+                    FROM documents) t) s
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+    doc="Bigram language-model statistics: adjacent-token pairs via a "
+    "higher-order transform over the token array (no self-join — the "
+    "classic n-gram-by-join formulation would shuffle the corpus "
+    "against itself; this stays row-local until a count aggregate on "
+    "short bigram strings), then global top-20.",
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"
+    )
+    return (
+        table(spark, sf, "documents")
+        .select(_tokens().alias("toks"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

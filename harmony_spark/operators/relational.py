@@ -932,3 +932,183 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------- compound TPC-H shapes, continued ----
+
+
+@register(
+    "q79_order_priority_semi",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: semi join with a correlated non-equi residual "
+    "(late shipments — l_shipdate > o_orderdate + 60d). The equi key "
+    "carries the shuffle; the date inequality is a post-join residual, "
+    "so no theta-join blowup at 100 TB.",
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q80_returned_items",
+    oracle="""
+        SELECT c_custkey, c_name, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue per customer — fact-fact "
+    "join under pushdown filters, constant dim broadcast, top-k on the "
+    "aggregate.",
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    n = table(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q81_large_volume_customer",
+    oracle="""
+        SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+               ROUND(t.sum_qty, 6) AS sum_qty
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(l_quantity) > 250) t ON o_orderkey = t.l_orderkey
+        ORDER BY price DESC, o_orderkey LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: HAVING-filtered aggregate subquery joined back "
+    "to the facts. The inner groupBy collapses lineitem to one row per "
+    "order BEFORE the join, so the join input is already reduced — the "
+    "aggregate acts as the filter.",
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    big = (
+        table(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty_raw"))
+        .where(F.col("sum_qty_raw") > 250)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.round("sum_qty_raw", 6).alias("sum_qty"),
+        )
+        .orderBy(F.col("price").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q82_volume_shipping",
+    oracle="""
+        SELECT supp_nation, cust_nation, yr,
+               CAST(SUM(volume_e4) AS BIGINT) AS revenue_e4
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(EXTRACT(year FROM l_shipdate) AS INT) AS yr,
+                     CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT) AS volume_e4
+              FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE (n1.n_nationkey < 13 AND n2.n_nationkey >= 13)
+                 OR (n1.n_nationkey >= 13 AND n2.n_nationkey < 13)) t
+        GROUP BY supp_nation, cust_nation, yr
+        ORDER BY supp_nation, cust_nation, yr
+    """,
+    doc="TPC-H Q7 shape: bidirectional nation-group volume by ship year — "
+    "two roles of the same dim table (self-aliased nation), a symmetric "
+    "OR predicate, and year bucketing. Both nation aliases broadcast; "
+    "the OR filter prunes before the aggregate. (Groups of nations "
+    "rather than the classic single pair so every test SF has rows; "
+    "revenue summed in exact integer 1e-4 currency units — the repo's "
+    "standard trick for cross-engine float-sum hashing.)",
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    s = table(spark, sf, "supplier")
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    n1 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("n1_key") < 13) & (F.col("n2_key") >= 13) | (F.col("n1_key") >= 13) & (
+        F.col("n2_key") < 13
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("revenue_e4")
+        )
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )

@@ -148,3 +148,63 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("o_custkey", "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "q83_event_funnel",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT CASE WHEN t_view IS NOT NULL THEN user_id END) AS BIGINT) AS n_viewed,
+               CAST(COUNT(DISTINCT CASE WHEN t_click IS NOT NULL THEN user_id END) AS BIGINT) AS n_clicked,
+               CAST(COUNT(DISTINCT CASE WHEN t_buy IS NOT NULL THEN user_id END) AS BIGINT) AS n_purchased
+        FROM (
+          SELECT user_id, t_view, t_click,
+                 MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                     OVER (PARTITION BY user_id) AS t_buy
+          FROM (
+            SELECT user_id, event_type, ts, t_view,
+                   MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_click
+            FROM (
+              SELECT user_id, event_type, ts,
+                     MIN(CASE WHEN event_type = 'view' THEN ts END)
+                         OVER (PARTITION BY user_id) AS t_view
+              FROM events) a) b) c
+    """,
+    doc="Ordered funnel (view -> click-after-view -> purchase-after-click) "
+    "as three chained conditional window minima over one events scan — no "
+    "self-joins, one shuffle on user_id reused by all three windows "
+    "(identical partitioning, Catalyst plans a single Exchange).",
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    w = Window.partitionBy("user_id")
+    ev = table_parallel(spark, sf, "events").select("user_id", "event_type", "ts")
+    step1 = ev.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    step2 = step1.withColumn(
+        "t_click",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+        ).over(w),
+    )
+    step3 = step2.withColumn(
+        "t_buy",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")), F.col("ts")
+            )
+        ).over(w),
+    )
+    return step3.agg(
+        F.countDistinct(F.when(F.col("t_view").isNotNull(), F.col("user_id")))
+        .cast("long")
+        .alias("n_viewed"),
+        F.countDistinct(F.when(F.col("t_click").isNotNull(), F.col("user_id")))
+        .cast("long")
+        .alias("n_clicked"),
+        F.countDistinct(F.when(F.col("t_buy").isNotNull(), F.col("user_id")))
+        .cast("long")
+        .alias("n_purchased"),
+    )

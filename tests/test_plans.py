@@ -100,6 +100,7 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q37_cosine_topk",  # inequality join vs 3 broadcast query vectors
     "q45_embedding_neardup",  # vec_id < 150 exact-verification window
     "q33_ngram_jaccard",  # doc_id-windowed token-set pairs
+    "q86_substring_shingle_dedup",  # cross join of two single-row aggregates
 }
 
 
