@@ -64,13 +64,20 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
-def clustering_quality(path: str, column: str) -> float:
+def clustering_quality(path: str, column: str, probes: list | None = None) -> float:
     """Average fraction of row groups a point lookup on `column` must
     read, estimated from parquet footer min/max stats only.
 
-    For each observed distinct-range midpoint probe we count row groups
-    whose [min, max] contains it. Returns mean(matching/total); lower is
-    better (1.0 = every lookup scans everything)."""
+    For each probe value we count row groups whose [min, max] contains
+    it. Returns mean(matching/total); lower is better (1.0 = every
+    lookup scans everything).
+
+    `probes` defaults to 64 evenly spaced points across the global value
+    range — a *uniform-workload* model. For skewed data pass real values
+    (e.g. a sample of the column) to get the *mass-weighted* quality:
+    the number that matters when lookups arrive in proportion to the
+    data, which is where equi-width bucketing falls over and equi-depth
+    holds."""
     import glob
     import os
 
@@ -93,43 +100,80 @@ def clustering_quality(path: str, column: str) -> float:
             spans.append((st.min, st.max))
     if not spans:
         return 1.0
-    lo = min(s[0] for s in spans)
-    hi = max(s[1] for s in spans)
-    if hi == lo:
-        return 1.0
-    # probe at 64 evenly spaced points across the global range
-    probes = [lo + (hi - lo) * i / 63 for i in range(64)]
+    if probes is None:
+        lo = min(s[0] for s in spans)
+        hi = max(s[1] for s in spans)
+        if hi == lo:
+            return 1.0
+        probes = [lo + (hi - lo) * i / 63 for i in range(64)]
     fracs = [
         sum(1 for s in spans if s[0] <= p <= s[1]) / len(spans) for p in probes
     ]
     return sum(fracs) / len(fracs)
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
-    """Computed Morton (Z-order) key: each column is scaled to a
-    2^bits-bucket grid (equi-width over its observed min/max — one tiny
-    agg) and the bucket bits are interleaved. Rows close in Z-key are
-    close in EVERY clustered dimension, so row-group min/max stats
-    become selective for predicates on any single one — the plain-
-    parquet emulation of Delta/Iceberg Z-ordering.
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8, method: str = "equiwidth"):
+    """Computed Morton (Z-order) key: each column is mapped to a
+    2^bits-bucket grid and the bucket bits are interleaved. Rows close
+    in Z-key are close in EVERY clustered dimension, so row-group
+    min/max stats become selective for predicates on any single one —
+    the plain-parquet emulation of Delta/Iceberg Z-ordering.
 
-    Returns (column_expression, stats_row) — the expression references
-    only built-in bit ops, so it stays in whole-stage codegen."""
+    Bucketing methods:
+      * ``equiwidth`` — buckets of equal VALUE width over the observed
+        min/max (one tiny agg). Right when values are ~uniform; on a
+        skewed column most rows collapse into a few buckets and hot-
+        range lookups stop pruning.
+      * ``equidepth`` — bucket boundaries at the 1/2^bits quantiles
+        (one percentile_approx agg), so every bucket holds ~equal ROW
+        mass regardless of the value distribution. The boundary array
+        is a literal in the plan; bucket assignment is an aggregate()
+        over it (<= 255 comparisons/row, JVM-side).
+
+    Returns (column_expression, stats) — equiwidth: the min/max Row;
+    equidepth: {col: [boundaries]}. The expression uses only built-in
+    ops either way, so it stays in whole-stage codegen."""
     from pyspark.sql import functions as F
 
-    stats = df.agg(
-        *[F.min(c).alias(f"min_{c}") for c in cols],
-        *[F.max(c).alias(f"max_{c}") for c in cols],
-    ).first()
     n_buckets = (1 << bits) - 1
+    buckets: list = []
+    if method == "equiwidth":
+        stats = df.agg(
+            *[F.min(c).alias(f"min_{c}") for c in cols],
+            *[F.max(c).alias(f"max_{c}") for c in cols],
+        ).first()
+        for c in cols:
+            lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+            span = (hi - lo) or 1
+            buckets.append(
+                F.least(
+                    F.lit(n_buckets),
+                    ((F.col(c) - F.lit(lo)) * n_buckets / F.lit(span)).cast("long"),
+                )
+            )
+    elif method == "equidepth":
+        qs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        row = df.agg(
+            *[F.percentile_approx(c, qs, 10000).alias(c) for c in cols]
+        ).first()
+        stats = {}
+        for c in cols:
+            bounds = sorted(set(row[c]))  # skew collapses quantiles; dedupe
+            stats[c] = bounds
+            arr = F.array(*[F.lit(b) for b in bounds])
+            buckets.append(
+                F.aggregate(
+                    arr,
+                    F.lit(0).cast("long"),
+                    lambda acc, b: acc
+                    + F.when(F.col(c) > b, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+                )
+            )
+    else:
+        raise ValueError(f"unknown zorder method {method!r}")
+
     z = F.lit(0).cast("long")
-    for ci, c in enumerate(cols):
-        lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
-        span = (hi - lo) or 1
-        bucket = F.least(
-            F.lit(n_buckets),
-            ((F.col(c) - F.lit(lo)) * n_buckets / F.lit(span)).cast("long"),
-        )
+    for ci, bucket in enumerate(buckets):
         for j in range(bits):
             z = z.bitwiseOR(
                 F.shiftleft(
@@ -146,11 +190,14 @@ def write_zordered(
     cols: list[str],
     bits: int = 8,
     num_files: int | None = None,
+    method: str = "equiwidth",
 ) -> None:
     """Cluster on the interleaved key and write: multi-dimensional
     row-group pruning from a single sort, where write_clustered only
-    serves its first column."""
-    z, _ = zorder_key(df, cols, bits)
+    serves its first column. ``method="equidepth"`` switches to
+    quantile bucket boundaries — use it when any clustered column is
+    skewed (see zorder_key)."""
+    z, _ = zorder_key(df, cols, bits, method=method)
     zdf = df.withColumn("_zkey", z)
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
     (

@@ -323,3 +323,33 @@ def test_ivf_index_search_prunes_partitions(spark, sf_dir, tmp_path):
     # the filter clause names cid right after PartitionFilters
     assert "cid" in plan.split("PartitionFilters", 1)[1][:120], plan
     assert len(res.collect()) > 0
+
+
+def test_zorder_equidepth_prunes_skewed_column(spark, tmp_path):
+    """Equi-width bucketing collapses a heavy-tailed column into a few
+    hot buckets: every mass-weighted lookup (probes drawn from the data
+    itself) scans ~every row group. Equi-depth boundaries
+    (percentile_approx quantiles) restore pruning. The uniform second
+    dimension keeps working under both methods."""
+    import numpy as np
+
+    from harmony_spark.operators.layout import clustering_quality, write_zordered
+
+    rng = np.random.default_rng(7)
+    n = 60_000
+    a = np.floor(rng.pareto(1.2, n) * 100).astype("int64")  # heavy tail
+    b = rng.integers(0, 100_000, n)
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(a, b)], "a long, b long"
+    )
+    probes = [int(x) for x in rng.choice(a, 200)]  # mass-weighted workload
+
+    width, depth = str(tmp_path / "width"), str(tmp_path / "depth")
+    write_zordered(df, width, ["a", "b"], bits=8, num_files=8, method="equiwidth")
+    write_zordered(df, depth, ["a", "b"], bits=8, num_files=8, method="equidepth")
+
+    assert clustering_quality(width, "a", probes=probes) > 0.95  # no pruning
+    assert clustering_quality(depth, "a", probes=probes) < 0.85
+    # the uniform dimension stays prunable under both methods
+    assert clustering_quality(width, "b") < 0.6
+    assert clustering_quality(depth, "b") < 0.6
