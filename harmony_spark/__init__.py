@@ -33,6 +33,7 @@ _EXPORTS = {
     "DriftRefitController": ("harmony_spark.streaming.drift", "DriftRefitController"),
     "parquet_sink": ("harmony_spark.streaming.ops", "parquet_sink"),
     "ingest_documents": ("harmony_spark.streaming.ops", "ingest_documents"),
+    "streaming_heavy_hitters": ("harmony_spark.streaming.ops", "streaming_heavy_hitters"),
     "connected_components": ("harmony_spark.operators.graph", "connected_components"),
     "self_pairs_skew_safe": ("harmony_spark.operators.skew", "self_pairs_skew_safe"),
     "write_clustered": ("harmony_spark.operators.layout", "write_clustered"),

@@ -227,3 +227,71 @@ def interval_left_join_views_clicks(events: DataFrame) -> DataFrame:
         & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
         "left_outer",
     ).select("user_id", "v_ts", "c_ts")
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    key_col: str = "user_id",
+    capacity: int = 32,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Hot-key detection over an unbounded stream with BOUNDED state:
+    a sharded Space-Saving sketch via applyInPandasWithState.
+
+    Why not running totals per key? `running_user_totals`-style state
+    grows with key cardinality — at 100 TB/day of URLs that is the
+    stream that OOMs. Space-Saving keeps at most `capacity` counters
+    per shard: a new key evicts the current minimum and inherits its
+    count (recorded as the entry's error bound). Keys are
+    hash-sharded, so the per-shard sketches cover disjoint key sets
+    and their union is the global sketch; total state is
+    n_shards x capacity counters, independent of both stream length
+    and key cardinality.
+
+    Guarantees (classic Space-Saving): est >= true count, and
+    est - err <= true count; any key with true count > N_shard/capacity
+    is guaranteed present in its shard's sketch.
+
+    Emits each shard's full sketch every trigger:
+    (shard, key, est, err) in update mode.
+    """
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ks, cs, es = state.get
+            sketch = {k: [c, e] for k, c, e in zip(ks, cs, es)}
+        else:
+            sketch = {}
+        for pdf in pdfs:
+            for k, inc in pdf["_k"].value_counts().items():
+                inc = int(inc)
+                if k in sketch:
+                    sketch[k][0] += inc
+                elif len(sketch) < capacity:
+                    sketch[k] = [inc, 0]
+                else:
+                    evict = min(sketch, key=lambda x: sketch[x][0])
+                    floor = sketch.pop(evict)[0]
+                    sketch[k] = [floor + inc, floor]
+        ks = list(sketch)
+        state.update((ks, [sketch[k][0] for k in ks], [sketch[k][1] for k in ks]))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(ks),
+                "key": ks,
+                "est": [sketch[k][0] for k in ks],
+                "err": [sketch[k][1] for k in ks],
+            }
+        )
+
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("_k"),
+        (F.abs(F.xxhash64(F.col(key_col).cast("string"))) % n_shards).alias("_shard"),
+    )
+    return keyed.groupBy("_shard").applyInPandasWithState(
+        update,
+        outputStructType="shard long, key string, est long, err long",
+        stateStructType="ks array<string>, cs array<long>, es array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -509,3 +509,51 @@ def test_stream_stream_left_outer_interval_join(spark, sf_dir, tmp_path):
     inner_views = {(u, t) for u, t, _ in inner}
     for r in unmatched:
         assert (r["user_id"], r["v_ts"]) not in inner_views
+
+
+def test_streaming_heavy_hitters_bounds(spark, sf_dir):
+    """Sharded Space-Saving sketch: every estimate must satisfy
+    true <= est <= true + err (overestimate with tracked error), every
+    key whose true count exceeds the per-shard guarantee threshold must
+    be present, and state stays at <= n_shards * capacity counters."""
+    import pyspark.sql.functions as F
+
+    from harmony_spark.io import table
+
+    # sf0.001 has ~15 distinct users; capacity 3 x 2 shards forces real
+    # evictions so the error-tracking path is exercised, not just the
+    # fill path
+    capacity, n_shards = 3, 2
+    events = ops.stream_events(spark, sf_dir)
+    got = run_stream(
+        ops.streaming_heavy_hitters(events, capacity=capacity, n_shards=n_shards),
+        spark,
+        "t_hh",
+        "update",
+    )
+    # single source file -> one micro-batch -> emissions ARE the final
+    # sketch; max() per (shard, key) is then exact
+    latest = (
+        got.groupBy("shard", "key").agg(F.max("est").alias("est"), F.max("err").alias("err"))
+    )
+    sk = {r["key"]: (r["est"], r["err"]) for r in latest.collect()}
+    assert len(sk) <= n_shards * capacity
+
+    ev = table(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("k"))
+    true = {r["k"]: r["n"] for r in ev.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    shard_of = {
+        r["k"]: r["s"]
+        for r in ev.select(
+            "k", (F.abs(F.xxhash64("k")) % n_shards).alias("s")
+        ).distinct().collect()
+    }
+    shard_n = {}
+    for k, n in true.items():
+        shard_n[shard_of[k]] = shard_n.get(shard_of[k], 0) + n
+
+    for k, (est, err) in sk.items():
+        assert true[k] <= est <= true[k] + err, (k, est, err, true[k])
+    # guaranteed presence: true count > N_shard / capacity
+    for k, n in true.items():
+        if n > shard_n[shard_of[k]] / capacity:
+            assert k in sk, (k, n)
