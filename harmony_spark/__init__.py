@@ -28,6 +28,7 @@ _EXPORTS = {
     "run_harmony_matrices": ("harmony_spark.api", "run_harmony_matrices"),
     "get_spark": ("harmony_spark.session", "get_spark"),
     "load_all": ("harmony_spark.registry", "load_all"),
+    "read_any": ("harmony_spark.io", "read_any"),
     "ship": ("harmony_spark.deploy", "ship"),
     "drift_monitor": ("harmony_spark.streaming.drift", "drift_monitor"),
     "DriftRefitController": ("harmony_spark.streaming.drift", "DriftRefitController"),

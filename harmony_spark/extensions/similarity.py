@@ -300,3 +300,49 @@ def bucketed_ann(spark: SparkSession, sf: str, k: int = TOP_K) -> DataFrame:
         .where(F.col("rn") <= k)
         .orderBy("q_id", "rn")
     )
+
+
+@register(
+    "q87_cluster_scatter",
+    oracle="""
+        WITH flat AS (
+          SELECT label, vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings
+        ),
+        percomp AS (
+          SELECT label, i, SUM(x) AS sx, SUM(x * x) AS sxx, COUNT(*) AS n
+          FROM flat GROUP BY label, i
+        )
+        SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+               ROUND(SUM(sxx - sx * sx / n), 4) AS within_ss
+        FROM percomp GROUP BY label ORDER BY label
+    """,
+    doc="Cluster-quality scatter: per-label within-cluster sum of squares "
+    "via the centered-sum identity sum(x^2) - (sum x)^2 / n per "
+    "(label, dim) — one posexplode + one hash aggregate, no centroid "
+    "join, no second pass. The workhorse metric for judging an ANN "
+    "index's bucketing or a clustering's tightness at corpus scale; "
+    "identity form keeps it a single shuffle of K x d partials.",
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    flat = (
+        table(spark, sf, "embeddings")
+        .select("label", "vec_id", F.posexplode("embedding").alias("i", "x"))
+        .select("label", "vec_id", "i", F.col("x").cast("double").alias("x"))
+    )
+    percomp = flat.groupBy("label", "i").agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count("*").alias("n"),
+    )
+    return (
+        percomp.groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.round(F.sum(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")), 4).alias(
+                "within_ss"
+            ),
+        )
+        .orderBy("label")
+    )

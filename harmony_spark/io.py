@@ -71,3 +71,45 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all testdata tables as temp views for the SQL surface."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_any(spark: SparkSession, path: str, fmt: str | None = None, schema=None, **options) -> DataFrame:
+    """Format-dispatching source: parquet / csv / json / orc behind one
+    entry point, with the engine's conventions applied uniformly.
+
+    * format inferred from the file extension when not given;
+    * csv defaults to header + schema inference OFF (an explicit schema
+      keeps the scan single-pass — inference reads the data twice, which
+      at 100 TB means reading 100 TB twice); pass ``schema`` or
+      ``inferSchema=True`` explicitly for exploration;
+    * json is JSON-Lines (the only JSON layout that splits across
+      workers; multiline JSON is a single-task read — refuse to default
+      into that);
+    * parquet TIMESTAMP(NANOS) columns get the same nanos handling as
+      :func:`table` when present.
+    """
+    if fmt is None:
+        ext = os.path.splitext(path.rstrip("/"))[1].lstrip(".").lower()
+        fmt = {"pq": "parquet"}.get(ext, ext) or "parquet"
+    fmt = fmt.lower()
+    if fmt == "parquet":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.options(**options).parquet(path)
+    if fmt == "csv":
+        reader = spark.read.options(header="true", **options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        elif not options.get("inferSchema"):
+            raise ValueError(
+                "csv without a schema: pass schema=... (single-pass scan) "
+                "or inferSchema=True explicitly (double read, exploration only)"
+            )
+        return reader.csv(path)
+    if fmt == "json":
+        reader = spark.read.options(**options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.json(path)
+    if fmt == "orc":
+        return spark.read.options(**options).orc(path)
+    raise ValueError(f"unsupported format {fmt!r}; expected parquet/csv/json/orc")

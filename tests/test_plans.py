@@ -160,3 +160,30 @@ def test_q68_decile_scale_path_matches_exact(spark, sf_dir):
     for d in range(1, 11):
         # within 5% of N of the exact decile occupancy
         assert abs(approx[d] - exact[d]) <= max(0.05 * n, 5), (d, approx[d], exact[d])
+
+
+def test_q79_semi_join_pushdown(spark, sf_dir):
+    """TPC-H Q4 shape: the order-date window must reach the orders scan
+    as PushedFilters; the EXISTS is a semi join on the equi key (no
+    cartesian from the date residual)."""
+    plan = plan_of(load_all()["q79_order_priority_semi"], spark, sf_dir)
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q80_dims_broadcast(spark, sf_dir):
+    """Returned-items: the constant-size nation dim must broadcast, and
+    the returnflag filter must reach the lineitem scan."""
+    plan = plan_of(load_all()["q80_returned_items"], spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q83_windows_share_one_exchange(spark, sf_dir):
+    """The three chained conditional window minima all partition by
+    user_id: Catalyst must plan ONE hash exchange for them (the second
+    exchange in the plan is the final scalar aggregate's)."""
+    plan = plan_of(load_all()["q83_event_funnel"], spark, sf_dir, mode="simple")
+    assert plan.count("Window") == 3
+    assert plan.count("Exchange hashpartitioning") <= 2

@@ -353,3 +353,34 @@ def test_zorder_equidepth_prunes_skewed_column(spark, tmp_path):
     # the uniform dimension stays prunable under both methods
     assert clustering_quality(width, "b") < 0.6
     assert clustering_quality(depth, "b") < 0.6
+
+
+def test_read_any_roundtrip_formats(spark, sf_dir, tmp_path):
+    """read_any must load csv/json/orc/parquet copies of the same table
+    into identical row sets, and must refuse schema-less csv (the
+    double-read trap) rather than silently scanning twice."""
+    import pytest
+
+    from harmony_spark.io import read_any, table
+
+    src = table(spark, sf_dir, "nation")
+    p_csv, p_json, p_orc = (
+        str(tmp_path / "n_csv"), str(tmp_path / "n_json"), str(tmp_path / "n_orc")
+    )
+    src.write.option("header", "true").csv(p_csv)
+    src.write.json(p_json)
+    src.write.orc(p_orc)
+
+    want = sorted(tuple(r) for r in src.collect())
+    got_csv = read_any(spark, p_csv, "csv", schema=src.schema)
+    got_json = read_any(spark, p_json, "json", schema=src.schema)
+    got_orc = read_any(spark, p_orc, "orc")
+    for got in (got_csv, got_json, got_orc):
+        assert sorted(tuple(r) for r in got.select(*src.columns).collect()) == want
+
+    with pytest.raises(ValueError, match="single-pass"):
+        read_any(spark, p_csv, "csv")
+
+    # events via read_any: the nanos-timestamp path must keep working
+    ev = read_any(spark, f"{sf_dir}/events.parquet")
+    assert dict(ev.dtypes)["ts"] == "bigint"  # raw nanos under the legacy conf
