@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from harmony_spark.io import table, table_parallel
 from harmony_spark.registry import register
@@ -501,3 +502,109 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.countDistinct("doc_id").cast("long").alias("n_docs_affected"))
     )
     return totals.crossJoin(affected)
+
+
+JACCARD_T = 0.6  # q89 similarity threshold
+
+
+def prefix_filtered_pairs(docs: DataFrame, threshold: float = JACCARD_T) -> DataFrame:
+    """Exact set-similarity join via prefix filtering (AllPairs/PPJoin
+    family, Bayardo et al. WWW'07): two token sets with Jaccard >= t
+    MUST share a token among each set's (|T| - ceil(t*|T|) + 1) rarest
+    tokens — so candidate pairs are generated only from those prefix
+    tokens, then verified exactly.
+
+    Scale shape: the candidate join is keyed on RARE tokens by
+    construction (prefix tokens are chosen in ascending document
+    frequency), so bucket sizes are inherently small — the opposite of
+    joining on common tokens, and the reason this family needs no LSH
+    banding or skew salting. Verification joins the (already tiny)
+    candidate set back to the token table.
+
+    Returns (da, db, jac) for all pairs with exact Jaccard >= threshold.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    sz = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (
+        toks.join(dfreq, "tok")
+        .join(sz, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    # ceil(0.6*sz) in exact integer form: DuckDB parses 0.6 as DECIMAL
+    # while Spark uses double (0.6*55 = 33.0000...01 -> ceil 34), so a
+    # float ceil here silently disagrees across engines
+    if abs(threshold - 0.6) > 1e-12:
+        raise ValueError("q89 prefix length is derived for threshold=0.6")
+    prefix = ranked.where(
+        F.col("rk") <= F.col("sz") - F.floor((3 * F.col("sz") + 4) / 5) + 1
+    ).select("doc_id", "tok")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("da"), F.col("tok").alias("t1"))
+    tb = toks.select(F.col("doc_id").alias("db2"), F.col("tok").alias("t2"))
+    inter = (
+        cand.join(ta, "da")
+        .join(tb, (F.col("db") == F.col("db2")) & (F.col("t1") == F.col("t2")))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    sb = sz.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    jac = F.col("i") / (F.col("sza") + F.col("szb") - F.col("i"))
+    return (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .where(jac >= threshold)
+        .select("da", "db", F.round(jac, 6).alias("jac"))
+    )
+
+
+@register(
+    "q89_prefix_similarity_join",
+    oracle=r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS tok
+          FROM documents
+        ),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        ranked AS (
+          SELECT t.doc_id, t.tok, s.sz,
+                 ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rk
+          FROM toks t JOIN dfreq d USING (tok) JOIN sz s USING (doc_id)
+        ),
+        prefix AS (SELECT doc_id, tok FROM ranked
+                   WHERE rk <= sz - ((3 * sz + 4) // 5) + 1),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                 FROM prefix a JOIN prefix b
+                   ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        inter AS (SELECT c.da, c.db, COUNT(*) AS i
+                  FROM cand c
+                  JOIN toks x ON x.doc_id = c.da
+                  JOIN toks y ON y.doc_id = c.db AND y.tok = x.tok
+                  GROUP BY c.da, c.db)
+        SELECT i.da, i.db,
+               ROUND(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) AS jac
+        FROM inter i JOIN sz sa ON sa.doc_id = i.da
+        JOIN sz sb ON sb.doc_id = i.db
+        WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= 0.6
+        ORDER BY da, db
+    """,
+    doc="Exact set-similarity self-join with prefix filtering (AllPairs/"
+    "PPJoin family): candidates only from each doc's rarest-token "
+    "prefix, then exact Jaccard verification. Complementary to the "
+    "MinHash path (q35): exact (no false negatives by construction, "
+    "test-pinned against the naive all-pairs join) where LSH is "
+    "probabilistic. Both dialects apply the identical pruning, so the "
+    "oracle checks the full pipeline.",
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    return prefix_filtered_pairs(table_parallel(spark, sf, "documents")).orderBy("da", "db")

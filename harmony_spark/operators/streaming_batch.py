@@ -129,3 +129,40 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q88_time_decayed_scores",
+    oracle="""
+        WITH mx AS (SELECT MAX(ts) AS tmax FROM events)
+        SELECT user_id, COUNT(*) AS n,
+               ROUND(SUM(value * EXP(-(datediff('microsecond', ts, tmax)
+                                       / 86400000000.0))), 4) AS score
+        FROM events, mx
+        GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Exponentially time-decayed engagement score per user "
+    "(half-life-style recency weighting, tau = 1 day): "
+    "score = sum(value * exp(-(t_max - ts)/tau)). The streaming-native "
+    "metric computed batch-side: decay is a row-local expression against "
+    "a driver-collected scalar t_max (no 1-row cross join in the plan), "
+    "then one hash aggregate. DuckDB datediff('microsecond') and Spark "
+    "unix_micros agree exactly, so the decay exponents are bit-identical "
+    "cross-engine.",
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    ev = table_parallel(spark, sf, "events")
+    tmax = ev.agg(F.max("ts")).first()[0]
+    decay = F.exp(
+        -(F.unix_micros(F.lit(tmax)) - F.unix_micros(F.col("ts"))) / F.lit(86400e6)
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value") * decay), 4).alias("score"),
+        )
+        .orderBy("user_id")
+    )

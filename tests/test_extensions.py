@@ -151,3 +151,40 @@ def test_package_top_level_exports_resolve():
 
     for name in h.__all__:
         assert getattr(h, name) is not None, name
+
+
+def test_q89_prefix_filter_is_lossless(spark, sf_dir):
+    """Prefix filtering must be an optimization, not an approximation:
+    the filtered join's result set equals the naive all-pairs exact
+    Jaccard join (threshold 0.6) on the same corpus."""
+    import pyspark.sql.functions as F
+
+    from harmony_spark.extensions.dedup import _tokens, prefix_filtered_pairs
+    from harmony_spark.io import table
+
+    docs = table(spark, sf_dir, "documents")
+    got = {
+        (r["da"], r["db"], r["jac"]) for r in prefix_filtered_pairs(docs).collect()
+    }
+
+    toks = docs.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("tok"))
+    sz = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    sb = sz.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    jac = F.col("i") / (F.col("sza") + F.col("szb") - F.col("i"))
+    naive = {
+        (r["da"], r["db"], r["jac"])
+        for r in inter.join(sa, "da")
+        .join(sb, "db")
+        .where(jac >= 0.6)
+        .select("da", "db", F.round(jac, 6).alias("jac"))
+        .collect()
+    }
+    assert got == naive
+    assert len(naive) > 0  # corpus must actually contain near-dups
