@@ -208,3 +208,35 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_purchased"),
     )
+
+
+@register(
+    "q90_latest_per_key",
+    oracle="""
+        SELECT user_id, event_type, event_id, value FROM (
+          SELECT user_id, event_type, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1 ORDER BY user_id, event_type
+    """,
+    doc="Latest-wins compaction (the CDC/upsert-view pattern): one row "
+    "per (user_id, event_type) key, the newest by (ts, event_id). A "
+    "single ranking window on the key — the materialization step every "
+    "mutable-table view needs over an append-only log. At 100 TB this "
+    "is the query run per partition during compaction; nothing global, "
+    "shuffle keyed on the deduplication key only.",
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        table_parallel(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")
+    )
