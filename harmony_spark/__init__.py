@@ -43,6 +43,8 @@ _EXPORTS = {
     "clustering_quality": ("harmony_spark.operators.layout", "clustering_quality"),
     "compact_parquet": ("harmony_spark.operators.layout", "compact_parquet"),
     "build_ivf_index": ("harmony_spark.operators.advanced", "build_ivf_index"),
+    "quantize_embeddings": ("harmony_spark.extensions.similarity", "quantize_embeddings"),
+    "quantized_topk": ("harmony_spark.extensions.similarity", "quantized_topk"),
     "ivf_search": ("harmony_spark.operators.advanced", "ivf_search"),
     "scale_expression": ("harmony_spark.functions.preprocessing", "scale_expression"),
 }

@@ -346,3 +346,57 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def quantize_embeddings(df: DataFrame, col: str = "embedding") -> tuple[DataFrame, list, list]:
+    """Scalar int8 quantization: per-dimension min/max over the corpus
+    (one posexplode aggregate), then each value maps to [-127, 127].
+    Returns (df + `qemb` ARRAY<TINYINT>, mins, spans).
+
+    Why: at 100 TB an ARRAY<FLOAT> embedding column is the table — int8
+    cuts stored bytes 4x (and the object-store scan term with it), and
+    integer dot products rank candidates well enough that the exact
+    float pass only runs on the shortlist (test-pinned recall). The
+    min/max arrays are plan literals, so quantization is a pure
+    whole-stage-codegen projection — no UDF, no shuffle."""
+    d = df.select(F.posexplode(col).alias("i", "x")).groupBy("i").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    rows = sorted((r["i"], r["lo"], r["hi"]) for r in d.collect())
+    mins = [r[1] for r in rows]
+    spans = [(r[2] - r[1]) or 1.0 for r in rows]
+    mins_arr = F.array(*[F.lit(float(v)) for v in mins])
+    spans_arr = F.array(*[F.lit(float(v)) for v in spans])
+    qemb = F.expr(
+        f"transform({col}, (x, i) -> cast(round((x - __mins[i]) * 254 / __spans[i]) - 127 as tinyint))"
+    )
+    out = (
+        df.withColumn("__mins", mins_arr)
+        .withColumn("__spans", spans_arr)
+        .withColumn("qemb", qemb)
+        .drop("__mins", "__spans")
+    )
+    return out, mins, spans
+
+
+def quantized_topk(qdf: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Integer-dot-product top-k over the quantized column: the
+    shortlist pass of a two-stage (quantized rank -> exact rerank)
+    retrieval. Broadcast the quantized query rows; the corpus side
+    stays a narrow scan."""
+    q = qdf.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("qemb").alias("q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("qemb", "q_emb", lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("qdot").desc(), F.col("vec_id"))
+    return (
+        qdf.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", dot.alias("qdot"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
