@@ -348,6 +348,55 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_Q91_ORACLE = """
+WITH dims AS (
+    SELECT i, MIN(x) AS lo, MAX(x) AS hi
+    FROM (SELECT unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY i
+), stats AS (
+    SELECT list(CAST(lo AS DOUBLE) ORDER BY i) AS mins,
+           list(CASE WHEN hi = lo THEN 1.0
+                     ELSE CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE) END
+                ORDER BY i) AS spans
+    FROM dims
+), qe AS (
+    SELECT e.vec_id,
+           list_transform(e.embedding,
+               (x, i) -> CAST(round((CAST(x AS DOUBLE) - s.mins[i]) * 254 / s.spans[i]) - 127 AS BIGINT)
+           ) AS qemb
+    FROM embeddings e, stats s
+), pairs AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           CAST(list_dot_product(q.qemb, c.qemb) AS BIGINT) AS qdot
+    FROM qe q JOIN qe c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id IN (0, 1, 2, 3, 4)
+)
+SELECT q_id, vec_id, qdot
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, vec_id) AS rn
+      FROM pairs)
+WHERE rn <= 5
+"""
+
+
+@register(
+    "q91_quantized_topk",
+    oracle=_Q91_ORACLE,
+    doc="Int8 scalar quantization + integer-dot-product top-k: the "
+    "shortlist stage of two-stage retrieval, hash-matched end-to-end "
+    "against DuckDB (quantization is deterministic double arithmetic, "
+    "so even the rounding of every int8 code must agree). Recall vs "
+    "the exact float top-k is pinned separately in "
+    "tests/test_extensions.py. Storage story: qemb is 4x smaller than "
+    "the float column, and the quantize projection is pure "
+    "whole-stage codegen (mins/spans are plan literals).",
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    qdf, _, _ = quantize_embeddings(table(spark, sf, "embeddings"))
+    return quantized_topk(qdf, [0, 1, 2, 3, 4], k=TOP_K).select("q_id", "vec_id", "qdot")
+
+
 def quantize_embeddings(df: DataFrame, col: str = "embedding") -> tuple[DataFrame, list, list]:
     """Scalar int8 quantization: per-dimension min/max over the corpus
     (one posexplode aggregate), then each value maps to [-127, 127].
