@@ -608,3 +608,108 @@ def prefix_filtered_pairs(docs: DataFrame, threshold: float = JACCARD_T) -> Data
 )
 def q89(spark: SparkSession, sf: str) -> DataFrame:
     return prefix_filtered_pairs(table_parallel(spark, sf, "documents")).orderBy("da", "db")
+
+
+def adaptive_band_table(docs: DataFrame, hot_threshold: int = 2) -> DataFrame:
+    """(doc_id, b, lvl, key): LSH band keys where hot buckets are
+    signature-extended (skew-adaptive banding).
+
+    A boilerplate-heavy corpus concentrates documents into a few band
+    buckets; the pair join inside such a bucket is |B|^2. q76 attacks
+    that by decomposing the pair JOIN (triangle blocks); this operator
+    attacks the BANDING instead: any bucket with more than
+    ``hot_threshold`` members gets its key extended with the next
+    band's minhash pair (key = md5(band || mh_a || mh_b)), splitting
+    the bucket by additional signature evidence before any pair is
+    generated. Cold buckets keep the short key (full recall); hot
+    buckets trade a little recall (P(split|near-dup) follows the
+    minhash collision curve) for bounded bucket size — the knob a
+    100 TB dedup run turns when one boilerplate cluster would
+    otherwise dominate the shuffle.
+
+    Scale shape: bucket sizes are one groupBy over the band table; the
+    hot list (buckets over threshold) is tiny by construction, so it
+    broadcasts back onto the band table — no extra shuffle of the big
+    side, and the pair join stays bucket-local.
+    """
+    sig = _minhash_sig_spark(docs)
+    cols = []
+    for b in range(N_BANDS):
+        nb = (b + 1) % N_BANDS
+        band = F.md5(F.concat(F.col(f"mh_{2 * b}"), F.col(f"mh_{2 * b + 1}")).cast("binary"))
+        refined = F.md5(
+            F.concat(band, F.col(f"mh_{2 * nb}"), F.col(f"mh_{2 * nb + 1}")).cast("binary")
+        )
+        cols.append(
+            F.struct(F.lit(b).alias("b"), band.alias("band"), refined.alias("refined"))
+        )
+    bands = sig.select("doc_id", F.explode(F.array(*cols)).alias("bb")).select(
+        "doc_id", "bb.b", "bb.band", "bb.refined"
+    )
+    hot = (
+        bands.groupBy("b", "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > hot_threshold)
+        .select("b", "band", F.lit(True).alias("_hot"))
+    )
+    return bands.join(F.broadcast(hot), ["b", "band"], "left").select(
+        "doc_id",
+        "b",
+        F.coalesce("_hot", F.lit(False)).alias("lvl"),
+        F.when(F.col("_hot").isNotNull(), F.col("refined")).otherwise(F.col("band")).alias("key"),
+    )
+
+
+_Q92_ORACLE = f"""
+        WITH sig AS ({_minhash_sig_sql()}),
+        bands AS (
+          SELECT doc_id, b, band, refined FROM (
+            SELECT doc_id,
+                   UNNEST([0, 1, 2, 3]) AS b,
+                   UNNEST([md5(mh_0 || mh_1), md5(mh_2 || mh_3),
+                           md5(mh_4 || mh_5), md5(mh_6 || mh_7)]) AS band,
+                   UNNEST([md5(md5(mh_0 || mh_1) || mh_2 || mh_3),
+                           md5(md5(mh_2 || mh_3) || mh_4 || mh_5),
+                           md5(md5(mh_4 || mh_5) || mh_6 || mh_7),
+                           md5(md5(mh_6 || mh_7) || mh_0 || mh_1)]) AS refined
+            FROM sig) x),
+        hot AS (SELECT b, band FROM bands GROUP BY b, band HAVING COUNT(*) > 2),
+        keyed AS (
+          SELECT doc_id, bands.b, h.band IS NOT NULL AS lvl,
+                 CASE WHEN h.band IS NOT NULL THEN refined ELSE bands.band END AS key
+          FROM bands LEFT JOIN hot h ON h.b = bands.b AND h.band = bands.band)
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM keyed a JOIN keyed b
+          ON a.b = b.b AND a.lvl = b.lvl AND a.key = b.key AND a.doc_id < b.doc_id
+        ORDER BY da, db LIMIT 1000
+    """
+
+
+@register(
+    "q92_adaptive_lsh_pairs",
+    oracle=_Q92_ORACLE,
+    doc="Skew-ADAPTIVE LSH banding: buckets larger than the threshold "
+    "re-key on an extended signature (band hash || next band's minhash "
+    "pair) before pair generation, bounding per-bucket join fan-out at "
+    "the banding stage rather than the join stage (q76). Threshold "
+    "forced low so refinement actually fires on the test corpora; the "
+    "oracle replays the identical adaptive re-keying in DuckDB. Pair "
+    "set is test-pinned as a subset of q35's (refinement only ever "
+    "splits buckets, never invents pairs).",
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    keyed = adaptive_band_table(table_parallel(spark, sf, "documents"), hot_threshold=2)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.lvl") == F.col("b.lvl"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+        .orderBy("da", "db")
+        .limit(1000)
+    )

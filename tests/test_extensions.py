@@ -237,3 +237,26 @@ def test_int8_quantized_topk_recall(spark, sf_dir):
 
     recalls = [len(approx[qid] & exact[qid]) / 5 for qid in exact]
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_q92_refinement_only_splits_buckets(spark, sf_dir):
+    """Adaptive banding may only PRUNE candidate pairs relative to plain
+    banding (q35) — splitting a bucket can never invent a pair — and at
+    the forced-low threshold the re-keying must actually fire. (On this
+    corpus the hot buckets are EXACT duplicates — all 8 minhashes equal —
+    so the extended key keeps them together and the pair sets coincide;
+    that is the correct behavior, not a missed split.)"""
+    from harmony_spark.extensions.dedup import adaptive_band_table
+    from harmony_spark.io import table_parallel
+    from harmony_spark.registry import load_all
+
+    qs = load_all()
+    plain = {(r["da"], r["db"]) for r in qs["q35_minhash_lsh_pairs"].fn(spark, sf_dir).collect()}
+    adaptive = {
+        (r["da"], r["db"]) for r in qs["q92_adaptive_lsh_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert adaptive <= plain
+    assert len(adaptive) > 0
+    keyed = adaptive_band_table(table_parallel(spark, sf_dir, "documents"), hot_threshold=2)
+    n_rekeyed = keyed.where("lvl").count()
+    assert n_rekeyed > 2  # hot buckets exist and were re-keyed

@@ -187,3 +187,13 @@ def test_q83_windows_share_one_exchange(spark, sf_dir):
     plan = plan_of(load_all()["q83_event_funnel"], spark, sf_dir, mode="simple")
     assert plan.count("Window") == 3
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q92_hot_list_broadcast_and_band_keyed(spark, sf_dir):
+    """Adaptive banding must (a) broadcast the tiny hot-bucket list back
+    onto the band table (no shuffle of the big side for re-keying) and
+    (b) keep the pair join bucket-local — never a cartesian."""
+    plan = plan_of(load_all()["q92_adaptive_lsh_pairs"], spark, sf_dir, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
