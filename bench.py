@@ -34,20 +34,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
 
-    # warmup: JVM, codegen, parquet footer caches
-    specs["q08_batch_counts"].fn(spark, sf_dir).collect()
+    # warmup: JVM, codegen, parquet footer caches (failure tolerated —
+    # a broken warmup query must never zero the whole bench run)
+    try:
+        specs["q08_batch_counts"].fn(spark, sf_dir).collect()
+    except Exception as exc:  # noqa: BLE001
+        print(f"# warmup failed: {exc}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | dict] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     runs = int(os.environ.get("HARMONY_BENCH_RUNS", "2"))
     for name in sorted(specs):
         best, nrows = None, 0
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            rows = specs[name].fn(spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            nrows = len(rows)
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                rows = specs[name].fn(spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                nrows = len(rows)
+                best = dt if best is None else min(best, dt)
+        except Exception as exc:  # noqa: BLE001 — fault isolation per query
+            msg = f"{type(exc).__name__}: {exc}"[:500]
+            errors[name] = msg
+            print(f"# {name}: ERR {msg}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s ({nrows} rows)", file=sys.stderr)
@@ -59,6 +70,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
+    if errors:
+        out["errors"] = errors
 
     if os.environ.get("HARMONY_BENCH_DUCKDB"):
         import duckdb
@@ -76,11 +89,15 @@ def main() -> None:
             if specs[name].oracle is None:
                 continue
             best = None
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                con.sql(specs[name].oracle).fetchall()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+            try:
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    con.sql(specs[name].oracle).fetchall()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+            except Exception as exc:  # noqa: BLE001
+                print(f"# duckdb {name}: ERR {exc}", file=sys.stderr)
+                continue
             dtimings[name] = round(best, 3)
             dtotal += best
             print(f"# duckdb {name}: {best:.3f}s", file=sys.stderr)

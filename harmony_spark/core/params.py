@@ -141,7 +141,12 @@ def resolve_params(
         [np.full(B_vec[i], float(theta[i])) for i in range(len(vars_use))]
     )
     if options.tau > 0:
-        theta_exp = theta_exp * (1 - np.exp(-((N_b / (K * options.tau)) ** 2)))
+        # damping factor 1 - exp(-z^2) saturates at 1 well before z=40;
+        # clamp the NUMERATOR so neither the divide (subnormal tau) nor
+        # the square (z ~ 1e154) can overflow for extreme N_b/(K*tau)
+        den = float(K) * float(options.tau)
+        z = np.minimum(np.asarray(N_b, dtype=np.float64), 40.0 * den) / den
+        theta_exp = theta_exp * (1 - np.exp(-(z**2)))
     theta_exp = theta_exp.astype(np.float32)
 
     return ResolvedParams(

@@ -31,40 +31,73 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a parquet TIMESTAMP(NANOS) column to a usable timestamp,
+    branching on what the running Spark actually produced:
+
+    * ``timestamp_ntz`` — Spark 4.x reads the nanos column natively,
+      truncated to microseconds (verified equal to DuckDB's micros read);
+      cast to TIMESTAMP (exact under the engine's pinned UTC session tz)
+      so downstream epoch functions (``unix_micros`` etc.) resolve.
+    * ``bigint`` — older Sparks with ``spark.sql.legacy.parquet.nanosAsLong``
+      hand back raw nanos; rebuild micros with integer division (the ns
+      value exceeds double's 53-bit mantissa, so a float path would wobble
+      the microsecond by up to ~1us).
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Bare ``spark.read.parquet`` so predicates
     and projections declared downstream reach the scan (PushedFilters /
     ReadSchema).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; we read it as raw nanos (legacy conf, runtime
-    settable) and rebuild a micros timestamp — one narrow projection, no
-    extra pass.
+    ``events.ts`` is physically TIMESTAMP(NANOS); see
+    :func:`normalize_nanos_ts` for the version-adaptive handling.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
+        # no-op on Spark 4.x (native nanos read); enables the bigint
+        # fallback path on Sparks whose vectorized reader rejects nanos
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # epoch nanos are absolute; the NTZ->TIMESTAMP cast below is only
+        # exact under UTC, which the engine's own sessions already pin
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer division: the ns value exceeds double's 53-bit mantissa,
-        # so a float path would wobble the microsecond by up to ~1us
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_nanos_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the scan yields fewer input
+    splits than the session's parallelism. On a real 100 TB table the
+    files already split past the core count, so this is a no-op there —
+    the cluster plan never pays an exchange for it; locally it rescues
+    CPU-heavy operators from serializing on a single small-file split."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan + round-robin repartition to the session's default parallelism.
+    """Scan + :func:`ensure_parallelism`.
 
     The testdata tables are single small parquet files, so Spark's
     size-based splitting yields ONE input partition; CPU-heavy per-row
     expressions (md5 chains, JSON parsing) then serialize on one core.
-    On a real 100 TB table the files already split; this helper makes the
-    local plan match that shape. Use only under compute-bound operators —
-    plain scans stay on :func:`table` so pushdown isn't hidden behind an
-    exchange.
+    On a real 100 TB table the files already split and the repartition
+    gate passes the scan through untouched. Use only under compute-bound
+    operators — plain scans stay on :func:`table` so pushdown isn't
+    hidden behind an exchange.
     """
-    df = table(spark, sf_dir, name)
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    return ensure_parallelism(spark, table(spark, sf_dir, name))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -94,7 +127,10 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None, schema=None
     fmt = fmt.lower()
     if fmt == "parquet":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.options(**options).parquet(path)
+        df = spark.read.options(**options).parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = normalize_nanos_ts(df)
+        return df
     if fmt == "csv":
         reader = spark.read.options(header="true", **options)
         if schema is not None:

@@ -21,15 +21,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from harmony_spark.io import table
+from harmony_spark.io import normalize_nanos_ts, table
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream (one-file micro-batch).
 
-    Schema comes from the batch reader; ts arrives as TIMESTAMP(NANOS)
-    stored as int64, rebuilt to a micros timestamp exactly like
-    harmony_spark.io.table.
+    Schema comes from the batch reader; ts is TIMESTAMP(NANOS) in the
+    footer and gets the same version-adaptive normalization as the batch
+    path (harmony_spark.io.normalize_nanos_ts): native micros-truncated
+    timestamp_ntz on Spark 4.x, nanos-as-long rebuild on older Sparks.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -38,7 +39,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_nanos_ts(stream)
 
 
 def tumbling_counts(events: DataFrame, size: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:

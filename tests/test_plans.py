@@ -101,7 +101,22 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q45_embedding_neardup",  # vec_id < 150 exact-verification window
     "q33_ngram_jaccard",  # doc_id-windowed token-set pairs
     "q86_substring_shingle_dedup",  # cross join of two single-row aggregates
+    "q91_quantized_topk",  # broadcast of 5 fixed quantized query rows
 }
+
+
+def test_table_parallel_gate_no_exchange_when_split(spark, sf_dir):
+    """The parallelism rescue must be a no-op when the input is already
+    split >= the session parallelism (the 100 TB case): no extra
+    Exchange may be stacked on an already-parallel scan. A 1-split
+    local read still gets widened."""
+    from harmony_spark.io import ensure_parallelism, table
+
+    target = spark.sparkContext.defaultParallelism
+    pre = table(spark, sf_dir, "lineitem").repartition(target)
+    assert ensure_parallelism(spark, pre) is pre  # gate: no node added
+    one = table(spark, sf_dir, "lineitem").coalesce(1)
+    assert ensure_parallelism(spark, one).rdd.getNumPartitions() == target
 
 
 def test_no_unbounded_cartesian_anywhere(spark, sf_dir):

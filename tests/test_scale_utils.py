@@ -381,6 +381,9 @@ def test_read_any_roundtrip_formats(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="single-pass"):
         read_any(spark, p_csv, "csv")
 
-    # events via read_any: the nanos-timestamp path must keep working
+    # events via read_any: the nanos-timestamp path must keep working.
+    # Spark 4.x reads TIMESTAMP(NANOS) natively (timestamp_ntz, micros-
+    # truncated); older Sparks fall back to nanos-as-long (normalized to
+    # timestamp by read_any). Either way the column must be consumable.
     ev = read_any(spark, f"{sf_dir}/events.parquet")
-    assert dict(ev.dtypes)["ts"] == "bigint"  # raw nanos under the legacy conf
+    assert dict(ev.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
