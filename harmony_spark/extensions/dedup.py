@@ -516,54 +516,133 @@ def prefix_filtered_pairs(docs: DataFrame, threshold: float = JACCARD_T) -> Data
 
     Scale shape: the candidate join is keyed on RARE tokens by
     construction (prefix tokens are chosen in ascending document
-    frequency), so bucket sizes are inherently small — the opposite of
-    joining on common tokens, and the reason this family needs no LSH
-    banding or skew salting. Verification joins the (already tiny)
-    candidate set back to the token table.
+    frequency), so bucket sizes are inherently small on natural text —
+    the opposite of joining on common tokens, and the reason this family
+    needs no LSH banding or skew salting. Verification carries each
+    side's (distinct, sorted) token ARRAY onto the candidate pair and
+    computes the exact intersection with ``array_intersect`` in
+    whole-stage codegen — one row per candidate, never an exploded
+    candidate x token join (which on a degenerate tiny-vocabulary corpus
+    multiplies the candidate set by average document length). AQE picks
+    broadcast vs shuffle for the set-carry joins from the runtime size.
 
     Returns (da, db, jac) for all pairs with exact Jaccard >= threshold.
     """
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
+    i, u = F.col("i"), F.col("u")
+    return (
+        prefix_filtered_pairs_exact(docs, threshold)
+        .where(i / u >= threshold)
+        .select("da", "db", F.round(i / u, 6).alias("jac"))
     )
-    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    sz = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    ranked = (
-        toks.join(dfreq, "tok")
-        .join(sz, "doc_id")
-        .withColumn("rk", F.row_number().over(w))
-    )
+
+
+def prefix_filtered_pairs_exact(docs: DataFrame, threshold: float = JACCARD_T) -> DataFrame:
+    """Integer-exact core of :func:`prefix_filtered_pairs`: candidate
+    pairs from the prefix filter, verified to 5*|inter| >= 3*|union|
+    (Jaccard >= 0.6 with no float edge cases). Returns (da, db, i, u).
+
+    Two physical strategies behind one semantics:
+
+    * **bitmask path** (vocabulary <= 62 distinct tokens): the token
+      space is dictionary-encoded into one BIGINT per document, so
+      intersection/union are ``bit_count(a & b)`` in whole-stage
+      codegen, and each pair is emitted exactly once by keeping only
+      the join row whose token is the LOWEST set bit of the two prefix
+      masks' AND (bits are assigned in ascending global (df, tok)
+      order, so the lowest shared prefix bit is unique per pair) — no
+      ``distinct()`` shuffle, no verification join. This rescues the
+      degenerate corpus where prefix filtering can't prune (every
+      token is common) and candidates are inherently near-quadratic.
+    * **array path** (real text, large vocabulary): classic prefix
+      candidates + distinct + exact ``array_intersect`` verification.
+      Here prefix tokens are genuinely rare, so candidate counts are
+      small and this is the scalable plan — no driver-side state.
+
+    The vocabulary probe is one tiny aggregate (count of distinct
+    tokens); at 100 TB of natural text it returns "large" and the
+    engine never collects the dictionary.
+    """
     # ceil(0.6*sz) in exact integer form: DuckDB parses 0.6 as DECIMAL
     # while Spark uses double (0.6*55 = 33.0000...01 -> ceil 34), so a
     # float ceil here silently disagrees across engines
     if abs(threshold - 0.6) > 1e-12:
         raise ValueError("q89 prefix length is derived for threshold=0.6")
-    prefix = ranked.where(
-        F.col("rk") <= F.col("sz") - F.floor((3 * F.col("sz") + 4) / 5) + 1
-    ).select("doc_id", "tok")
+    sets = docs.select(
+        "doc_id", F.array_sort(F.array_distinct(_tokens())).alias("ts")
+    ).withColumn("sz", F.size("ts"))
+    toks = sets.select("doc_id", F.explode("ts").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    prefix_len = F.col("sz") - F.floor((3 * F.col("sz") + 4) / 5) + 1
+
+    if dfreq.count() <= 62:
+        return _mask_pairs(docs.sparkSession, sets, toks, dfreq, prefix_len)
+
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (
+        toks.join(dfreq, "tok")
+        .join(sets.select("doc_id", "sz"), "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    prefix = ranked.where(F.col("rk") <= prefix_len).select("doc_id", "tok")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("da"), F.col("tok").alias("t1"))
-    tb = toks.select(F.col("doc_id").alias("db2"), F.col("tok").alias("t2"))
-    inter = (
-        cand.join(ta, "da")
-        .join(tb, (F.col("db") == F.col("db2")) & (F.col("t1") == F.col("t2")))
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sz.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
-    sb = sz.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
-    jac = F.col("i") / (F.col("sza") + F.col("szb") - F.col("i"))
+    pa = sets.select(F.col("doc_id").alias("da"), F.col("ts").alias("tsa"), F.col("sz").alias("sza"))
+    pb = sets.select(F.col("doc_id").alias("db"), F.col("ts").alias("tsb"), F.col("sz").alias("szb"))
     return (
-        inter.join(sa, "da")
-        .join(sb, "db")
-        .where(jac >= threshold)
-        .select("da", "db", F.round(jac, 6).alias("jac"))
+        cand.join(pa, "da")
+        .join(pb, "db")
+        .withColumn("i", F.size(F.array_intersect("tsa", "tsb")))
+        .withColumn("u", F.col("sza") + F.col("szb") - F.col("i"))
+        .where(5 * F.col("i") >= 3 * F.col("u"))
+        .select("da", "db", "i", "u")
+    )
+
+
+def _mask_pairs(spark, sets: DataFrame, toks: DataFrame, dfreq: DataFrame, prefix_len) -> DataFrame:
+    """Bitmask strategy for :func:`prefix_filtered_pairs_exact` (see
+    its docstring). Bit i of a document's mask = presence of the i-th
+    token in ascending global (df, tok) order."""
+    vocab = dfreq.orderBy("df", "tok").collect()  # <= 62 rows by guard
+    idx_df = spark.createDataFrame(
+        [(r["tok"], i) for i, r in enumerate(vocab)], "tok string, idx int"
+    )
+    tm = toks.join(F.broadcast(idx_df), "tok")
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), idx)")
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    tmr = (
+        tm.withColumn("rk", F.row_number().over(w))
+        .join(sets.select("doc_id", "sz"), "doc_id")
+    )
+    per_doc = tmr.groupBy("doc_id").agg(
+        F.sum(bit).alias("fm"),
+        F.sum(F.when(F.col("rk") <= prefix_len, bit).otherwise(F.lit(0))).alias("pm"),
+        F.max("sz").alias("sz"),
+    )
+    pref = (
+        tmr.where(F.col("rk") <= prefix_len)
+        .select("doc_id", "idx")
+        .join(per_doc, "doc_id")
+    )
+    a = pref.select(
+        F.col("doc_id").alias("da"), F.col("idx").alias("ia"),
+        F.col("fm").alias("fa"), F.col("pm").alias("pa"), F.col("sz").alias("sza"),
+    )
+    b = pref.select(
+        F.col("doc_id").alias("db"), F.col("idx").alias("ib"),
+        F.col("fm").alias("fb"), F.col("pm").alias("pb"), F.col("sz").alias("szb"),
+    )
+    return (
+        a.join(b, (F.col("ia") == F.col("ib")) & (F.col("da") < F.col("db")))
+        # emit each pair exactly once: only at the lowest shared prefix bit
+        .where(F.expr("shiftleft(CAST(1 AS BIGINT), ia) = ((pa & pb) & -(pa & pb))"))
+        .withColumn("i", F.expr("bit_count(fa & fb)").cast("long"))
+        .withColumn("u", F.col("sza") + F.col("szb") - F.col("i"))
+        .where(5 * F.col("i") >= 3 * F.col("u"))
+        .select("da", "db", "i", "u")
     )
 
 
@@ -590,24 +669,45 @@ def prefix_filtered_pairs(docs: DataFrame, threshold: float = JACCARD_T) -> Data
                   FROM cand c
                   JOIN toks x ON x.doc_id = c.da
                   JOIN toks y ON y.doc_id = c.db AND y.tok = x.tok
-                  GROUP BY c.da, c.db)
-        SELECT i.da, i.db,
-               ROUND(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) AS jac
-        FROM inter i JOIN sz sa ON sa.doc_id = i.da
-        JOIN sz sb ON sb.doc_id = i.db
-        WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= 0.6
-        ORDER BY da, db
+                  GROUP BY c.da, c.db),
+        pairs AS (
+          SELECT i.i AS i, sa.sz + sb.sz - i.i AS u
+          FROM inter i JOIN sz sa ON sa.doc_id = i.da
+          JOIN sz sb ON sb.doc_id = i.db
+          WHERE 5 * i.i >= 3 * (sa.sz + sb.sz - i.i)
+        )
+        SELECT CAST((20 * i) // u AS BIGINT) AS bucket,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(i) AS BIGINT) AS sum_inter,
+               CAST(SUM(u) AS BIGINT) AS sum_union
+        FROM pairs GROUP BY bucket ORDER BY bucket
     """,
     doc="Exact set-similarity self-join with prefix filtering (AllPairs/"
     "PPJoin family): candidates only from each doc's rarest-token "
     "prefix, then exact Jaccard verification. Complementary to the "
     "MinHash path (q35): exact (no false negatives by construction, "
     "test-pinned against the naive all-pairs join) where LSH is "
-    "probabilistic. Both dialects apply the identical pruning, so the "
-    "oracle checks the full pipeline.",
+    "probabilistic. The registered query reduces the (potentially "
+    "quadratic-output) pair list to an exact-integer Jaccard histogram "
+    "(floor(20*|inter|/|union|) buckets + intersection/union checksums) "
+    "so the oracle pins every pair's exact counts while the result "
+    "stays bounded at any scale; the raw pair stream is "
+    ":func:`prefix_filtered_pairs` (losslessness test-pinned vs the "
+    "naive all-pairs join). All comparisons are integer arithmetic — "
+    "5*i >= 3*u is Jaccard >= 0.6 without float edge cases.",
 )
 def q89(spark: SparkSession, sf: str) -> DataFrame:
-    return prefix_filtered_pairs(table_parallel(spark, sf, "documents")).orderBy("da", "db")
+    pairs = prefix_filtered_pairs_exact(table_parallel(spark, sf, "documents"))
+    bucket = F.expr("(20 * i) div u").cast("long")
+    return (
+        pairs.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("i").cast("long").alias("sum_inter"),
+            F.sum("u").cast("long").alias("sum_union"),
+        )
+        .orderBy("bucket")
+    )
 
 
 def adaptive_band_table(docs: DataFrame, hot_threshold: int = 2) -> DataFrame:
