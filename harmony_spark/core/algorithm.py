@@ -39,7 +39,7 @@ from harmony_spark.core import kernels
 from harmony_spark.core.kmeans import kmeans_centers
 from harmony_spark.core.params import HarmonyOptions, ResolvedParams, resolve_params
 
-F32 = np.float32
+from harmony_spark.core.scalars import SCALAR as F32, SPARK_SCALAR  # noqa: E402
 
 _INIT_SAMPLE_CAP = 30_000  # driver-side kmeans sample (init only)
 
@@ -123,7 +123,7 @@ class HarmonySpark:
         # ---- encode covariate levels to codes (Phi never materialized) ----
         cells = df.select(
             F.col(id_col).cast("long").alias("cell_id"),
-            F.col(features_col).cast("array<float>").alias("z_orig"),
+            F.col(features_col).cast(f"array<{SPARK_SCALAR}>").alias("z_orig"),
             *[
                 self._level_code(v, i)
                 for i, v in enumerate(self.vars_use)
@@ -182,8 +182,8 @@ class HarmonySpark:
     def _pass_schema(self) -> str:
         codes = ", ".join(f"{c} int" for c in self.code_cols)
         return (
-            f"cell_id long, z_orig array<float>, {codes}, "
-            "zn array<float>, "
+            f"cell_id long, z_orig array<{SPARK_SCALAR}>, {codes}, "
+            f"zn array<{SPARK_SCALAR}>, "
             "blk int, o array<double>, rlogr array<double>, rdist double"
         )
 
@@ -274,8 +274,8 @@ class HarmonySpark:
                 "Y": self.Y,
                 "sigma": p.sigma,
                 "theta": p.theta,
-                "O": O_minus.astype(np.float32),
-                "E": E_minus.astype(np.float32),
+                "O": O_minus.astype(F32),
+                "E": E_minus.astype(F32),
                 "penalty": True,
             }
             bc = self._broadcast(**state_i)
@@ -296,9 +296,9 @@ class HarmonySpark:
             O = O_minus + C_new
             self._block_contrib[i] = C_new
             states.append(state_i)
-        self.O = O.astype(np.float32)
+        self.O = O.astype(F32)
         mass = O[:, : p.B_vec[0]].sum(axis=1)
-        self.E = (mass[:, None] * p.Pr_b[None, :].astype(np.float64)).astype(np.float32)
+        self.E = (mass[:, None] * p.Pr_b[None, :].astype(np.float64)).astype(F32)
         self._r_state = {
             "blocked": True,
             "states": states,
@@ -562,7 +562,7 @@ class HarmonySpark:
         kernel = kernels.make_correct_kernel(bc, self.code_cols, p.offsets)
         codes = ", ".join(f"{c} int" for c in self.code_cols)
         result = cells.mapInPandas(
-            kernel, schema=f"cell_id long, {codes}, z_corr array<float>"
+            kernel, schema=f"cell_id long, {codes}, z_corr array<{SPARK_SCALAR}>"
         )
         return result
 
@@ -583,7 +583,7 @@ class HarmonySpark:
         p = self.p
         cells = df.select(
             F.col(id_col).cast("long").alias("cell_id"),
-            F.col(features_col).cast("array<float>").alias("z_orig"),
+            F.col(features_col).cast(f"array<{SPARK_SCALAR}>").alias("z_orig"),
             *[self._level_code(v, i) for i, v in enumerate(self.vars_use)],
         )
         # flatten a blocked r_state to its last block state for new
@@ -596,7 +596,7 @@ class HarmonySpark:
         kernel = kernels.make_transform_kernel(bc, self.code_cols, p.offsets)
         codes = ", ".join(f"{c} int" for c in self.code_cols)
         return cells.mapInPandas(
-            kernel, schema=f"cell_id long, {codes}, z_corr array<float>"
+            kernel, schema=f"cell_id long, {codes}, z_corr array<{SPARK_SCALAR}>"
         )
 
     def assign(self, df: DataFrame, features_col: str = "features", id_col: str = "cell_id") -> DataFrame:
@@ -608,7 +608,7 @@ class HarmonySpark:
             raise RuntimeError("run() must complete before assign()")
         cells = df.select(
             F.col(id_col).cast("long").alias("cell_id"),
-            F.col(features_col).cast("array<float>").alias("z_orig"),
+            F.col(features_col).cast(f"array<{SPARK_SCALAR}>").alias("z_orig"),
             *[self._level_code(v, i) for i, v in enumerate(self.vars_use)],
         )
         rs = self._r_state
@@ -618,7 +618,7 @@ class HarmonySpark:
         kernel = kernels.make_infer_assignment_kernel(bc, self.code_cols, self.p.offsets)
         codes = ", ".join(f"{c} int" for c in self.code_cols)
         return cells.mapInPandas(
-            kernel, schema=f"cell_id long, {codes}, r array<float>"
+            kernel, schema=f"cell_id long, {codes}, r array<{SPARK_SCALAR}>"
         )
 
     # ------------------------------------------------------- model getters
@@ -646,7 +646,7 @@ class HarmonySpark:
         bc = self._broadcast(**self._r_state)
         kernel = kernels.make_assignment_kernel(bc, self.code_cols, self.p.offsets)
         return self._cells_final.select("cell_id", "zn", *self.code_cols).mapInPandas(
-            kernel, schema="cell_id long, r array<float>"
+            kernel, schema=f"cell_id long, r array<{SPARK_SCALAR}>"
         )
 
 
@@ -707,7 +707,7 @@ def run_harmony(
         id_col = "cell_id"
     rows = df.select(
         F.col(id_col).cast("long").alias("cell_id"),
-        F.col(features_col).cast("array<float>").alias("z"),
+        F.col(features_col).cast(f"array<{SPARK_SCALAR}>").alias("z"),
         *[F.col(v).cast("string").alias(v) for v in vars_use],
     ).orderBy("cell_id").collect()
     if len(rows) > 2_000_000:
@@ -731,7 +731,7 @@ def run_harmony(
         (int(rows[i]["cell_id"]), [float(x) for x in h.Z_corr[i]])
         for i in range(len(rows))
     ]
-    return spark.createDataFrame(out, "cell_id long, z_corr array<float>")
+    return spark.createDataFrame(out, f"cell_id long, z_corr array<{SPARK_SCALAR}>")
 
 
 def save_embedding(result: DataFrame, path: str, embedding_col: str = "z_corr") -> DataFrame:

@@ -37,7 +37,7 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 
-F32 = np.float32
+from harmony_spark.core.scalars import SCALAR as F32  # HARMONY_SCALAR_DOUBLE switch
 
 PARTIAL_SCHEMA = "blk int, o array<double>, rlogr array<double>, rdist double"
 

@@ -64,4 +64,5 @@ def kmeans_centers(X: np.ndarray, K: int, seed: int) -> np.ndarray:
     Y = kmeans_plusplus(Xn, K, rng)
     Y = lloyd(Xn, Y, iters=10)
     Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True), 1e-12)
-    return Yn.T.astype(np.float32)
+    from harmony_spark.core.scalars import SCALAR
+    return Yn.T.astype(SCALAR)

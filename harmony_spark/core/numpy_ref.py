@@ -26,7 +26,7 @@ import numpy as np
 from harmony_spark.core.kmeans import kmeans_centers
 from harmony_spark.core.params import ResolvedParams
 
-F32 = np.float32
+from harmony_spark.core.scalars import SCALAR as F32  # HARMONY_SCALAR_DOUBLE switch
 
 
 def _normalize_rows(X: np.ndarray) -> np.ndarray:

