@@ -68,10 +68,14 @@ def attach_blob_metadata(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 
 
 def _fake_decode(raw: bytes, h: int = 8, w: int = 8) -> np.ndarray:
-    """Deterministic stand-in decoder: md5-seeded uint8 'pixels'."""
-    seed = int.from_bytes(hashlib.md5(raw).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    """Deterministic stand-in decoder: the blob's md5 digest tiled to an
+    h x w uint8 'pixel' grid. Chosen over an RNG because md5 exists in
+    every SQL engine, so the ENTIRE decode -> pool -> embed pipeline is
+    reproducible cross-engine and q95 can hash-check it against DuckDB
+    — the strongest correctness statement a stub decoder can support."""
+    digest = hashlib.md5(raw).digest()  # 16 bytes
+    reps = -(-(h * w) // len(digest))
+    return np.frombuffer(digest * reps, dtype=np.uint8)[: h * w].reshape(h, w)
 
 
 def decode_and_embed(
@@ -121,6 +125,108 @@ def sample_frames(df: DataFrame, n_frames: int = 4, blob_col: str = "blob") -> D
         .withColumn("frame", F.expr(f"substring({blob_col}, offset + 1, 16)"))
         .select("blob_id", "frame_idx", "offset", "frame")
     )
+
+
+_Q95_ORACLE = """
+    WITH hx AS (
+      SELECT doc_id, source AS origin, md5(text) AS h FROM documents
+    ),
+    bytes AS (  -- the 16 digest bytes, hex-decoded
+      SELECT doc_id, origin,
+             list_transform(range(16), j ->
+               strpos('0123456789abcdef', substr(h, CAST(2*j+1 AS INTEGER), 1)) * 16
+               + strpos('0123456789abcdef', substr(h, CAST(2*j+2 AS INTEGER), 1)) - 17
+             ) AS b
+      FROM hx
+    ),
+    pooled AS (  -- 8x8 digest-tiled pixels px[i][j] = b[(8i+j) % 16],
+                 -- 2x2 mean-pool as INTEGER SUMS (pool k = row 2*(k//4), col 2*(k%4))
+      SELECT doc_id, origin,
+             list_transform(range(16), k ->
+                 b[CAST((8*(2*(k//4))   + 2*(k%4))   % 16 + 1 AS INTEGER)]
+               + b[CAST((8*(2*(k//4))   + 2*(k%4)+1) % 16 + 1 AS INTEGER)]
+               + b[CAST((8*(2*(k//4)+1) + 2*(k%4))   % 16 + 1 AS INTEGER)]
+               + b[CAST((8*(2*(k//4)+1) + 2*(k%4)+1) % 16 + 1 AS INTEGER)]
+             ) AS p
+      FROM bytes
+    )
+    SELECT origin, COUNT(*) AS n_blobs,
+           CAST(SUM(p[1]) AS BIGINT) AS s0,
+           CAST(SUM(p[2]) AS BIGINT) AS s1,
+           CAST(SUM(p[3]) AS BIGINT) AS s2,
+           CAST(SUM(p[4]) AS BIGINT) AS s3,
+           CAST(SUM(list_aggregate(p, 'sum')) AS BIGINT) AS mass
+    FROM pooled GROUP BY origin ORDER BY origin
+"""
+
+
+@register(
+    "q95_blob_embed",
+    oracle=_Q95_ORACLE,
+    doc="Multimodal decode -> resize/pool -> embed pipeline, "
+    "oracle-checked END-TO-END: the Arrow-batched mapInPandas kernel "
+    "(decode_and_embed) produces the float embeddings; the query "
+    "recovers each embedding component's exact integer pre-image "
+    "(emb = pool_sum / (4*255), both divisions exact-invertible below "
+    "1020) and aggregates integer checksums per origin, which DuckDB "
+    "recomputes symbolically from md5(text). Any deviation anywhere in "
+    "the batch plumbing — byte handling, pooling geometry, Arrow "
+    "round-trip, float conversion — breaks the hash. The decode seam "
+    "is the documented real-codec swap-in point; everything validated "
+    "here is codec-independent.",
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    blobs = blobs_from_documents(spark, sf)
+    emb = decode_and_embed(blobs)
+    as_int = F.transform(
+        "embedding", lambda x: F.round(x * 1020).cast("long")
+    )
+    e = emb.join(blobs.select("blob_id", "origin"), "blob_id").select(
+        "origin",
+        as_int.alias("p"),
+    )
+    return (
+        e.groupBy("origin")
+        .agg(
+            F.count("*").alias("n_blobs"),
+            F.sum(F.element_at("p", 1)).cast("long").alias("s0"),
+            F.sum(F.element_at("p", 2)).cast("long").alias("s1"),
+            F.sum(F.element_at("p", 3)).cast("long").alias("s2"),
+            F.sum(F.element_at("p", 4)).cast("long").alias("s3"),
+            F.sum(
+                F.aggregate("p", F.lit(0).cast("long"), lambda a, x: a + x)
+            ).cast("long").alias("mass"),
+        )
+        .orderBy("origin")
+    )
+
+
+@register(
+    "q96_frame_sample",
+    oracle="""
+        WITH blobs AS (
+          SELECT doc_id AS blob_id, text, octet_length(CAST(text AS BLOB)) AS size
+          FROM documents
+        )
+        SELECT blob_id, CAST(i AS BIGINT) AS frame_idx,
+               CAST((i * size) // 4 AS INTEGER) AS "offset",
+               substr(text, CAST((i * size) // 4 + 1 AS INTEGER), 16) AS frame
+        FROM blobs, range(4) t(i)
+        ORDER BY blob_id, frame_idx
+    """,
+    doc="Deterministic frame sampling over opaque blobs (the video -> "
+    "frames explode shape): 4 byte offsets spread over each blob, each "
+    "sliced as a 16-byte frame stub; full row-level oracle check of "
+    "the offset arithmetic and binary slicing.",
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    blobs = blobs_from_documents(spark, sf)
+    return sample_frames(blobs, n_frames=4).select(
+        "blob_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "offset",
+        F.col("frame").cast("string").alias("frame"),
+    ).orderBy("blob_id", "frame_idx")
 
 
 @register(
