@@ -574,8 +574,10 @@ def prefix_filtered_pairs_exact(docs: DataFrame, threshold: float = JACCARD_T) -
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     prefix_len = F.col("sz") - F.floor((3 * F.col("sz") + 4) / 5) + 1
 
-    if dfreq.count() <= 62:
-        return _mask_pairs(docs.sparkSession, sets, toks, dfreq, prefix_len)
+    # vocabulary probe, transfer-bounded: 63 rows back means "large"
+    vocab_rows = dfreq.limit(63).collect()
+    if len(vocab_rows) <= 62:
+        return _mask_pairs(docs.sparkSession, toks, vocab_rows, prefix_len)
 
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     ranked = (
@@ -602,36 +604,45 @@ def prefix_filtered_pairs_exact(docs: DataFrame, threshold: float = JACCARD_T) -
     )
 
 
-def _mask_pairs(spark, sets: DataFrame, toks: DataFrame, dfreq: DataFrame, prefix_len) -> DataFrame:
+def _mask_pairs(spark, toks: DataFrame, vocab_rows, prefix_len) -> DataFrame:
     """Bitmask strategy for :func:`prefix_filtered_pairs_exact` (see
     its docstring). Bit i of a document's mask = presence of the i-th
-    token in ascending global (df, tok) order."""
-    vocab = dfreq.orderBy("df", "tok").collect()  # <= 62 rows by guard
+    token in ascending global (df, tok) order.
+
+    Plan shape (audited via .explain): ONE tokenize pass builds
+    (full mask, prefix mask, size, prefix-bit list) per doc in a single
+    window + aggregation; the tiny per-doc side table (docs x prefix
+    bits rows of five longs) is localCheckpoint-ed so the self-join
+    reads it twice instead of re-scanning and re-tokenizing the corpus
+    for each side."""
+    vocab = sorted((r["df"], r["tok"]) for r in vocab_rows)  # <= 62 by guard
     idx_df = spark.createDataFrame(
-        [(r["tok"], i) for i, r in enumerate(vocab)], "tok string, idx int"
+        [(tok, i) for i, (_, tok) in enumerate(vocab)], "tok string, idx int"
     )
-    tm = toks.join(F.broadcast(idx_df), "tok")
     bit = F.expr("shiftleft(CAST(1 AS BIGINT), idx)")
     w = Window.partitionBy("doc_id").orderBy("idx")
-    tmr = (
-        tm.withColumn("rk", F.row_number().over(w))
-        .join(sets.select("doc_id", "sz"), "doc_id")
+    wd = Window.partitionBy("doc_id")
+    marked = (
+        toks.join(F.broadcast(idx_df), "tok")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("sz", F.count("*").over(wd).cast("int"))
+        .withColumn("pref", F.col("rk") <= prefix_len)
     )
-    per_doc = tmr.groupBy("doc_id").agg(
+    per_doc = marked.groupBy("doc_id").agg(
         F.sum(bit).alias("fm"),
-        F.sum(F.when(F.col("rk") <= prefix_len, bit).otherwise(F.lit(0))).alias("pm"),
+        F.sum(F.when(F.col("pref"), bit).otherwise(F.lit(0))).alias("pm"),
         F.max("sz").alias("sz"),
+        # collect_list drops the nulls -> exactly the prefix bit indices
+        F.collect_list(F.when(F.col("pref"), F.col("idx"))).alias("pidx"),
     )
-    pref = (
-        tmr.where(F.col("rk") <= prefix_len)
-        .select("doc_id", "idx")
-        .join(per_doc, "doc_id")
-    )
-    a = pref.select(
+    side = per_doc.select(
+        "doc_id", F.explode("pidx").alias("idx"), "fm", "pm", "sz"
+    ).localCheckpoint(eager=False)
+    a = side.select(
         F.col("doc_id").alias("da"), F.col("idx").alias("ia"),
         F.col("fm").alias("fa"), F.col("pm").alias("pa"), F.col("sz").alias("sza"),
     )
-    b = pref.select(
+    b = side.select(
         F.col("doc_id").alias("db"), F.col("idx").alias("ib"),
         F.col("fm").alias("fb"), F.col("pm").alias("pb"), F.col("sz").alias("szb"),
     )
