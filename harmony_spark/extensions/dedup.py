@@ -225,8 +225,13 @@ def _band_table(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """The full (unlimited) LSH candidate-pair edge set of q35."""
-    bands = _band_table(spark, sf)
+    """The full (unlimited) LSH candidate-pair edge set of q35.
+
+    The band table is materialized (localCheckpoint) before the
+    self-join so the 128-hash MinHash signature computes once, not once
+    per join side — the persisted band table is the standard
+    intermediate of a corpus-scale dedup run."""
+    bands = _band_table(spark, sf).localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -754,9 +759,11 @@ def adaptive_band_table(docs: DataFrame, hot_threshold: int = 2) -> DataFrame:
         cols.append(
             F.struct(F.lit(b).alias("b"), band.alias("band"), refined.alias("refined"))
         )
+    # materialized: referenced by the hot-bucket census AND the
+    # downstream joins; without this the minhash chains recompute per use
     bands = sig.select("doc_id", F.explode(F.array(*cols)).alias("bb")).select(
         "doc_id", "bb.b", "bb.band", "bb.refined"
-    )
+    ).localCheckpoint(eager=False)
     hot = (
         bands.groupBy("b", "band")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -107,7 +107,15 @@ def self_pairs_skew_safe(
     Detection is one aggregation; the hot-key list is broadcast (hot
     buckets are few by nature — that is what makes them hot). Cold
     buckets take the plain self-join path unchanged.
+
+    The input is localCheckpoint-ed first: this operator references it
+    from five places (hot-key detection, both cold self-join legs, both
+    hot triangle legs), and without materialization Spark re-derives
+    the whole upstream subtree — e.g. a MinHash band table's 8 md5
+    chains per document — once per reference. At scale the band table
+    is exactly the intermediate you would persist.
     """
+    df = df.localCheckpoint(eager=False)
     keys = [F.col(k) for k in key_cols]
     hot_keys = (
         df.groupBy(*key_cols)
