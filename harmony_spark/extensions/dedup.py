@@ -209,9 +209,9 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
     return _lsh_pairs(spark, sf).orderBy("da", "db").limit(1000)
 
 
-def _band_table(spark: SparkSession, sf: str) -> DataFrame:
+def _band_table_of(docs: DataFrame) -> DataFrame:
     """(doc_id, b, band): each doc's LSH band hashes, exploded."""
-    sig = _minhash_sig_spark(table_parallel(spark, sf, "documents"))
+    sig = _minhash_sig_spark(docs)
     band_cols = [
         F.struct(
             F.lit(b).alias("b"),
@@ -224,14 +224,18 @@ def _band_table(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """The full (unlimited) LSH candidate-pair edge set of q35.
+def _band_table(spark: SparkSession, sf: str) -> DataFrame:
+    return _band_table_of(table_parallel(spark, sf, "documents"))
+
+
+def _lsh_pairs_of(docs: DataFrame) -> DataFrame:
+    """The full (unlimited) LSH candidate-pair edge set over ``docs``.
 
     The band table is materialized (localCheckpoint) before the
     self-join so the 128-hash MinHash signature computes once, not once
     per join side — the persisted band table is the standard
     intermediate of a corpus-scale dedup run."""
-    bands = _band_table(spark, sf).localCheckpoint(eager=False)
+    bands = _band_table_of(docs).localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -244,6 +248,10 @@ def _lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
+
+
+def _lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return _lsh_pairs_of(table_parallel(spark, sf, "documents"))
 
 
 _CC_ORACLE = f"""
@@ -830,4 +838,84 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .orderBy("da", "db")
         .limit(1000)
+    )
+
+
+_Q97_ORACLE = f"""
+        WITH RECURSIVE kept AS (
+          SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        sig AS ({_minhash_sig_sql("WHERE doc_id IN (SELECT doc_id FROM kept)")}),
+        bands AS (
+          SELECT doc_id, b, band FROM (
+            SELECT doc_id,
+                   UNNEST([0, 1, 2, 3]) AS b,
+                   UNNEST([md5(mh_0 || mh_1), md5(mh_2 || mh_3),
+                           md5(mh_4 || mh_5), md5(mh_6 || mh_7)]) AS band
+            FROM sig) x),
+        e AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id),
+        bi AS (SELECT da AS a, db AS b FROM e
+               UNION ALL SELECT db AS a, da AS b FROM e),
+        reach(a, b) AS (
+          SELECT a, b FROM bi
+          UNION
+          SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a),
+        cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+               FROM reach GROUP BY a)
+        SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+               CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_exact_kept,
+               CAST((SELECT COUNT(*) FROM cc) AS BIGINT) AS n_in_graph,
+               CAST((SELECT COUNT(DISTINCT cluster_id) FROM cc) AS BIGINT) AS n_components,
+               CAST((SELECT COUNT(*) FROM kept)
+                    - ((SELECT COUNT(*) FROM cc)
+                       - (SELECT COUNT(DISTINCT cluster_id) FROM cc)) AS BIGINT) AS n_final_kept
+    """
+
+
+@register(
+    "q97_dedup_pipeline",
+    oracle=_Q97_ORACLE,
+    doc="End-to-end training-corpus dedup pipeline, the composition a "
+    "real 100 TB ingest runs: (1) exact dedup - md5 census keeps the "
+    "min doc_id per digest, shuffling 16-byte digests, never "
+    "documents; (2) MinHash/LSH near-dup edges over the exact-kept "
+    "set only (dedup-before-LSH shrinks the band table by the exact-"
+    "dup mass); (3) connected components (large/small-star, O(log n) "
+    "rounds) picks one keeper per near-dup cluster. Output is the "
+    "census every stage of that funnel: corpus size, exact-kept, "
+    "docs in the near-dup graph, clusters, final kept set. The "
+    "DuckDB oracle replays the identical pipeline with a recursive-"
+    "CTE transitive closure - an independent CC algorithm agreeing "
+    "on every count.",
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.operators.graph import connected_components
+
+    docs = table_parallel(spark, sf, "documents")
+    kept_ids = (
+        docs.groupBy(F.md5(F.col("text").cast("binary")))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept_docs = docs.join(kept_ids, "doc_id").select("doc_id", "text")
+    e = _lsh_pairs_of(kept_docs)
+    cc = connected_components(
+        e.select(F.col("da").alias("src"), F.col("db").alias("dst"))
+    )
+    a = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    b = kept_ids.agg(F.count("*").cast("long").alias("n_exact_kept"))
+    c = cc.agg(
+        F.count("*").cast("long").alias("n_in_graph"),
+        F.countDistinct("component").cast("long").alias("n_components"),
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .withColumn(
+            "n_final_kept",
+            (F.col("n_exact_kept") - (F.col("n_in_graph") - F.col("n_components"))).cast("long"),
+        )
     )
