@@ -449,3 +449,78 @@ def quantized_topk(qdf: DataFrame, query_ids: list[int], k: int = 5) -> DataFram
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
     )
+
+
+_Q98_ORACLE = f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding, {{bucket}} AS bucket,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS n
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) / (a.n * b.n) > 0.35
+    ),
+    bi AS (SELECT va AS a, vb AS b FROM p UNION ALL SELECT vb AS a, va AS b FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM bi
+      UNION
+      SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a),
+    cc AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a)
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vecs,
+           CAST((SELECT COUNT(*) FROM cc) AS BIGINT) AS n_in_graph,
+           CAST((SELECT COUNT(DISTINCT component) FROM cc) AS BIGINT) AS n_components,
+           CAST((SELECT COUNT(*) FROM embeddings)
+                - ((SELECT COUNT(*) FROM cc)
+                   - (SELECT COUNT(DISTINCT component) FROM cc)) AS BIGINT) AS n_final_kept
+"""
+
+
+@register(
+    "q98_semantic_dedup",
+    oracle=_Q98_ORACLE.format(bucket=_bucket_sql()),
+    doc="Semantic (embedding-cosine) dedup pipeline over the full "
+    "corpus: sign-random-projection buckets (q38) generate candidates "
+    "BUCKET-LOCALLY, exact cosine > 0.35 verifies them (q45's kernel), "
+    "connected components pick one keeper per semantic cluster. The "
+    "100 TB shape: candidate generation never leaves a bucket, the "
+    "bucketed table is materialized once for both self-join sides, "
+    "and CC is the O(log n)-round star algorithm. Census output per "
+    "funnel stage; DuckDB oracle replays the pipeline with a "
+    "recursive-CTE closure.",
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.operators.graph import connected_components
+
+    be = (
+        table(spark, sf, "embeddings")
+        .select("vec_id", "embedding", _bucket_spark().alias("bucket"))
+        .localCheckpoint(eager=False)
+    )
+    a = be.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = be.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cos = _dot("ea", "eb") / (_l2("ea") * _l2("eb"))
+    pairs = (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("va") < F.col("vb")))
+        .select("va", "vb", cos.alias("_cos"))
+        .where(F.col("_cos") > 0.35)
+    )
+    cc = connected_components(
+        pairs.select(F.col("va").alias("src"), F.col("vb").alias("dst"))
+    )
+    tot = be.agg(F.count("*").cast("long").alias("n_vecs"))
+    g = cc.agg(
+        F.count("*").cast("long").alias("n_in_graph"),
+        F.countDistinct("component").cast("long").alias("n_components"),
+    )
+    return tot.crossJoin(g).withColumn(
+        "n_final_kept",
+        (F.col("n_vecs") - (F.col("n_in_graph") - F.col("n_components"))).cast("long"),
+    )

@@ -103,6 +103,7 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q86_substring_shingle_dedup",  # cross join of two single-row aggregates
     "q91_quantized_topk",  # broadcast of 5 fixed quantized query rows
     "q97_dedup_pipeline",  # cross join of three single-row aggregates
+    "q98_semantic_dedup",  # cross join of two single-row aggregates
 }
 
 
