@@ -107,6 +107,40 @@ _TINY_SIDE_NESTED_LOOP_OK = {
 }
 
 
+def test_q78_index_scan_partition_pruned(spark, sf_dir):
+    """The persistent IVF index's scale contract: searching must prune
+    index partitions at plan time (PartitionFilters on the coarse cell
+    id), so a probe touches ~probe/C of the corpus and the other
+    cells' data pages are never opened."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from harmony_spark.operators.advanced import (
+        _ivf_scored,
+        build_ivf_index,
+        ivf_search,
+    )
+
+    idx = os.path.join(tempfile.gettempdir(), "plan_probe_ivf_idx")
+    build_ivf_index(spark, sf_dir, idx)
+    queries = _ivf_scored(spark, sf_dir).where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("n").alias("qn"),
+        "scores",
+    )
+    df = ivf_search(spark, idx, queries)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines, "index scan lost its PartitionFilters"
+    assert any("cid" in ln and "IN" in ln for ln in pf_lines), pf_lines
+
+
 def test_table_parallel_gate_no_exchange_when_split(spark, sf_dir):
     """The parallelism rescue must be a no-op when the input is already
     split >= the session parallelism (the 100 TB case): no extra
