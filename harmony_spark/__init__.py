@@ -25,6 +25,8 @@ __version__ = "0.1.0"
 _EXPORTS = {
     "HarmonySpark": ("harmony_spark.core.algorithm", "HarmonySpark"),
     "run_harmony": ("harmony_spark.core.algorithm", "run_harmony"),
+    "save_model": ("harmony_spark.core.algorithm", "save_model"),
+    "load_model": ("harmony_spark.core.algorithm", "load_model"),
     "run_harmony_matrices": ("harmony_spark.api", "run_harmony_matrices"),
     "get_spark": ("harmony_spark.session", "get_spark"),
     "load_all": ("harmony_spark.registry", "load_all"),

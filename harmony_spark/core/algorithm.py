@@ -749,3 +749,103 @@ def save_embedding(result: DataFrame, path: str, embedding_col: str = "z_corr") 
         .agg(F.stddev_samp("x").alias("stdev"))
         .orderBy("dim")
     )
+
+
+def save_model(model: "HarmonySpark", path: str) -> None:
+    """Persist a FITTED model's driver state — everything
+    ``transform()`` / ``assign()`` / ``init_Y`` warm starts need —
+    as one .npz plus a params json under ``path``.
+
+    The reference's users ``saveRDS`` the harmony object; this is the
+    engine's equivalent. The state is tiny (Y is d x K, W_all is
+    K x (B+1) x d, the penalty state K x B), so it lives driver-side;
+    pass a shared filesystem path to hand the model to another
+    cluster. Blocked-mode runs store the flattened last-block penalty
+    state — exactly what transform() uses for new cells.
+    """
+    import dataclasses
+    import json
+    import os
+
+    if model.W_all is None:
+        raise RuntimeError("run() must complete before save_model()")
+    os.makedirs(path, exist_ok=True)
+    rs = model._r_state
+    if rs.get("blocked"):
+        rs = rs["states"][-1]
+    arrays = {
+        "Y": model.Y,
+        "W_all": model.W_all,
+        "O": model.O,
+        "E": model.E,
+        "p_N_b": model.p.N_b,
+        "p_Pr_b": model.p.Pr_b,
+        "p_sigma": model.p.sigma,
+        "p_theta": model.p.theta,
+    }
+    if model.p.lamb is not None:
+        arrays["p_lamb"] = model.p.lamb
+    rs_keys = []
+    for k, v in rs.items():
+        if isinstance(v, np.ndarray):
+            arrays[f"rs_{k}"] = v
+            rs_keys.append(k)
+    np.savez(os.path.join(path, "state.npz"), **arrays)
+    pdict = dataclasses.asdict(model.p)
+    for k in ("N_b", "Pr_b", "sigma", "theta", "lamb"):
+        pdict.pop(k, None)
+    meta = {
+        "params": pdict,
+        "vars_use": model.vars_use,
+        "has_lamb": model.p.lamb is not None,
+        "rs_array_keys": rs_keys,
+        "rs_scalars": {
+            k: v for k, v in rs.items() if not isinstance(v, np.ndarray)
+        },
+        "objective_kmeans": [float(x) for x in model.objective_kmeans],
+        "scalar_double": bool(F32 is np.float64),
+    }
+    with open(os.path.join(path, "model.json"), "w") as f:
+        # numpy scalars (np.int64 counts, np.float32 objectives) leak
+        # into params/state dicts; .item() them at the boundary
+        json.dump(meta, f, default=lambda o: o.item())
+
+
+def load_model(spark: SparkSession, path: str) -> "HarmonySpark":
+    """Reconstruct a fitted model saved by :func:`save_model`: the
+    returned object supports ``transform()`` / ``assign()`` /
+    ``get_Y()`` etc. and its ``get_Y()`` feeds ``init_Y`` warm
+    starts. (It cannot be re-``run()`` — that needs the training
+    cells.)"""
+    import json
+    import os
+
+    with open(os.path.join(path, "model.json")) as f:
+        meta = json.load(f)
+    arrs = np.load(os.path.join(path, "state.npz"))
+    pdict = dict(meta["params"])
+    p = ResolvedParams(
+        **pdict,
+        N_b=arrs["p_N_b"],
+        Pr_b=arrs["p_Pr_b"],
+        sigma=arrs["p_sigma"],
+        theta=arrs["p_theta"],
+        lamb=arrs["p_lamb"] if meta["has_lamb"] else None,
+    )
+    m = HarmonySpark.__new__(HarmonySpark)
+    m.spark = spark
+    m.vars_use = list(meta["vars_use"])
+    m.code_cols = [f"code_{i}" for i in range(len(m.vars_use))]
+    m.p = p
+    m.Y = arrs["Y"].astype(F32)
+    m.W_all = arrs["W_all"].astype(F32)
+    m.O = arrs["O"].astype(F32)
+    m.E = arrs["E"].astype(F32)
+    rs = dict(meta["rs_scalars"])
+    for k in meta["rs_array_keys"]:
+        rs[k] = arrs[f"rs_{k}"]
+    m._r_state = rs
+    m.objective_kmeans = list(meta["objective_kmeans"])
+    m._persisted = None
+    m._block_contrib = []
+    return m

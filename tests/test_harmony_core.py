@@ -538,3 +538,37 @@ def test_assign_and_transform_require_fitted_model(spark, sf_dir):
         with pytest.raises(RuntimeError, match="run\\(\\) must complete"):
             method(e, features_col="embedding", id_col="vec_id")
     m.cleanup()
+
+
+def test_model_save_load_roundtrip(spark, spark_fixture_df, tmp_path):
+    """save_model/load_model (the saveRDS-equivalent): the loaded model
+    must transform/assign new cells identically to the live one and
+    feed init_Y warm starts."""
+    from harmony_spark.core.algorithm import HarmonySpark, load_model, save_model
+
+    df, Z, blob, batch = spark_fixture_df
+    model = HarmonySpark(
+        df, ["batch"], id_col="cell_id", theta=1.0, sigma=0.1, lamb=1.0,
+        nclust=10, max_iter=2, seed=7,
+    )
+    model.run().count()
+    path = str(tmp_path / "saved_model")
+    save_model(model, path)
+    loaded = load_model(spark, path)
+
+    np.testing.assert_array_equal(model.get_Y(), loaded.get_Y())
+    np.testing.assert_array_equal(model.get_O(), loaded.get_O())
+
+    new = df.where(F.col("cell_id") % 7 == 0)
+    live = {r["cell_id"]: r["z_corr"] for r in model.transform(new).collect()}
+    froz = {r["cell_id"]: r["z_corr"] for r in loaded.transform(new).collect()}
+    assert live.keys() == froz.keys()
+    for cid in live:
+        np.testing.assert_allclose(live[cid], froz[cid], rtol=1e-6, atol=1e-6)
+
+    warm = HarmonySpark(
+        df, ["batch"], id_col="cell_id", theta=1.0, sigma=0.1, lamb=1.0,
+        nclust=10, max_iter=2, seed=7, init_Y=loaded.get_Y(),
+    )
+    warm.run().count()
+    assert len(warm.objective_kmeans) > 0
