@@ -285,12 +285,19 @@ def bucketed_ann(spark: SparkSession, sf: str, k: int = TOP_K) -> DataFrame:
     buckets — both halves are independently oracle-checked); exercised by
     the engine tests.
     """
-    e = table(spark, sf, "embeddings").withColumn("bucket", _bucket_spark())
-    q = e.where(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket"
+    e = table(spark, sf, "embeddings").select(
+        "vec_id", "embedding", _bucket_spark().alias("bucket"),
+        _l2("embedding").alias("n"),  # once per vector, not per pair
     )
-    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), "bucket")
-    cos = _dot("qe", "ce") / (_l2("qe") * _l2("ce"))
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"),
+        F.col("n").alias("qn"), "bucket",
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"),
+        F.col("n").alias("cn"), "bucket",
+    )
+    cos = _dot("qe", "ce") / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
     return (
         c.join(F.broadcast(q), "bucket")
@@ -496,17 +503,23 @@ def q98(spark: SparkSession, sf: str) -> DataFrame:
 
     be = (
         table(spark, sf, "embeddings")
-        .select("vec_id", "embedding", _bucket_spark().alias("bucket"))
+        .select(
+            "vec_id", "embedding", _bucket_spark().alias("bucket"),
+            # norm computed ONCE per vector here, not once per pair
+            # inside the self-join (saves an O(d) fold per pair side)
+            _l2("embedding").alias("n"),
+        )
         .localCheckpoint(eager=False)
     )
     a = be.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "bucket"
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+        F.col("n").alias("na"), "bucket",
     )
     b = be.select(
         F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
-        F.col("bucket").alias("bucket_b"),
+        F.col("n").alias("nb"), F.col("bucket").alias("bucket_b"),
     )
-    cos = _dot("ea", "eb") / (_l2("ea") * _l2("eb"))
+    cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     pairs = (
         a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("va") < F.col("vb")))
         .select("va", "vb", cos.alias("_cos"))
