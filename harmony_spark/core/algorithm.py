@@ -30,6 +30,8 @@ single-node-sized data.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
@@ -509,7 +511,7 @@ class HarmonySpark:
         o = self.objective_harmony
         return (o[-2] - o[-1]) / abs(o[-2]) < self.p.epsilon_harmony
 
-    def run(self) -> DataFrame:
+    def run(self, verbose: bool = False) -> DataFrame:
         p = self.p
         self._init_Y()
         cells = self._cold_start_pass(
@@ -538,6 +540,13 @@ class HarmonySpark:
                     break
             self.kmeans_rounds.append(iters)
             self.objective_harmony.append(self.objective_kmeans[-1])
+            if verbose:
+                # RunHarmony(verbose=TRUE) progress line (R/ui.R:268-272)
+                print(
+                    f"Harmony {round_idx + 1}/{p.max_iter}: "
+                    f"objective {self.objective_kmeans[-1]:.4f}",
+                    file=sys.stderr,
+                )
 
             combos = self._moe_partials(cells)
             self._solve_moe(combos)
@@ -677,10 +686,21 @@ class HarmonySpark:
 
 
 def run_harmony(
-    df: DataFrame, vars_use: list[str], mode: str = "batch", **kwargs
-) -> DataFrame:
+    df: DataFrame,
+    vars_use: list[str],
+    mode: str = "batch",
+    return_object: bool = False,
+    verbose: bool = False,
+    **kwargs,
+):
     """Corrected embeddings for a cells DataFrame — the RunHarmony.default
     equivalent (/root/reference/R/ui.R:91-296), cells-as-rows.
+
+    ``return_object=True`` returns the fitted :class:`HarmonySpark`
+    (R's return_object returns the harmony object); ``verbose`` prints
+    the per-round objective like R's progress output. R's
+    plot_convergence has no plotting surface here — the trace is
+    ``model.objective_kmeans`` (see README).
 
     mode:
       * ``batch`` (default) — the distributed engine (batch-EM E-steps,
@@ -692,7 +712,9 @@ def run_harmony(
         mode is the scale path.
     """
     if mode == "batch":
-        return HarmonySpark(df, vars_use, **kwargs).run()
+        model = HarmonySpark(df, vars_use, **kwargs)
+        result = model.run(verbose=verbose)
+        return model if return_object else result
     if mode != "blocked-local":
         raise ValueError("mode must be 'batch' or 'blocked-local'")
 
