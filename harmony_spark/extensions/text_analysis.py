@@ -286,3 +286,83 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "q99_repetition_metrics",
+    oracle=r"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          FROM documents WHERE doc_id < 200
+        ),
+        tri AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+          FROM t WHERE len(toks) >= 3
+        ),
+        bi AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS g
+          FROM t WHERE len(toks) >= 2
+        ),
+        tri_stats AS (
+          SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT g) AS d_tri
+          FROM tri GROUP BY doc_id
+        ),
+        bi_top AS (
+          SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bi
+          FROM (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g)
+          GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(ts.n_tri AS BIGINT) AS n_tri,
+               ROUND(1.0 - ts.d_tri * 1.0 / ts.n_tri, 6) AS dup_tri_frac,
+               ROUND(bt.top_c * 1.0 / bt.n_bi, 6) AS top_bigram_frac
+        FROM t JOIN tri_stats ts ON ts.doc_id = t.doc_id
+        JOIN bi_top bt ON bt.doc_id = t.doc_id
+        ORDER BY t.doc_id
+    """,
+    doc="Gopher-family repetition signals per document (the pretraining "
+    "quality-filter pair): duplicate-trigram fraction "
+    "(1 - distinct/total) and most-common-bigram mass fraction. High "
+    "values flag boilerplate/keyword-stuffed documents that length or "
+    "stopword heuristics (q40) miss. Shuffle shape: two exploded "
+    "hash aggregates keyed on (doc_id[, gram]) - linear in corpus "
+    "size, the same census plan at any scale.",
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").where(F.col("doc_id") < 200)
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    tri = F.expr(
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"
+    )
+    bi = F.expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"
+    )
+    tri_stats = (
+        toks.where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(tri).alias("g"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tri"), F.countDistinct("g").alias("d_tri"))
+    )
+    bi_top = (
+        toks.where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bi).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bi"))
+    )
+    return (
+        tri_stats.join(bi_top, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tri").cast("long").alias("n_tri"),
+            F.round(1.0 - F.col("d_tri") / F.col("n_tri"), 6).alias("dup_tri_frac"),
+            F.round(F.col("top_c") / F.col("n_bi"), 6).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
