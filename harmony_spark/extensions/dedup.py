@@ -591,7 +591,13 @@ def prefix_filtered_pairs_exact(docs: DataFrame, threshold: float = JACCARD_T) -
     vocab_rows = dfreq.limit(63).collect()
     if len(vocab_rows) <= 62:
         return _mask_pairs(docs.sparkSession, toks, vocab_rows, prefix_len)
+    return _array_pairs(sets, toks, dfreq, prefix_len)
 
+
+def _array_pairs(sets: DataFrame, toks: DataFrame, dfreq: DataFrame, prefix_len) -> DataFrame:
+    """Array strategy for :func:`prefix_filtered_pairs_exact` (see its
+    docstring): classic prefix candidates + distinct + exact
+    ``array_intersect`` verification."""
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     ranked = (
         toks.join(dfreq, "tok")

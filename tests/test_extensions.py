@@ -260,3 +260,33 @@ def test_q92_refinement_only_splits_buckets(spark, sf_dir):
     keyed = adaptive_band_table(table_parallel(spark, sf_dir, "documents"), hot_threshold=2)
     n_rekeyed = keyed.where("lvl").count()
     assert n_rekeyed > 2  # hot buckets exist and were re-keyed
+
+
+def test_q89_mask_and_array_paths_agree(spark, sf_dir):
+    """The two physical strategies of prefix_filtered_pairs_exact are
+    ONE semantics: on a corpus where the bitmask path applies (vocab
+    <= 62), forcing the array path must produce the identical
+    (da, db, i, u) set."""
+    from pyspark.sql import functions as F
+
+    from harmony_spark.extensions.dedup import (
+        _array_pairs,
+        _tokens,
+        prefix_filtered_pairs_exact,
+    )
+    from harmony_spark.io import table
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    via_dispatch = sorted(
+        tuple(r) for r in prefix_filtered_pairs_exact(docs).collect()
+    )
+    sets = docs.select(
+        "doc_id", F.array_sort(F.array_distinct(_tokens())).alias("ts")
+    ).withColumn("sz", F.size("ts"))
+    toks = sets.select("doc_id", F.explode("ts").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    prefix_len = F.col("sz") - F.floor((3 * F.col("sz") + 4) / 5) + 1
+    via_array = sorted(
+        tuple(r) for r in _array_pairs(sets, toks, dfreq, prefix_len).collect()
+    )
+    assert via_dispatch == via_array and len(via_dispatch) > 0
