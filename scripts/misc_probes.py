@@ -216,6 +216,47 @@ def probe_quality() -> dict:
     return out
 
 
+def probe_textscale() -> dict:
+    """Corpus-scaling check for the linear text operators: replicate
+    sf0.1 documents 20x (100k docs) with fresh doc_ids and run token
+    stats, lang-id, quality scoring and the repetition metrics — the
+    ops whose cost must stay linear in corpus size."""
+    from pyspark.sql import DataFrame
+
+    from harmony_spark.registry import load_all
+
+    spark = _spark("textscale-probe")
+    src = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    rest = [c for c in src.columns if c != "doc_id"]
+    big = (
+        spark.range(20)
+        .crossJoin(src)
+        .select(
+            (F.col("doc_id") + F.col("id") * 1_000_000).alias("doc_id"), *rest
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    big.cache().count()
+    tmp = tempfile.mkdtemp(prefix="textscale_")
+    big.write.parquet(f"{tmp}/documents.parquet")
+
+    specs = load_all()
+    out: dict = {"n_docs": big.count()}
+    for name in (
+        "q32_token_stats",
+        "q39_lang_id",
+        "q40_quality_score",
+        "q30_exact_dedup",
+        "q41_fingerprint_dedup",
+    ):
+        t0 = time.perf_counter()
+        n = specs[name].fn(spark, tmp).count()
+        out[name] = {"rows": n, "seconds": round(time.perf_counter() - t0, 2)}
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "cc"
     fn = {
@@ -224,5 +265,6 @@ if __name__ == "__main__":
         "codec": probe_codec,
         "warmstart": probe_warmstart,
         "quality": probe_quality,
+        "textscale": probe_textscale,
     }[which]
     print(json.dumps({which: fn()}))
