@@ -110,6 +110,9 @@ def run_checks() -> int:
         "q73_dedup_components",  # iterative loop + localCheckpoint
         "q75_dedup_components_star",  # round-compressed CC
         "q76_lsh_pairs_skew_safe",  # triangle-decomposed hot buckets
+        "q89_prefix_similarity_join",  # bitmask path + localCheckpoint
+        "q97_dedup_pipeline",  # composed exact->LSH->CC funnel
+        "q98_semantic_dedup",  # bucketed-cosine->CC funnel
         "harmony_correct",  # full harmony: broadcasts + Arrow passes
         "harmony_stream_drift",  # stateful streaming on real executors
     ]
