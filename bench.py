@@ -1,7 +1,10 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+full JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} followed by a COMPACT final line with
+the same contract keys but only the 5 slowest queries (plus n_queries /
+n_errors), so a tail-window reader always gets a parseable object. The
+full per-query map is also written to bench_full.json next to this file.
 
 Each query is executed to completion (collect) so the measurement covers
 scan -> shuffle -> result, not just plan construction. A warmup query
@@ -105,6 +108,27 @@ def main() -> None:
         out["duckdb_total"] = round(dtotal, 3)
 
     print(json.dumps(out))
+    # The driver keeps only the TAIL of stdout; the full line above (with
+    # the per-query map) overflowed that window in round 2 and BENCH_r02
+    # recorded parsed:null. Emit a compact final line — same contract keys,
+    # only the slowest queries — so a tail-window parser always recovers
+    # the headline numbers. Full detail additionally lands in bench_full.json.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
+            json.dump(out, f)
+    except OSError as exc:
+        print(f"# bench_full.json write failed: {exc}", file=sys.stderr)
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        "metric": "total_query_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": top,
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -16,6 +16,32 @@ from harmony_spark.io import table
 from harmony_spark.registry import register
 
 
+def _flatten_zcorr(out: DataFrame, *code_aliases: tuple[str, str]) -> DataFrame:
+    """Project a harmony result to driver-canonicalizable scalar rows.
+
+    The driver's canonicalizer hash-sorts result columns in pandas and
+    cannot sort ``ARRAY<FLOAT>`` cells (``unhashable type: 'list'`` —
+    CORRECTNESS_r02). Explode ``z_corr`` to one ``(vec_id, codes...,
+    dim, z_val)`` row per dimension, rounded to 4 decimals so the
+    deterministic float32 pipeline canonicalizes stably.
+    """
+    codes = [F.col(src).alias(dst) for src, dst in code_aliases]
+    return (
+        out.select(
+            F.col("cell_id").alias("vec_id"),
+            *codes,
+            F.posexplode("z_corr").alias("dim", "val"),
+        )
+        .select(
+            "vec_id",
+            *[dst for _, dst in code_aliases],
+            "dim",
+            F.round(F.col("val").cast("double"), 4).alias("z_val"),
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
 @register(
     "harmony_correct",
     oracle=None,
@@ -44,9 +70,7 @@ def harmony_correct(spark: SparkSession, sf: str) -> DataFrame:
     out = model.run().persist()
     out.count()
     model.cleanup()
-    return out.select(
-        F.col("cell_id").alias("vec_id"), F.col("code_0").alias("batch_code"), "z_corr"
-    ).orderBy("vec_id")
+    return _flatten_zcorr(out, ("code_0", "batch_code"))
 
 
 @register(
@@ -80,9 +104,7 @@ def harmony_correct_blocked(spark: SparkSession, sf: str) -> DataFrame:
     out = model.run().persist()
     out.count()
     model.cleanup()
-    return out.select(
-        F.col("cell_id").alias("vec_id"), F.col("code_0").alias("batch_code"), "z_corr"
-    ).orderBy("vec_id")
+    return _flatten_zcorr(out, ("code_0", "batch_code"))
 
 
 @register(
@@ -122,12 +144,7 @@ def harmony_correct_2cov(spark: SparkSession, sf: str) -> DataFrame:
     out = model.run().persist()
     out.count()
     model.cleanup()
-    return out.select(
-        F.col("cell_id").alias("vec_id"),
-        F.col("code_0").alias("label_code"),
-        F.col("code_1").alias("lang_code"),
-        "z_corr",
-    ).orderBy("vec_id")
+    return _flatten_zcorr(out, ("code_0", "label_code"), ("code_1", "lang_code"))
 
 
 @register(

@@ -203,8 +203,8 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
     "q66_asof_join",
     oracle="""
         SELECT e.event_id,
-               epoch_us(c.ts) AS click_us,
-               epoch_us(e.ts) - epoch_us(c.ts) AS lag_us
+               COALESCE(epoch_us(c.ts), -1) AS click_us,
+               COALESCE(epoch_us(e.ts) - epoch_us(c.ts), -1) AS lag_us
         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
         ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
           ON e.user_id = c.user_id AND e.ts >= c.ts
@@ -215,7 +215,10 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
     "(tag streams, one shuffle on user_id, last(ignorenulls) over an "
     "unbounded-preceding frame) — never materializes the errors x clicks "
     "range-join intermediate. Oracle = DuckDB's native ASOF LEFT JOIN, an "
-    "independent implementation of the same semantics.",
+    "independent implementation of the same semantics. No-match rows keep "
+    "the LEFT semantics but surface as -1 (COALESCE both sides): a "
+    "nullable epoch_us column goes int64->float64 in pandas and its "
+    ">1e15 values then canonicalize with a trailing .0.",
 )
 def q66(spark: SparkSession, sf: str) -> DataFrame:
     ev = table(spark, sf, "events")
@@ -241,8 +244,8 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("tag") == 1)
         .select(
             "event_id",
-            "click_us",
-            (F.unix_micros("ts") - F.col("click_us")).alias("lag_us"),
+            F.coalesce("click_us", F.lit(-1)).alias("click_us"),
+            F.coalesce(F.unix_micros("ts") - F.col("click_us"), F.lit(-1)).alias("lag_us"),
         )
         .orderBy("event_id")
         .limit(200)

@@ -95,14 +95,16 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     "q60_window_analytics",
     oracle="""
         SELECT o_custkey, o_orderkey,
-               LEAD(o_totalprice) OVER w AS next_price,
+               COALESCE(LEAD(o_totalprice) OVER w, -1) AS next_price,
                ROUND(FIRST_VALUE(o_totalprice) OVER w, 6) AS first_price,
                CAST(NTILE(4) OVER w AS BIGINT) AS quartile
         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, o_orderkey LIMIT 100
     """,
     doc="Analytic window functions: lead / first_value / ntile over a "
-    "per-customer time ordering.",
+    "per-customer time ordering. The partition-final LEAD null is kept "
+    "in-play but COALESCEd to -1 (both sides): a nullable float column "
+    "canonicalizes as NaN!=NULL once pandas gets hold of it.",
 )
 def q60(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -111,7 +113,7 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.coalesce(F.lead("o_totalprice").over(w), F.lit(-1.0)).alias("next_price"),
             F.round(F.first("o_totalprice").over(w), 6).alias("first_price"),
             F.ntile(4).over(w).cast("long").alias("quartile"),
         )

@@ -14,6 +14,7 @@ from harmony_spark.registry import load_all
 
 QUERIES = load_all()
 ORACLE_QUERIES = [q for q in QUERIES.values() if q.oracle is not None]
+ROWS_ONLY_QUERIES = [q for q in QUERIES.values() if q.oracle is None]
 
 
 def _canon(v):
@@ -55,7 +56,28 @@ def test_query_matches_oracle(spec, spark, sf_dir, oracle):
     sdf = spec.fn(spark, sf_dir)
     spark_cols = sorted(sdf.columns)
     # column order normalized before hashing, mirroring the driver
-    srows = [tuple(row[c] for c in spark_cols) for row in sdf.collect()]
+    rows = sdf.collect()
+    srows = [tuple(row[c] for c in spark_cols) for row in rows]
+
+    # Numeric output columns must be null-free: pandas (the driver's
+    # canonicalization substrate) turns a null float into NaN (!= NULL)
+    # and promotes a nullable int64 column to float64, whose >1e15
+    # values re-render with a trailing .0 — both silently break the
+    # driver-side hash even though the collect-path compare below
+    # passes (q60/q66, round 3). COALESCE in both the Spark plan and
+    # the oracle instead of emitting numeric nulls.
+    numeric = {
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+    }
+    for row in rows:
+        for c in numeric:
+            assert row[c] is not None, (
+                f"{spec.name}: numeric column {c!r} contains NULL — "
+                "pandas canonicalization at the driver will diverge"
+            )
 
     ores = oracle.sql(spec.oracle)
     ocols = sorted(ores.columns)
@@ -68,3 +90,17 @@ def test_query_matches_oracle(spec, spark, sf_dir, oracle):
         f"{spec.name}: value hash mismatch\nspark sample: {sorted(srows)[:5]}\n"
         f"oracle sample: {sorted(orows)[:5]}"
     )
+
+
+@pytest.mark.parametrize(
+    "spec", ROWS_ONLY_QUERIES, ids=[q.name for q in ROWS_ONLY_QUERIES]
+)
+def test_rows_only_query_canonicalizes(spec, spark, sf_dir):
+    """The driver canonicalizes EVERY entry's output in pandas (sort over
+    all columns) even when no oracle exists — ARRAY columns crash it with
+    ``unhashable type: 'list'`` (CORRECTNESS_r02 harmony_correct* rows).
+    Replicate that path: collect to pandas, sort by every column, and
+    require >0 rows so no-oracle entries still prove they ran."""
+    pdf = spec.fn(spark, sf_dir).toPandas()
+    pdf.sort_values(by=list(pdf.columns))  # raises on unhashable cells
+    assert len(pdf) > 0, f"{spec.name}: rows-only entry produced 0 rows"
