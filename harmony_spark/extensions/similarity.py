@@ -119,11 +119,13 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _bucket_sql() -> str:
+def _bucket_sql(start: int = 0, end: int = N_PLANES) -> str:
     """Sign-random-projection bucket: bit j = sign of <v, h_j> where
-    h_j[i] = +-1 from the top bit of md5(j:i). Engine-portable."""
+    h_j[i] = +-1 from the top bit of md5(j:i). Engine-portable. The
+    plane range is parameterized so the skew guard can derive EXTRA
+    refinement bits from planes [N_PLANES, N_PLANES+EXTRA_PLANES)."""
     bits = []
-    for j in range(N_PLANES):
+    for j in range(start, end):
         bits.append(
             "(CASE WHEN (SELECT SUM(CASE WHEN substr(md5('"
             + str(j)
@@ -150,9 +152,9 @@ def _plane_signs(j: int, n: int = _MAX_DIM) -> list[float]:
     ]
 
 
-def _bucket_spark() -> Column:
+def _bucket_spark(start: int = 0, end: int = N_PLANES) -> Column:
     bits = []
-    for j in range(N_PLANES):
+    for j in range(start, end):
         signs = F.array(*[F.lit(s) for s in _plane_signs(j)])
         proj = F.aggregate(
             F.zip_with(
@@ -458,15 +460,73 @@ def quantized_topk(qdf: DataFrame, query_ids: list[int], k: int = 5) -> DataFram
     )
 
 
+EXTRA_PLANES = 4  # refinement bits for hot SRP buckets (skew guard)
+HOT_SRP_THRESHOLD = 40  # fires on the largest test buckets at every SF
+
+
+def adaptive_srp_table(df: DataFrame, hot_threshold: int = HOT_SRP_THRESHOLD) -> DataFrame:
+    """(vec_id, embedding, n, lvl, key): SRP bucket keys where hot
+    buckets are re-keyed on EXTRA_PLANES additional projection bits —
+    the semantic-dedup twin of :func:`harmony_spark.extensions.dedup.
+    adaptive_band_table`.
+
+    A boilerplate embedding cluster (press-release variants, templated
+    docs) lands in ONE sign-random-projection bucket, and the candidate
+    self-join does |B|^2 there — the one scale-killer the minhash path
+    already guards against (q76/q92) and this path did not. Any bucket
+    with more than ``hot_threshold`` members gets its key extended with
+    EXTRA_PLANES more sign bits, splitting it by additional projection
+    evidence BEFORE any pair is generated; cold buckets keep the short
+    key (full recall). Like the banding guard, one refinement level:
+    a cluster of exactly-identical vectors shares every projection and
+    cannot be split — but identical vectors belong in one component
+    anyway, and the exact-dedup stage ahead of this one (q97) removes
+    them.
+
+    Scale shape: bucket sizes are one groupBy over the bucketed table;
+    the hot list is tiny by construction (#buckets over threshold), so
+    it broadcasts back — no extra shuffle of the embedding table, and
+    the pair join stays bucket-local on (lvl, key).
+    """
+    be = df.select(
+        "vec_id",
+        "embedding",
+        _l2("embedding").alias("n"),
+        _bucket_spark().alias("bucket"),
+        _bucket_spark(N_PLANES, N_PLANES + EXTRA_PLANES).alias("ext"),
+    )
+    hot = (
+        be.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > hot_threshold)
+        .select("bucket", F.lit(True).alias("_hot"))
+    )
+    return be.join(F.broadcast(hot), ["bucket"], "left").select(
+        "vec_id",
+        "embedding",
+        "n",
+        F.coalesce("_hot", F.lit(False)).alias("lvl"),
+        F.when(F.col("_hot").isNotNull(), F.concat("bucket", "ext"))
+        .otherwise(F.col("bucket"))
+        .alias("key"),
+    )
+
+
 _Q98_ORACLE = f"""
     WITH RECURSIVE e AS (
-      SELECT vec_id, embedding, {{bucket}} AS bucket,
+      SELECT vec_id, embedding, {{bucket}} AS bucket, {{ext}} AS ext,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS n
       FROM embeddings
     ),
+    hot AS (SELECT bucket FROM e GROUP BY bucket HAVING COUNT(*) > {{thr}}),
+    k AS (
+      SELECT e.vec_id, e.embedding, e.n, h.bucket IS NOT NULL AS lvl,
+             CASE WHEN h.bucket IS NOT NULL THEN e.bucket || e.ext ELSE e.bucket END AS key
+      FROM e LEFT JOIN hot h ON h.bucket = e.bucket
+    ),
     p AS (
       SELECT a.vec_id AS va, b.vec_id AS vb
-      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      FROM k a JOIN k b ON a.lvl = b.lvl AND a.key = b.key AND a.vec_id < b.vec_id
       WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
                      q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) / (a.n * b.n) > 0.35
     ),
@@ -487,41 +547,46 @@ _Q98_ORACLE = f"""
 
 @register(
     "q98_semantic_dedup",
-    oracle=_Q98_ORACLE.format(bucket=_bucket_sql()),
+    oracle=_Q98_ORACLE.format(
+        bucket=_bucket_sql(),
+        ext=_bucket_sql(N_PLANES, N_PLANES + EXTRA_PLANES),
+        thr=HOT_SRP_THRESHOLD,
+    ),
     doc="Semantic (embedding-cosine) dedup pipeline over the full "
-    "corpus: sign-random-projection buckets (q38) generate candidates "
+    "corpus: SKEW-ADAPTIVE sign-random-projection buckets (q38 + "
+    "adaptive_srp_table hot-bucket re-keying) generate candidates "
     "BUCKET-LOCALLY, exact cosine > 0.35 verifies them (q45's kernel), "
     "connected components pick one keeper per semantic cluster. The "
-    "100 TB shape: candidate generation never leaves a bucket, the "
-    "bucketed table is materialized once for both self-join sides, "
-    "and CC is the O(log n)-round star algorithm. Census output per "
-    "funnel stage; DuckDB oracle replays the pipeline with a "
+    "100 TB shape: candidate generation never leaves a bucket, hot "
+    "buckets are split on extra projection bits before any pair is "
+    "generated, the keyed table is materialized once for both "
+    "self-join sides, and CC is the O(log n)-round star algorithm. "
+    "Census output per funnel stage; DuckDB oracle replays the "
+    "pipeline — including the identical adaptive re-keying — with a "
     "recursive-CTE closure.",
 )
 def q98(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.operators.graph import connected_components
 
-    be = (
-        table(spark, sf, "embeddings")
-        .select(
-            "vec_id", "embedding", _bucket_spark().alias("bucket"),
-            # norm computed ONCE per vector here, not once per pair
-            # inside the self-join (saves an O(d) fold per pair side)
-            _l2("embedding").alias("n"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    # norm computed ONCE per vector inside adaptive_srp_table, not once
+    # per pair inside the self-join (saves an O(d) fold per pair side)
+    be = adaptive_srp_table(table(spark, sf, "embeddings")).localCheckpoint(eager=False)
     a = be.select(
         F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
-        F.col("n").alias("na"), "bucket",
+        F.col("n").alias("na"), "lvl", "key",
     )
     b = be.select(
         F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
-        F.col("n").alias("nb"), F.col("bucket").alias("bucket_b"),
+        F.col("n").alias("nb"), F.col("lvl").alias("lvl_b"), F.col("key").alias("key_b"),
     )
     cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     pairs = (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("va") < F.col("vb")))
+        a.join(
+            b,
+            (F.col("lvl") == F.col("lvl_b"))
+            & (F.col("key") == F.col("key_b"))
+            & (F.col("va") < F.col("vb")),
+        )
         .select("va", "vb", cos.alias("_cos"))
         .where(F.col("_cos") > 0.35)
     )

@@ -262,6 +262,48 @@ def test_q92_refinement_only_splits_buckets(spark, sf_dir):
     assert n_rekeyed > 2  # hot buckets exist and were re-keyed
 
 
+def test_adaptive_srp_bounds_hot_buckets(spark, sf_dir):
+    """The q98 skew guard: SRP buckets over the hot threshold must be
+    re-keyed on extra projection bits, and the re-keying must strictly
+    shrink the worst bucket — i.e. the |B|^2 pair fan-out of the
+    candidate self-join is bounded at the keying stage, mirroring the
+    minhash-side guarantee (test_q92_refinement_only_splits_buckets)."""
+    from pyspark.sql import functions as F
+
+    from harmony_spark.extensions.similarity import _bucket_spark, adaptive_srp_table
+    from harmony_spark.io import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    thr = 30  # forced low enough that several buckets are hot at sf0.001
+    raw_sizes = {
+        r["bucket"]: r["n"]
+        for r in emb.select(_bucket_spark().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    hot_raw = {b: n for b, n in raw_sizes.items() if n > thr}
+    assert hot_raw, "fixture must contain hot buckets for the guard to exercise"
+
+    keyed = adaptive_srp_table(emb, hot_threshold=thr)
+    keyed_sizes = (
+        keyed.groupBy("lvl", "key").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert keyed.where("lvl").count() == sum(hot_raw.values())  # re-keying fired
+    max_hot_after = max((r["n"] for r in keyed_sizes if r["lvl"]), default=0)
+    assert max_hot_after < max(hot_raw.values()), (
+        f"hot bucket not split: worst raw {max(hot_raw.values())} vs "
+        f"worst refined {max_hot_after}"
+    )
+    # pair fan-out sum(n*(n-1)/2) must strictly drop on the hot portion
+    pairs_before = sum(n * (n - 1) // 2 for n in hot_raw.values())
+    pairs_after = sum(r["n"] * (r["n"] - 1) // 2 for r in keyed_sizes if r["lvl"])
+    assert pairs_after < pairs_before
+    # cold buckets keep their short key untouched (full recall there)
+    cold = keyed.where(~F.col("lvl")).select("key").distinct().collect()
+    assert all(len(r["key"]) == 4 for r in cold)
+
+
 def test_q89_mask_and_array_paths_agree(spark, sf_dir):
     """The two physical strategies of prefix_filtered_pairs_exact are
     ONE semantics: on a corpus where the bitmask path applies (vocab
