@@ -43,6 +43,14 @@ def run_harmony_matrices(
     if len(lengths) != 1:
         raise ValueError("metadata covariates have inconsistent lengths")
     N = lengths.pop()
+    if N > 2_000_000:
+        # inherently driver-sized shim (NumPy in, full result collected
+        # back) — same ceiling as run_harmony(mode='blocked-local'); past
+        # it, hand a DataFrame to run_harmony directly
+        raise ValueError(
+            "run_harmony_matrices caps at 2M cells (NumPy-in/NumPy-out is "
+            "driver-sized); build a DataFrame and call run_harmony instead"
+        )
 
     data_mat = np.asarray(data_mat, dtype=np.float32)
     if data_mat.ndim != 2:
@@ -56,16 +64,18 @@ def run_harmony_matrices(
             "number of labels do not correspond to number of samples in data matrix"
         )
 
-    rows = [
-        (
-            int(i),
-            [float(x) for x in Z[i]],
-            *[str(meta_data[v][i]) for v in vars_use],
-        )
-        for i in range(N)
-    ]
+    import pandas as pd
+
+    # Arrow path: one pandas frame, zero per-row Python tuple building
+    pdf = pd.DataFrame(
+        {
+            "cell_id": np.arange(N, dtype=np.int64),
+            "features": list(Z),
+            **{v: [str(x) for x in meta_data[v]] for v in vars_use},
+        }
+    )
     covs = ", ".join(f"{v} string" for v in vars_use)
-    df = spark.createDataFrame(rows, f"cell_id long, features array<float>, {covs}")
+    df = spark.createDataFrame(pdf, f"cell_id long, features array<float>, {covs}")
     out = run_harmony(df, vars_use, id_col="cell_id", **kwargs)
     collected = {r["cell_id"]: r["z_corr"] for r in out.collect()}
     return np.stack([collected[i] for i in range(N)]).astype(np.float32)

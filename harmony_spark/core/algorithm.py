@@ -512,6 +512,11 @@ class HarmonySpark:
         return (o[-2] - o[-1]) / abs(o[-2]) < self.p.epsilon_harmony
 
     def run(self, verbose: bool = False) -> DataFrame:
+        if getattr(self, "cells0", None) is None:
+            raise RuntimeError(
+                "this model has no training cells (loaded via load_model?) — "
+                "it supports transform()/assign()/get_Y(), not re-run()"
+            )
         p = self.p
         self._init_Y()
         cells = self._cold_start_pass(
@@ -665,7 +670,8 @@ class HarmonySpark:
         if self._persisted is not None:
             self._persisted.unpersist()
             self._persisted = None
-        self.cells0.unpersist()
+        if getattr(self, "cells0", None) is not None:
+            self.cells0.unpersist()
 
     # -------------------------------------------------------------- sinks
 
@@ -825,6 +831,10 @@ def save_model(model: "HarmonySpark", path: str) -> None:
             k: v for k, v in rs.items() if not isinstance(v, np.ndarray)
         },
         "objective_kmeans": [float(x) for x in model.objective_kmeans],
+        "objective_harmony": [float(x) for x in model.objective_harmony],
+        "kmeans_rounds": [int(x) for x in model.kmeans_rounds],
+        "estep_mode": model.estep_mode,
+        "n_blocks": int(model.n_blocks),
         "scalar_double": bool(F32 is np.float64),
     }
     with open(os.path.join(path, "model.json"), "w") as f:
@@ -844,6 +854,14 @@ def load_model(spark: SparkSession, path: str) -> "HarmonySpark":
 
     with open(os.path.join(path, "model.json")) as f:
         meta = json.load(f)
+    if meta.get("scalar_double", False) and F32 is not np.float64:
+        # f64-saved state in an f32 session would silently downcast every
+        # model array; upcasting the other way is lossless and allowed.
+        raise ValueError(
+            "model was saved with scalar_double=True but this session runs "
+            "float32 — set HARMONY_SCALAR_DOUBLE=1 (see core/scalars.py) "
+            "before loading to avoid silently downcasting the model state"
+        )
     arrs = np.load(os.path.join(path, "state.npz"))
     pdict = dict(meta["params"])
     p = ResolvedParams(
@@ -868,6 +886,15 @@ def load_model(spark: SparkSession, path: str) -> "HarmonySpark":
         rs[k] = arrs[f"rs_{k}"]
     m._r_state = rs
     m.objective_kmeans = list(meta["objective_kmeans"])
+    # the full lifecycle state, so post-fit accessors (convergence_trace,
+    # get_R's guard, cleanup) hit their documented RuntimeError guards —
+    # not AttributeError — on whatever a loaded model cannot support
+    m.objective_harmony = list(meta.get("objective_harmony", []))
+    m.kmeans_rounds = list(meta.get("kmeans_rounds", []))
+    m.estep_mode = meta.get("estep_mode", "batch")
+    m.n_blocks = int(meta.get("n_blocks", 1))
+    m._cells_final = None
+    m.cells0 = None  # training cells are not persisted; run() is guarded
     m._persisted = None
     m._block_contrib = []
     return m

@@ -52,6 +52,23 @@ def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def _pin_nanos_confs(spark: SparkSession) -> None:
+    """The ONE place the nanos-read session confs are set, shared by every
+    parquet entry point (:func:`table`, :func:`read_any`) so the same file
+    yields the same dtypes regardless of which one read it.
+
+    * ``nanosAsLong`` is a no-op on Spark 4.x (native nanos read); it
+      enables the bigint fallback on Sparks whose vectorized reader
+      rejects TIMESTAMP(NANOS).
+    * Epoch nanos are absolute; the NTZ->TIMESTAMP cast in
+      :func:`normalize_nanos_ts` is only exact under UTC. The engine's
+      own sessions pin UTC at construction (``session.get_spark``); this
+      covers foreign sessions (the driver creates a vanilla one).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Bare ``spark.read.parquet`` so predicates
     and projections declared downstream reach the scan (PushedFilters /
@@ -63,12 +80,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # no-op on Spark 4.x (native nanos read); enables the bigint
-        # fallback path on Sparks whose vectorized reader rejects nanos
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # epoch nanos are absolute; the NTZ->TIMESTAMP cast below is only
-        # exact under UTC, which the engine's own sessions already pin
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _pin_nanos_confs(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return normalize_nanos_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -100,6 +112,45 @@ def table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return ensure_parallelism(spark, table(spark, sf_dir, name))
 
 
+def write_time_partitioned(
+    df: DataFrame, path: str, ts_col: str = "ts", day_col: str = "day"
+) -> None:
+    """Write a fact table date-partitioned by day — the 100 TB layout for
+    time-range queries (ROADMAP: the normalize cast on ``events.ts``
+    keeps row-group pushdown off the raw column, so day-level PARTITION
+    pruning is what makes a ts-range predicate skip data at plan time).
+
+    The repartition puts each day in one shuffle partition so the layout
+    is one file per day instead of (input splits x days) fragments; at
+    real scale widen it to ``repartition(n, day, salt)`` so a hot day
+    splits across writers.
+    """
+    (
+        df.withColumn(day_col, F.to_date(F.col(ts_col)))
+        .repartition(F.col(day_col))
+        .write.partitionBy(day_col)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def events_by_day(spark: SparkSession, sf_dir: str, cache_root: str | None = None) -> DataFrame:
+    """The events table in the day-partitioned layout, built once per
+    sf_dir (memoized under ``cache_root``, default the system temp dir)
+    and re-read from parquet so the ``day`` partition column exists at
+    scan time — ``WHERE day ...`` predicates show up as PartitionFilters,
+    not data filters."""
+    import tempfile
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        cache_root or tempfile.gettempdir(), f"harmony_events_byday_{base}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_time_partitioned(table(spark, sf_dir, "events"), path)
+    return spark.read.parquet(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all testdata tables as temp views for the SQL surface."""
     for name in TABLES:
@@ -126,11 +177,12 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None, schema=None
         fmt = {"pq": "parquet"}.get(ext, ext) or "parquet"
     fmt = fmt.lower()
     if fmt == "parquet":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.options(**options).parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = normalize_nanos_ts(df)
-        return df
+        _pin_nanos_confs(spark)
+        # unconditional: normalize_nanos_ts no-ops on non-nanos dtypes,
+        # and branching here left the Spark-4.x timestamp_ntz case
+        # un-normalized — the same events file behaved differently via
+        # read_any vs table()
+        return normalize_nanos_ts(spark.read.options(**options).parquet(path))
     if fmt == "csv":
         reader = spark.read.options(header="true", **options)
         if schema is not None:

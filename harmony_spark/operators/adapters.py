@@ -87,6 +87,43 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q100_partitioned_day_range",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(epoch_us(ts)) AS first_us,
+               MAX(epoch_us(ts)) AS last_us
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Date-partitioned fact layout (io.write_time_partitioned / "
+    "events_by_day): events re-laid-out partitioned by day, then a "
+    "one-week range aggregated. The day predicate resolves as a "
+    "PartitionFilter — 23 of 30 day directories are never opened "
+    "(pinned by tests/test_plans.py) — which is the 100 TB answer to "
+    "ts-range scans, since the nanos-normalize cast keeps row-group "
+    "pushdown off the raw ts column. The oracle aggregates the RAW "
+    "events under the equivalent ts predicate, so the hash match also "
+    "proves the re-layout lost/duplicated no rows.",
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import events_by_day
+
+    ev = events_by_day(spark, sf)
+    return (
+        ev.where(F.col("day").between("2024-01-08", "2024-01-14"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "q94_jsonl_adapter",
     oracle=_ADAPTER_ORACLE,
     doc="JSON-Lines source adapter, value-checked end-to-end: same "

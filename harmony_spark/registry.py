@@ -62,7 +62,7 @@ def _priority(name: str) -> tuple[int, int]:
     if name in _PROMOTED:
         return (2, 0)
     if name.startswith("q"):
-        num = int(name[1:3])
+        num = int(name[1:].split("_", 1)[0])  # full number: q100+ parse too
         if num <= 32:
             return (0, num)
         if 33 <= num <= 47:

@@ -424,6 +424,12 @@ def test_matrix_api_orientation_inference(spark):
     np.testing.assert_allclose(out_rows, out_cols, atol=1e-6)
     with pytest.raises(ValueError, match="number of labels"):
         run_harmony_matrices(spark, Z[:50], meta, **kw)
+    # the driver-sized shim refuses oversized inputs up front (same 2M
+    # ceiling as blocked-local mode) instead of OOMing mid-collect —
+    # checked against a fake N without materializing 2M rows
+    big = [f"b{i % 3}" for i in range(2_000_001)]
+    with pytest.raises(ValueError, match="caps at 2M"):
+        run_harmony_matrices(spark, Z, big, **kw)
 
 
 def test_single_level_covariate_degenerates_gracefully(spark):
@@ -572,3 +578,40 @@ def test_model_save_load_roundtrip(spark, spark_fixture_df, tmp_path):
     )
     warm.run().count()
     assert len(warm.objective_kmeans) > 0
+
+    # unsupported calls on a loaded model hit the documented RuntimeError
+    # guards, never AttributeError (the model.json lifecycle state is
+    # restored; training cells are not)
+    with pytest.raises(RuntimeError, match="run\\(\\) must complete"):
+        loaded.get_R()
+    with pytest.raises(RuntimeError, match="no training cells"):
+        loaded.run()
+    loaded.cleanup()  # no-op without training cells, must not raise
+    assert loaded.estep_mode == model.estep_mode
+    assert loaded.kmeans_rounds == model.kmeans_rounds
+    assert loaded.objective_harmony == pytest.approx(model.objective_harmony)
+    assert loaded.convergence_trace().count() == model.convergence_trace().count()
+
+
+def test_load_model_refuses_precision_downcast(spark, spark_fixture_df, tmp_path, monkeypatch):
+    """An f64-saved model must not silently downcast into an f32 session
+    (the saved scalar_double flag is checked at load)."""
+    import json
+
+    from harmony_spark.core.algorithm import HarmonySpark, load_model, save_model
+
+    df, *_ = spark_fixture_df
+    model = HarmonySpark(
+        df, ["batch"], id_col="cell_id", theta=1.0, sigma=0.1, lamb=1.0,
+        nclust=5, max_iter=1, seed=7,
+    )
+    model.run().count()
+    path = str(tmp_path / "saved_f64")
+    save_model(model, path)
+    # forge the flag instead of re-importing the engine under
+    # HARMONY_SCALAR_DOUBLE=1 (scalars are bound at import time)
+    meta = json.load(open(f"{path}/model.json"))
+    meta["scalar_double"] = True
+    json.dump(meta, open(f"{path}/model.json", "w"))
+    with pytest.raises(ValueError, match="scalar_double"):
+        load_model(spark, path)

@@ -381,9 +381,12 @@ def test_read_any_roundtrip_formats(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="single-pass"):
         read_any(spark, p_csv, "csv")
 
-    # events via read_any: the nanos-timestamp path must keep working.
-    # Spark 4.x reads TIMESTAMP(NANOS) natively (timestamp_ntz, micros-
-    # truncated); older Sparks fall back to nanos-as-long (normalized to
-    # timestamp by read_any). Either way the column must be consumable.
+    # events via read_any must yield the SAME ts dtype as table() — both
+    # entry points normalize nanos unconditionally (Spark 4.x ntz cast
+    # under pinned UTC, bigint rebuild on older Sparks), so downstream
+    # epoch functions behave identically regardless of the entry point.
     ev = read_any(spark, f"{sf_dir}/events.parquet")
-    assert dict(ev.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert dict(ev.dtypes)["ts"] == dict(table(spark, sf_dir, "events").dtypes)["ts"]
+    want_us = table(spark, sf_dir, "events").selectExpr("min(unix_micros(ts))").first()[0]
+    assert ev.selectExpr("min(unix_micros(ts))").first()[0] == want_us
