@@ -602,3 +602,168 @@ def q98(spark: SparkSession, sf: str) -> DataFrame:
         "n_final_kept",
         (F.col("n_vecs") - (F.col("n_in_graph") - F.col("n_components"))).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantization codebooks + ADC search (ROADMAP phase 2 of
+# the int8 scalar quantization above). No reference counterpart — this is
+# the training-data-pipeline extension surface.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subvector slots -> one code byte each
+PQ_KS = 16  # centroids per sub-codebook (4-bit codes)
+PQ_SHORTLIST = 100  # ADC shortlist fed to the exact reranker (20x k)
+
+
+def train_pq_codebooks(
+    df: DataFrame, col: str = "embedding", sample_n: int = 2000, seed: int = 42
+) -> list:
+    """One (PQ_KS x d/PQ_M) Euclidean k-means codebook per subvector
+    slot, trained driver-side on a deterministic sample (same pattern as
+    the IVF coarse centroids: the sample bounds driver work, the
+    downstream Spark passes touch the full corpus). Euclidean — NOT the
+    cosine k-means the harmony core uses — because PQ reconstructs
+    subvector coordinates, not directions."""
+    import numpy as np
+
+    rows = df.select(col).orderBy("vec_id").limit(sample_n).collect()
+    X = np.stack([r[col] for r in rows]).astype("float64")
+    n, d = X.shape
+    if d % PQ_M:
+        raise ValueError(f"embedding dim {d} not divisible by PQ_M={PQ_M}")
+    ds = d // PQ_M
+    books = []
+    for m in range(PQ_M):
+        sub = np.ascontiguousarray(X[:, m * ds : (m + 1) * ds])
+        rng = np.random.default_rng(seed + m)
+        centers = sub[[int(rng.integers(n))]].copy()
+        while len(centers) < PQ_KS:  # kmeans++ seeding
+            d2 = ((sub[:, None, :] - centers[None]) ** 2).sum(-1).min(1)
+            tot = d2.sum()
+            p = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
+            centers = np.vstack([centers, sub[int(rng.choice(n, p=p))]])
+        for _ in range(10):  # Lloyd
+            a = ((sub[:, None, :] - centers[None]) ** 2).sum(-1).argmin(1)
+            for k in range(PQ_KS):
+                mem = sub[a == k]
+                if len(mem):
+                    centers[k] = mem.mean(0)
+        books.append(centers)
+    return books
+
+
+def pq_encode(df: DataFrame, books: list, col: str = "embedding") -> DataFrame:
+    """Add ``pq_code ARRAY<INT>`` (PQ_M codes). The codebooks are plan
+    literals, so encoding is a pure whole-stage-codegen projection —
+    no UDF, no shuffle — exactly like the int8 scalar quantizer. At
+    100 TB the stored code column is d*4/PQ_M = 32x smaller than the
+    float embedding."""
+    ds = len(books[0][0])
+    codes = []
+    for m, book in enumerate(books):
+        sub = F.slice(F.col(col), m * ds + 1, ds)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(float(c)) for c in center]),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for center in book
+            ]
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return df.withColumn("pq_code", F.array(*codes))
+
+
+def pq_topk(
+    spark: SparkSession,
+    sf: str,
+    query_ids: list[int],
+    k: int = TOP_K,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """Two-stage PQ retrieval: ADC (asymmetric distance computation)
+    ranks every corpus vector by sum_m LUT_q[m][code_m] — the query-side
+    lookup tables are plan literals, so the whole shortlist stage is one
+    codegen pass over the 32x-compressed codes — then the exact cosine
+    reranker runs ONLY on the per-query shortlist. The scale story: the
+    full-precision float column is read for shortlist*|Q| rows, not N."""
+    import numpy as np
+
+    e = table(spark, sf, "embeddings")
+    books = train_pq_codebooks(e)
+    ds = len(books[0][0])
+    encoded = pq_encode(e, books).select("vec_id", "pq_code")
+
+    qrows = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype="float64")
+        for r in e.where(F.col("vec_id").isin(query_ids)).collect()
+    }
+    # per-query ADC dot-product LUT: lut[m][k] = <q_sub_m, center_mk>
+    adc_cols = []
+    for qid in query_ids:
+        q = qrows[qid]
+        lut = [
+            [float(np.dot(q[m * ds : (m + 1) * ds], c)) for c in books[m]]
+            for m in range(PQ_M)
+        ]
+        score = None
+        for m in range(PQ_M):
+            term = F.element_at(
+                F.array(*[F.lit(v) for v in lut[m]]),
+                F.element_at("pq_code", m + 1) + 1,
+            )
+            score = term if score is None else score + term
+        adc_cols.append(F.struct(F.lit(qid).alias("q_id"), score.alias("adc")))
+
+    w_short = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("c_id"))
+    short = (
+        encoded.select(
+            F.col("vec_id").alias("c_id"), F.explode(F.array(*adc_cols)).alias("qa")
+        )
+        .select("c_id", "qa.q_id", "qa.adc")
+        .where(F.col("q_id") != F.col("c_id"))
+        .withColumn("srn", F.row_number().over(w_short))
+        .where(F.col("srn") <= shortlist)
+        .select("q_id", "c_id")
+    )
+    # exact rerank on the shortlist only
+    corpus = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"),
+        _l2("embedding").alias("cn"),
+    )
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qrows[qid]]) for qid in query_ids],
+        "q_id long, qe array<double>",
+    ).withColumn("qn", _l2("qe"))
+    cos = F.round(_dot("ce", "qe") / (F.col("cn") * F.col("qn")), 6)
+    w_rank = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        short.join(corpus, "c_id")
+        .join(F.broadcast(qdf), "q_id")
+        .select("q_id", "c_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("rn") <= k)
+        .orderBy("q_id", "rn")
+    )
+
+
+@register(
+    "q101_pq_topk",
+    oracle=None,
+    doc="IVF-PQ two-stage retrieval: product-quantization codebooks "
+    "(PQ_M=8 subvectors x PQ_KS=16 Euclidean centroids, trained on a "
+    "seeded driver-side sample), codegen-only encoding to 8 codes per "
+    "vector (32x compression), ADC shortlist via plan-literal lookup "
+    "tables, exact cosine rerank on the shortlist alone. Data-dependent "
+    "codebooks make this non-SQL-expressible (rows-only check); "
+    "recall@5 vs the exact float top-k is pinned by "
+    "tests/test_extensions.py::test_pq_topk_recall.",
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    return pq_topk(spark, sf, [0, 1, 2, 3, 4])

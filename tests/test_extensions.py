@@ -262,6 +262,43 @@ def test_q92_refinement_only_splits_buckets(spark, sf_dir):
     assert n_rekeyed > 2  # hot buckets exist and were re-keyed
 
 
+def test_pq_topk_recall(spark, sf_dir):
+    """IVF-PQ two-stage retrieval: recall@5 vs the exact float cosine
+    top-k must clear 0.6 on the test corpus (measured ~0.8-0.84 at
+    shortlist=100; a broken encoder/LUT collapses to ~0.01 = chance),
+    and the encode stage must stay codegen-only (no Python eval node)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from harmony_spark.extensions.similarity import pq_encode, pq_topk, train_pq_codebooks
+    from harmony_spark.io import table
+
+    qids = [0, 1, 2, 3, 4]
+    out = pq_topk(spark, sf_dir, qids).collect()
+    rows = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.stack([r["embedding"] for r in rows]).astype("float64")
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    recalls = []
+    for q in qids:
+        qi = int(np.where(ids == q)[0][0])
+        cos = Xn @ Xn[qi]
+        cos[qi] = -9
+        exact = set(ids[np.argsort(-cos)][:5].tolist())
+        got = {r["c_id"] for r in out if r["q_id"] == q}
+        assert len(got) == 5
+        recalls.append(len(exact & got) / 5)
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+    e = table(spark, sf_dir, "embeddings")
+    enc = pq_encode(e, train_pq_codebooks(e)).select("vec_id", "pq_code")
+    assert "BatchEvalPython" not in enc._jdf.queryExecution().executedPlan().toString()
+    lo, hi = enc.select(
+        F.min(F.array_min("pq_code")), F.max(F.array_max("pq_code"))
+    ).first()
+    assert 0 <= lo and hi <= 15  # 4-bit codes
+
+
 def test_adaptive_srp_bounds_hot_buckets(spark, sf_dir):
     """The q98 skew guard: SRP buckets over the hot threshold must be
     re-keyed on extra projection bits, and the re-keying must strictly
