@@ -425,6 +425,37 @@ class HarmonySpark:
         Zn = Z / np.maximum(np.linalg.norm(Z, axis=1, keepdims=True), 1e-12)
         self.Y = kmeans_centers(Zn, p.K, p.seed)  # (d, K), L2-normalized cols
 
+    @staticmethod
+    def _arrowhead_solve(G: np.ndarray, rhs: np.ndarray) -> np.ndarray:
+        """M7: closed-form solve of the single-covariate MoE system
+        (/root/reference/src/harmony.cpp:572-586 computes this inverse).
+
+        With one covariate every design row is [1, e_b], so the ridge
+        Gram is an ARROWHEAD matrix [[a, c^T], [c, D]] (D diagonal:
+        per-level soft counts + lambda; c: the same counts; a: total
+        mass). Schur complement on the (0,0) entry gives
+
+            inv(G) = v v^T / s + diag([0, 1/D])   with
+            v = [1, -c/D],  s = a - sum(c^2 / D)
+
+        so the solve is O(B*d) instead of O(B^3): irrelevant at B=5,
+        decisive when a run has thousands of batch levels (sample-level
+        covariates), where the K dense inversions would start to rival
+        the E-step. Raises LinAlgError on a degenerate pivot so the
+        caller's no-support skip path handles it like the dense solver.
+        """
+        a, c, d = G[0, 0], G[0, 1:], G.diagonal()[1:].copy()
+        if np.any(d <= 0):
+            raise np.linalg.LinAlgError("non-positive arrowhead diagonal")
+        dinv = 1.0 / d
+        s = a - np.sum(c * c * dinv)
+        if not np.isfinite(s) or s <= 0:
+            raise np.linalg.LinAlgError("non-positive Schur complement")
+        v = np.concatenate([[1.0], -c * dinv])
+        W = np.outer(v, v @ rhs) / s
+        W[1:] += dinv[:, None] * rhs[1:]
+        return W
+
     def _solve_moe(self, combos: dict[tuple, tuple[np.ndarray, np.ndarray]]) -> None:
         """C5 filter + M8 auto-lambda + M6 ridge solves + M3 centroid
         update, all driver-side from the tiny combo partials."""
@@ -485,7 +516,14 @@ class HarmonySpark:
             Gram[np.diag_indices(m + 1)] += lam
             rhs = Uk.T @ Mk  # (m+1, d)
             try:
-                W = np.linalg.solve(Gram, rhs)
+                if C == 1:
+                    # single covariate -> arrowhead Gram, closed form (M7)
+                    W = self._arrowhead_solve(Gram, rhs)
+                else:
+                    # multi-covariate designs have cross-covariate Gram
+                    # terms (not arrowhead) — dense solve, like the
+                    # reference's B_vec.size()>1 arma::inv branch
+                    W = np.linalg.solve(Gram, rhs)
             except np.linalg.LinAlgError:
                 # vanishing cluster mass (intercept row has lambda=0);
                 # skip the cluster like the C5 no-support path

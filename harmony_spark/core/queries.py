@@ -48,7 +48,10 @@ def _flatten_zcorr(out: DataFrame, *code_aliases: tuple[str, str]) -> DataFrame:
     doc="Flagship: full harmony batch-correction pipeline "
     "(RunHarmony.default equivalent, /root/reference/R/ui.R:91-296) on "
     "the embeddings table with `label` as the batch covariate. "
-    "Deterministic (seeded init, batch-EM E-steps).",
+    "Deterministic (seeded init, batch-EM E-steps). NOTE: the driver row "
+    "runs a REDUCED configuration (nclust=5, max_iter=2) for determinism "
+    "and gate latency; full-size convergence parity is pinned by the "
+    "NumPy cross-oracle suite (tests/test_harmony_core.py).",
 )
 def harmony_correct(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.core.algorithm import HarmonySpark

@@ -409,6 +409,33 @@ def test_theta_zero_is_neutral_penalty():
     np.testing.assert_allclose(h.R, R_plain, atol=1e-5)
 
 
+def test_arrowhead_solve_matches_dense():
+    """M7: the closed-form arrowhead solve must agree with the dense
+    solver on random single-covariate MoE Gram systems (diag = counts +
+    lambda, border = counts, corner = total mass), and refuse degenerate
+    pivots with LinAlgError like the dense path."""
+    from harmony_spark.core.algorithm import HarmonySpark
+
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        B, d = int(rng.integers(2, 30)), int(rng.integers(1, 40))
+        counts = rng.random(B) * 100
+        lam = rng.random(B) * 5 + 1e-3
+        G = np.zeros((B + 1, B + 1))
+        G[0, 0] = counts.sum()
+        G[0, 1:] = counts
+        G[1:, 0] = counts
+        G[np.arange(1, B + 1), np.arange(1, B + 1)] = counts + lam
+        rhs = rng.standard_normal((B + 1, d))
+        W_fast = HarmonySpark._arrowhead_solve(G, rhs)
+        W_dense = np.linalg.solve(G, rhs)
+        np.testing.assert_allclose(W_fast, W_dense, rtol=1e-9, atol=1e-9)
+
+    bad = np.zeros((3, 3))  # zero diagonal -> degenerate
+    with pytest.raises(np.linalg.LinAlgError):
+        HarmonySpark._arrowhead_solve(bad, np.ones((3, 2)))
+
+
 def test_matrix_api_orientation_inference(spark):
     """S1/S2 port: run_harmony_matrices accepts cells-as-rows OR
     cells-as-columns (dimension matched against metadata length) and a
