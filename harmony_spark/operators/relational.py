@@ -643,12 +643,16 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
                COUNT(*) AS n,
-               CAST(MIN(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY) AS DATE) AS first_due,
+               CAST(CAST(MIN(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY) AS DATE) AS VARCHAR) AS first_due,
                CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')) AS BIGINT) AS max_age_days
         FROM orders GROUP BY 1 ORDER BY 1
     """,
     doc="Date arithmetic surface: extract-month bucketing, date + "
-    "interval, datediff against an anchor.",
+    "interval, datediff against an anchor. first_due is rendered as an "
+    "ISO string on both sides: a raw DATE column round-trips differently "
+    "through pandas (Spark -> object datetime.date, DuckDB -> "
+    "datetime64 Timestamp with a time component), which str-hash "
+    "canonicalizers see as different values.",
 )
 def q52(spark: SparkSession, sf: str) -> DataFrame:
     o = table(spark, sf, "orders")
@@ -656,7 +660,9 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
         o.groupBy(F.month("o_orderdate").cast("int").alias("mo"))
         .agg(
             F.count("*").alias("n"),
-            F.min(F.date_add(F.to_date("o_orderdate"), 30)).alias("first_due"),
+            F.date_format(F.min(F.date_add(F.to_date("o_orderdate"), 30)), "yyyy-MM-dd").alias(
+                "first_due"
+            ),
             F.max(F.datediff(F.lit("1998-01-01").cast("date"), F.to_date("o_orderdate")))
             .cast("long")
             .alias("max_age_days"),

@@ -79,6 +79,17 @@ def test_query_matches_oracle(spec, spark, sf_dir, oracle):
                 "pandas canonicalization at the driver will diverge"
             )
 
+    # DATE output columns are likewise hazardous: Spark->pandas renders
+    # them as object datetime.date ('1995-05-01') while DuckDB->pandas
+    # gives datetime64 Timestamps ('1995-05-01 00:00:00'), so a str-hash
+    # canonicalizer sees different values even when both engines agree
+    # (q52, round 3). Render dates as ISO strings on both sides instead.
+    date_cols = [f.name for f in sdf.schema.fields if f.dataType.typeName() == "date"]
+    assert not date_cols, (
+        f"{spec.name}: raw DATE output column(s) {date_cols} — emit "
+        "date_format(..., 'yyyy-MM-dd') / CAST(... AS VARCHAR) instead"
+    )
+
     ores = oracle.sql(spec.oracle)
     ocols = sorted(ores.columns)
     oidx = [ores.columns.index(c) for c in ocols]
