@@ -98,8 +98,82 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("stage")
 
 
+_SHINGLE_N = 5  # decontamination shingle width (tokens)
+
+
+@register(
+    "q104_decontamination",
+    oracle=rf"""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 string_split_regex(lower(text), '\s+') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(1, len(toks) - {_SHINGLE_N - 2}),
+                        i -> array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' '))) AS shingle
+          FROM tok WHERE len(toks) >= {_SHINGLE_N}
+        ),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 23 = 0),
+        corp AS (SELECT doc_id, source, shingle FROM sh WHERE doc_id % 23 <> 0),
+        cont AS (SELECT DISTINCT c.doc_id, c.source
+                 FROM corp c JOIN ev USING (shingle)),
+        tot AS (SELECT source, COUNT(*) AS n_docs FROM documents
+                WHERE doc_id % 23 <> 0 GROUP BY source),
+        cc AS (SELECT source, COUNT(*) AS n_cont FROM cont GROUP BY source)
+        SELECT t.source,
+               CAST(t.n_docs AS BIGINT) AS n_docs,
+               CAST(COALESCE(cc.n_cont, 0) AS BIGINT) AS n_contaminated
+        FROM tot t LEFT JOIN cc USING (source) ORDER BY t.source
+    """,
+    doc="Benchmark decontamination: flag training documents that share "
+    "any 5-token shingle with the held-out eval set (doc_id % 23 == 0 "
+    "plays the eval split), reported as per-source contamination "
+    "counts. Scale shape: the eval side deduplicates to a distinct "
+    "shingle set and BROADCASTS (eval suites are KB-to-MB against a "
+    "100 TB corpus), so the corpus-side shingle explosion joins "
+    "map-side with no shuffle of corpus text; the contaminated-doc set "
+    "collapses back to distinct doc_ids before the census.",
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").select(
+        "doc_id", "source", F.split(F.lower(F.col("text")), r"\s+").alias("toks")
+    )
+    shingle = F.expr(
+        f"transform(sequence(0, size(toks) - {_SHINGLE_N}), "
+        f"i -> array_join(slice(toks, i + 1, {_SHINGLE_N}), ' '))"
+    )
+    sh = (
+        docs.where(F.size("toks") >= _SHINGLE_N)
+        .select("doc_id", "source", F.explode(shingle).alias("shingle"))
+    )
+    is_eval = F.col("doc_id") % 23 == 0
+    ev = sh.where(is_eval).select("shingle").distinct()
+    contaminated = (
+        sh.where(~is_eval)
+        .join(F.broadcast(ev), "shingle")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    tot = (
+        docs.where(~is_eval)
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    cc = contaminated.groupBy("source").agg(F.count("*").alias("n_cont"))
+    return (
+        tot.join(cc, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_cont"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
 _QUOTA = 25  # docs per language
-_N_SALTS = 8
 
 
 @register(
@@ -122,12 +196,15 @@ _N_SALTS = 8
     doc="Stratified corpus-mix sampler: a deterministic per-language "
     "quota sample ordered by md5(doc_id) (a seedless uniform shuffle), "
     "reported as per-language sample summaries. Scale shape: `lang` has "
-    "tiny cardinality, so a naive window would funnel the corpus through "
-    "a handful of partitions; instead phase 1 ranks within (lang, salt) "
-    "buckets and keeps quota rows per bucket, phase 2 re-ranks only the "
-    "n_salts*quota survivors per language - the classic salted "
-    "top-k-per-group decomposition, exactly equal to the single window "
-    "because the order key is total.",
+    "tiny cardinality, so a rank-then-filter window looks like a skew "
+    "trap - but Spark's rank-limit pushdown plans a PARTIAL "
+    "WindowGroupLimit before the exchange, keeping top-quota rows per "
+    "scan partition map-side, so the per-language exchange carries "
+    "O(quota * n_input_partitions) rows, not the corpus. That native "
+    "pushdown is exactly the salted two-phase top-k decomposition one "
+    "would hand-write (and this module's first draft did); the plan "
+    "test pins the Partial WindowGroupLimit so a Spark regression "
+    "would surface.",
 )
 def q103(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents").select(
@@ -136,18 +213,8 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
         "n_chars",
         F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
     )
-    # Phase 1: per-(lang, salt) quota. Any deterministic function of the
-    # row works as the salt; pmod keeps it cheap and uniform.
-    salt = F.pmod(F.col("doc_id"), F.lit(_N_SALTS))
-    w1 = Window.partitionBy("lang", "salt").orderBy("ord_key", "doc_id")
-    survivors = (
-        docs.withColumn("salt", salt)
-        .withColumn("rn1", F.row_number().over(w1))
-        .where(F.col("rn1") <= _QUOTA)
-    )
-    # Phase 2: true per-language rank over <= n_salts*quota rows/lang.
-    w2 = Window.partitionBy("lang").orderBy("ord_key", "doc_id")
-    sampled = survivors.withColumn("rn", F.row_number().over(w2)).where(
+    w = Window.partitionBy("lang").orderBy("ord_key", "doc_id")
+    sampled = docs.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= _QUOTA
     )
     return (

@@ -287,3 +287,24 @@ def test_q92_hot_list_broadcast_and_band_keyed(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q104_eval_shingles_broadcast(spark, sf_dir):
+    """Decontamination must broadcast the deduped eval-shingle set onto
+    the corpus-side explosion (eval suites are tiny against a 100 TB
+    corpus) — the corpus shingle stream must never shuffle to meet it."""
+    plan = plan_of(load_all()["q104_decontamination"], spark, sf_dir, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q103_sampler_rank_limit_pushed_down(spark, sf_dir):
+    """The stratified sampler leans on Spark's rank-limit pushdown: a
+    PARTIAL WindowGroupLimit must run before the per-lang exchange so
+    each scan partition forwards only its top-quota rows - the built-in
+    equivalent of a hand-salted two-phase top-k. If this Partial node
+    disappears, the low-cardinality lang key funnels the whole corpus
+    through a handful of window partitions."""
+    plan = plan_of(load_all()["q103_stratified_sample"], spark, sf_dir, mode="simple")
+    limit_lines = [l for l in plan.splitlines() if "WindowGroupLimit" in l]
+    assert any("Partial" in l for l in limit_lines), limit_lines
