@@ -226,3 +226,326 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- chunk-level (paragraph-equivalent) corpus operators -------------------
+#
+# The synthetic corpus has no newlines, so the paragraph unit is a fixed
+# non-overlapping window of _CHUNK_W tokens — the same unit RefinedWeb /
+# Dolma-style pipelines use at the paragraph level and C4 uses at the line
+# level. All chunk operators shuffle 16-byte digests + (doc_id, idx)
+# coordinates, never chunk text.
+
+_CHUNK_W = 10
+
+
+def _chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, source, idx, digest) for every non-overlapping _CHUNK_W-token
+    chunk; docs shorter than one chunk contribute nothing."""
+    docs = table(spark, sf, "documents").select(
+        "doc_id", "source", F.split(F.lower(F.col("text")), r"\s+").alias("toks")
+    )
+    chunk = F.expr(
+        f"transform(sequence(0, int(size(toks) / {_CHUNK_W}) - 1), "
+        f"i -> array_join(slice(toks, i * {_CHUNK_W} + 1, {_CHUNK_W}), ' '))"
+    )
+    return (
+        docs.where(F.size("toks") >= _CHUNK_W)
+        .select("doc_id", "source", F.posexplode(chunk).alias("idx", "chunk"))
+        .select("doc_id", "source", "idx", F.md5("chunk").alias("digest"))
+    )
+
+
+_CHUNK_SQL = rf"""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 string_split_regex(lower(text), '\s+') AS toks
+          FROM documents
+        ),
+        ch AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(0, CAST(len(toks) // {_CHUNK_W} AS INT)),
+                        i -> {{'idx': i, 'digest': md5(array_to_string(
+                              toks[i*{_CHUNK_W}+1:i*{_CHUNK_W}+{_CHUNK_W}], ' '))}})) AS s
+          FROM tok WHERE len(toks) >= {_CHUNK_W}
+        ),
+        chunks AS (SELECT doc_id, source, s.idx AS idx, s.digest AS digest FROM ch)
+"""
+
+
+@register(
+    "q105_chunk_dedup",
+    oracle=_CHUNK_SQL
+    + """
+        , ranked AS (
+          SELECT doc_id, digest,
+                 ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id, idx) AS rn
+          FROM chunks
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Paragraph-level (chunk) exact dedup with reassembly accounting "
+    "(RefinedWeb/Dolma paragraph dedup; C4 does the same at line level): "
+    "each 10-token chunk survives only in its globally-first document "
+    "(order by doc_id, idx), and every document reports how many of its "
+    "chunks it keeps. Scale shape: the corpus-wide first-occurrence "
+    "window partitions by chunk DIGEST (high cardinality — no skew), "
+    "and the shuffle carries md5+coordinates, never chunk text.",
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    ch = _chunks(spark, sf)
+    w = Window.partitionBy("digest").orderBy("doc_id", "idx")
+    ranked = ch.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BOILER_MIN_DOCS = 2
+
+
+@register(
+    "q106_boilerplate_removal",
+    oracle=_CHUNK_SQL
+    + f"""
+        , freq AS (
+          SELECT digest, COUNT(DISTINCT doc_id) AS n_docs_with
+          FROM chunks GROUP BY digest
+        ),
+        flagged AS (
+          SELECT c.doc_id, c.source,
+                 (f.n_docs_with >= {_BOILER_MIN_DOCS}) AS boiler
+          FROM chunks c JOIN freq f USING (digest)
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS total_chunks,
+               CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS chunks_removed,
+               CAST(COUNT(DISTINCT CASE WHEN boiler THEN doc_id END) AS BIGINT)
+                 AS docs_affected
+        FROM flagged GROUP BY source ORDER BY source
+    """,
+    doc="C4-style boilerplate removal census: any 10-token chunk occurring "
+    "in >= 2 distinct documents is boilerplate and removed from ALL of "
+    "them (C4 removed any line occurring thrice in the crawl; threshold "
+    "2 matches this corpus's repetition rate). Per-source attrition "
+    "report. Scale shape: the frequency table is a digest-keyed hash "
+    "agg with map-side partials; rejoining it to the chunk table is a "
+    "digest-equi-join that AQE can broadcast when the boilerplate "
+    "vocabulary is small, and the document text itself never shuffles.",
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    ch = _chunks(spark, sf)
+    freq = ch.groupBy("digest").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    flagged = ch.join(freq, "digest").withColumn(
+        "boiler", F.col("n_docs_with") >= _BOILER_MIN_DOCS
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("total_chunks"),
+            F.sum(F.col("boiler").cast("long")).alias("chunks_removed"),
+            F.countDistinct(F.when(F.col("boiler"), F.col("doc_id"))).alias(
+                "docs_affected"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_SEQ_BUDGET = 2048  # tokens per packed training sequence
+_PACK_SHARD_W = 128  # doc_ids per prefix-sum shard
+
+
+@register(
+    "q107_sequence_packing",
+    oracle=rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(string_split_regex(lower(text), '\s+')) AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM t
+        )
+        SELECT CAST(cum_before // {_SEQ_BUDGET} AS BIGINT) AS seq_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM c GROUP BY seq_id ORDER BY seq_id
+    """,
+    doc="Token-budget sequence packing for LLM training: documents are "
+    "laid out in deterministic doc_id order and cut into 2048-token "
+    "training sequences; seq_id = floor(tokens_before_doc / budget) "
+    "(greedy contiguous fill, boundary doc overflows into the next "
+    "sequence). Scale shape: the global prefix sum is NOT a "
+    "single-partition window — it is the classic two-phase distributed "
+    "scan: per-shard token totals (a tiny aggregate, one row per "
+    "128-doc shard) are collected and turned into shard offsets, "
+    "broadcast back, and each shard computes its local running sum "
+    "under Window.partitionBy(shard). The only global data movement is "
+    "the shard-total aggregate.",
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    t = table(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n_tokens"),
+        (F.col("doc_id") / _PACK_SHARD_W).cast("long").alias("shard"),
+    )
+    # Phase 1: shard totals -> driver (one row per 128 docs; bounded) ->
+    # exclusive prefix offsets -> tiny broadcast-joined offset table.
+    totals = t.groupBy("shard").agg(F.sum("n_tokens").alias("shard_tokens"))
+    rows = sorted((r["shard"], r["shard_tokens"]) for r in totals.collect())
+    offsets, acc = [], 0
+    for shard, tok in rows:
+        offsets.append((shard, acc))
+        acc += tok
+    off = spark.createDataFrame(offsets, "shard long, shard_offset long")
+    # Phase 2: in-shard running sum; global position = offset + local.
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = (
+        t.join(F.broadcast(off), "shard")
+        .withColumn(
+            "cum_before",
+            F.col("shard_offset") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+        )
+        .withColumn("seq_id", (F.col("cum_before") / _SEQ_BUDGET).cast("long"))
+    )
+    return (
+        c.groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+_MIX_TEMP = 0.7  # mixing temperature (UnifiedQA / multilingual-LM style)
+
+
+@register(
+    "q108_domain_mix_weights",
+    oracle=rf"""
+        WITH d AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        s AS (
+          SELECT source, n_docs, n_tokens,
+                 CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share,
+                 POW(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), {_MIX_TEMP})
+                   AS raw_w
+          FROM d
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(share, 8) AS token_share,
+               ROUND(raw_w / SUM(raw_w) OVER (), 8) AS mix_weight,
+               ROUND((raw_w / SUM(raw_w) OVER ()) / share, 6) AS oversample
+        FROM s ORDER BY source
+    """,
+    doc="Temperature-based domain mixing weights (multilingual-LM / "
+    "data-mixture recipe): per-source token shares are re-weighted by "
+    "share^0.7 and renormalized, yielding the sampling weight and the "
+    "over/under-sample factor each domain gets in the training mix. "
+    "Scale shape: one hash aggregate to 20 domain rows; the "
+    "normalizing windows run over that domain-sized table, so the "
+    "corpus is scanned exactly once regardless of size.",
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        table(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.lower(F.col("text")), r"\s+")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    w_all = Window.partitionBy()
+    s = d.withColumn(
+        "share", F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all)
+    ).withColumn("raw_w", F.pow("share", F.lit(_MIX_TEMP)))
+    return (
+        s.withColumn("mix_w", F.col("raw_w") / F.sum("raw_w").over(w_all))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("share", 8).alias("token_share"),
+            F.round("mix_w", 8).alias("mix_weight"),
+            F.round(F.col("mix_w") / F.col("share"), 6).alias("oversample"),
+        )
+        .orderBy("source")
+    )
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "q109_training_shards",
+    oracle=f"""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                   % {_N_SHARDS} AS shard,
+                 len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+          FROM documents
+        )
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM s GROUP BY shard ORDER BY shard
+    """,
+    doc="Deterministic global training shuffle: every document is "
+    "assigned to one of 16 output shards by md5(doc_id) — a seedless, "
+    "engine-independent uniform hash — and the query reports per-shard "
+    "balance (doc/token counts + id checksum). This is the reshard "
+    "step before writing packed training data: hash assignment means "
+    "adjacent source documents land in different shards (the global "
+    "shuffle LLM training wants) while staying reproducible across "
+    "engines and runs. One aggregate, map-side combinable.",
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    s = table(spark, sf, "documents").select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            % _N_SHARDS
+        ).alias("shard"),
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("shard")
+    )

@@ -44,27 +44,44 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return wrap
 
 
-# The strongest LLM-pipeline evidence: composed dedup funnels + the
-# prefix-filtered similarity join. Promoted ahead of the q33+ extensions
-# so they land inside the driver's 50-entry window (displacing q44-q46,
-# whose components P2/X3/X4 keep other in-window rows: q05, q31/q37,
-# q32/q39/q40/q42).
-_PROMOTED = ("q89_prefix_similarity_join", "q97_dedup_pipeline", "q98_semantic_dedup")
+# The strongest LLM-pipeline evidence: composed dedup funnels, the
+# prefix-filtered similarity join, and the round-3 additions (partition
+# pruning, IVF-PQ, quality funnel, benchmark decontamination). Promoted
+# ahead of the q33+ extensions so they land inside the driver's 50-entry
+# window. To make room, four rows whose components stay covered by other
+# in-window entries are demoted: q33/q34/q38 (X2 — covered by q35, q36,
+# q97) and q42 (X4 — covered by q32, q39, q40).
+_PROMOTED = (
+    "q89_prefix_similarity_join",
+    "q97_dedup_pipeline",
+    "q98_semantic_dedup",
+    "q100_partitioned_day_range",
+    "q101_pq_topk",
+    "q102_quality_funnel",
+    "q104_decontamination",
+)
+_DEMOTED = frozenset(
+    {"q33_ngram_jaccard", "q34_minhash_signatures", "q38_lsh_bucket_histogram", "q42_token_frequencies"}
+)
 
 
 def _priority(name: str) -> tuple[int, int]:
     """Registry ordering: the driver's correctness gate checks the FIRST
     50 entries. In-window (positions 1-50): the declared SURVEY §2.11
-    corpus q01-q32, the four harmony_* pipelines, the promoted funnels
-    (q89/q97/q98), then q33-q43. Out-of-window (covered by the identical
-    local gate at sf0.001 instead): q44-q47, q83-q88, q90-q92, and the
+    corpus q01-q32, the four harmony_* pipelines, the seven promoted
+    queries (q89/q97/q98/q100/q101/q102/q104), then the first seven of
+    q33-q47 not demoted (q35/q36/q37/q39/q40/q41/q43). Out-of-window
+    (covered by the identical local gate at sf0.001 instead): the
+    demoted q33/q34/q38/q42, q44-q47, q83-q88, q90-q92, and the
     remaining relational surface q48+."""
     if name in _PROMOTED:
-        return (2, 0)
+        return (2, _PROMOTED.index(name))
     if name.startswith("q"):
         num = int(name[1:].split("_", 1)[0])  # full number: q100+ parse too
         if num <= 32:
             return (0, num)
+        if name in _DEMOTED:
+            return (4, num)
         if 33 <= num <= 47:
             return (3, num)
         if 83 <= num <= 92:

@@ -308,3 +308,26 @@ def test_q103_sampler_rank_limit_pushed_down(spark, sf_dir):
     plan = plan_of(load_all()["q103_stratified_sample"], spark, sf_dir, mode="simple")
     limit_lines = [l for l in plan.splitlines() if "WindowGroupLimit" in l]
     assert any("Partial" in l for l in limit_lines), limit_lines
+
+
+def test_q105_dedup_window_keyed_on_digest(spark, sf_dir):
+    """Chunk-dedup's first-occurrence window must partition by the chunk
+    digest (high-cardinality, skew-free) and the shuffle must carry
+    digests, never chunk text."""
+    plan = plan_of(load_all()["q105_chunk_dedup"], spark, sf_dir, mode="simple")
+    assert "windowspecdefinition(digest#" in plan
+    # the exchange feeding the window hashes on digest, not text/chunk
+    assert "Exchange hashpartitioning(digest#" in plan
+
+
+def test_q107_prefix_sum_is_sharded_not_global(spark, sf_dir):
+    """Sequence packing's running sum must be the two-phase distributed
+    scan: a Window PARTITIONED by shard (never an empty partition spec,
+    which would funnel the corpus through one task) with the tiny
+    offset table broadcast."""
+    plan = plan_of(load_all()["q107_sequence_packing"], spark, sf_dir, mode="simple")
+    assert "windowspecdefinition(shard#" in plan
+    # a global (unpartitioned) ordered window would render as
+    # windowspecdefinition(doc_id#... with no partition column before it
+    assert "windowspecdefinition(doc_id#" not in plan
+    assert "BroadcastHashJoin" in plan
