@@ -363,7 +363,8 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _SEQ_BUDGET = 2048  # tokens per packed training sequence
-_PACK_SHARD_W = 128  # doc_ids per prefix-sum shard
+_PACK_SHARD_W = 128  # minimum doc_ids per prefix-sum shard
+_PACK_MAX_SHARDS = 4096  # driver-side offset-table bound at ANY corpus size
 
 
 @register(
@@ -393,18 +394,26 @@ _PACK_SHARD_W = 128  # doc_ids per prefix-sum shard
     "(greedy contiguous fill, boundary doc overflows into the next "
     "sequence). Scale shape: the global prefix sum is NOT a "
     "single-partition window — it is the classic two-phase distributed "
-    "scan: per-shard token totals (a tiny aggregate, one row per "
-    "128-doc shard) are collected and turned into shard offsets, "
+    "scan: per-shard token totals (a tiny aggregate; the shard width "
+    "adapts to the id range so the offset table never exceeds 4096 "
+    "rows) are collected and turned into shard offsets, "
     "broadcast back, and each shard computes its local running sum "
     "under Window.partitionBy(shard). The only global data movement is "
     "the shard-total aggregate.",
 )
 def q107(spark: SparkSession, sf: str) -> DataFrame:
-    t = table(spark, sf, "documents").select(
+    base = table(spark, sf, "documents").select(
         "doc_id",
         F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n_tokens"),
-        (F.col("doc_id") / _PACK_SHARD_W).cast("long").alias("shard"),
     )
+    # Shard width adapts to the id range so the phase-1 offset table the
+    # driver collects is bounded at _PACK_MAX_SHARDS rows at ANY corpus
+    # size (a fixed 128-doc width would collect N/128 rows — 400M shard
+    # totals on a 50B-doc corpus). The max(doc_id) probe is a one-column
+    # scan with map-side combine.
+    max_id = base.agg(F.max("doc_id")).collect()[0][0] or 0
+    width = max(_PACK_SHARD_W, max_id // _PACK_MAX_SHARDS + 1)
+    t = base.withColumn("shard", (F.col("doc_id") / width).cast("long"))
     # Phase 1: shard totals -> driver (one row per 128 docs; bounded) ->
     # exclusive prefix offsets -> tiny broadcast-joined offset table.
     totals = t.groupBy("shard").agg(F.sum("n_tokens").alias("shard_tokens"))

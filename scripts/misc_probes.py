@@ -6,6 +6,7 @@ number in those sections comes from one of these subcommands.
     python scripts/misc_probes.py codec      # parquet codec size/scan
     python scripts/misc_probes.py warmstart  # init_Y warm-start refit
     python scripts/misc_probes.py quality    # E-step granularity vs quality
+    python scripts/misc_probes.py curationscale  # curation ops at 20x corpus
 
 Each prints one JSON line with its measurements.
 """
@@ -257,6 +258,48 @@ def probe_textscale() -> dict:
     return out
 
 
+def probe_curationscale() -> dict:
+    """Corpus-scaling check for the curation operators (q102, q104-q109):
+    replicate sf0.1 documents 20x (100k docs) with fresh doc_ids and
+    compare wall time vs the sf0.1 bench numbers — every one of these is
+    a scan + digest-keyed shuffle (or a bounded aggregate), so wall
+    growth must stay at-or-below the 20x data growth."""
+    from harmony_spark.registry import load_all
+
+    spark = _spark("curationscale-probe")
+    src = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    rest = [c for c in src.columns if c != "doc_id"]
+    big = (
+        spark.range(20)
+        .crossJoin(src)
+        .select(
+            (F.col("doc_id") + F.col("id") * 1_000_000).alias("doc_id"), *rest
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    big.cache().count()
+    tmp = tempfile.mkdtemp(prefix="curationscale_")
+    big.write.parquet(f"{tmp}/documents.parquet")
+
+    specs = load_all()
+    out: dict = {"n_docs": big.count()}
+    for name in (
+        "q102_quality_funnel",
+        "q104_decontamination",
+        "q105_chunk_dedup",
+        "q106_boilerplate_removal",
+        "q107_sequence_packing",
+        "q108_domain_mix_weights",
+        "q109_training_shards",
+    ):
+        t0 = time.perf_counter()
+        n = specs[name].fn(spark, tmp).count()
+        out[name] = {"rows": n, "seconds": round(time.perf_counter() - t0, 2)}
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "cc"
     fn = {
@@ -266,5 +309,6 @@ if __name__ == "__main__":
         "warmstart": probe_warmstart,
         "quality": probe_quality,
         "textscale": probe_textscale,
+        "curationscale": probe_curationscale,
     }[which]
     print(json.dumps({which: fn()}))
