@@ -925,3 +925,53 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("n_exact_kept") - (F.col("n_in_graph") - F.col("n_components"))).cast("long"),
         )
     )
+
+
+@register(
+    "q112_source_overlap_matrix",
+    oracle=f"""
+        WITH sig AS ({_minhash_sig_sql()}),
+        bands AS (
+          SELECT doc_id, b, band FROM (
+            SELECT doc_id,
+                   UNNEST([0, 1, 2, 3]) AS b,
+                   UNNEST([md5(mh_0 || mh_1), md5(mh_2 || mh_3),
+                           md5(mh_4 || mh_5), md5(mh_6 || mh_7)]) AS band
+            FROM sig) x),
+        e AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id)
+        SELECT LEAST(sa.source, sb.source) AS source_a,
+               GREATEST(sa.source, sb.source) AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM e
+        JOIN documents sa ON sa.doc_id = e.da
+        JOIN documents sb ON sb.doc_id = e.db
+        GROUP BY 1, 2 ORDER BY source_a, source_b
+    """,
+    doc="Cross-source near-duplicate overlap matrix: LSH candidate "
+    "pairs (q35's bucket-local edge set) labeled with each endpoint's "
+    "source, counted per unordered source pair. The corpus-assembly "
+    "diagnostic that says WHICH domains mirror each other (a hot "
+    "off-diagonal cell means two crawls of the same site - drop one) "
+    "vs which merely self-duplicate (diagonal). Shuffle shape: edge "
+    "set joins a (doc_id, source) projection on doc_id - two "
+    "digest-sized equi-joins, then a #sources^2-bounded aggregate; "
+    "nothing quadratic in corpus size beyond the bucket-local pair "
+    "generation itself.",
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    src = table_parallel(spark, sf, "documents").select("doc_id", "source")
+    e = _lsh_pairs(spark, sf)
+    return (
+        e.join(src.withColumnRenamed("doc_id", "da").withColumnRenamed("source", "sa"), "da")
+        .join(src.withColumnRenamed("doc_id", "db").withColumnRenamed("source", "sb"), "db")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )

@@ -366,3 +366,113 @@ def q99(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q110_unigram_surprisal",
+    oracle=r"""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 unnest(string_split_regex(lower(text), '\s+')) AS tok
+          FROM documents
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        tot AS (SELECT SUM(c) AS n FROM vocab),
+        surpr AS (
+          SELECT t.doc_id, t.source,
+                 AVG(-log2(v.c * 1.0 / tot.n)) AS s
+          FROM tok t JOIN vocab v ON v.tok = t.tok CROSS JOIN tot
+          GROUP BY t.doc_id, t.source
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(s), 4) AS avg_surprisal,
+               ROUND(MIN(s), 4) AS min_surprisal,
+               ROUND(MAX(s), 4) AS max_surprisal
+        FROM surpr GROUP BY source ORDER BY source
+    """,
+    doc="Unigram-LM surprisal quality score (the cheap stand-in for "
+    "perplexity filtering in pretraining pipelines: documents whose "
+    "mean per-token surprisal under a corpus-fit unigram model is an "
+    "outlier are gibberish or boilerplate). Two passes: a vocabulary "
+    "census (hash agg on short token strings), then a broadcast join "
+    "of the vocabulary-sized probability table back onto the exploded "
+    "corpus. At 100 TB the corpus explodes linearly and shuffles only "
+    "(doc_id)-keyed partial averages; the model table stays "
+    "vocabulary-sized and broadcasts - no corpus-vs-corpus shuffle.",
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    tok = (
+        table(spark, sf, "documents")
+        .select("doc_id", "source", F.explode(_tokens()).alias("tok"))
+    )
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    surpr = (
+        tok.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(F.avg(-F.log2(F.col("c") / F.col("n"))).alias("s"))
+    )
+    return (
+        surpr.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("s"), 4).alias("avg_surprisal"),
+            F.round(F.min("s"), 4).alias("min_surprisal"),
+            F.round(F.max("s"), 4).alias("max_surprisal"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q111_domain_kl_drift",
+    oracle=r"""
+        WITH tok AS (
+          SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+          FROM documents
+        ),
+        src AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok),
+        srctot AS (SELECT source, SUM(c) AS n FROM src GROUP BY source),
+        corp AS (SELECT tok, SUM(c) AS cc FROM src GROUP BY tok),
+        corptot AS (SELECT SUM(cc) AS nn FROM corp)
+        SELECT s.source,
+               CAST(st.n AS BIGINT) AS n_tokens,
+               ROUND(SUM((s.c * 1.0 / st.n)
+                         * log2((s.c * 1.0 / st.n) / (c.cc * 1.0 / ct.nn))), 4)
+                 AS kl_bits
+        FROM src s
+        JOIN srctot st ON st.source = s.source
+        JOIN corp c ON c.tok = s.tok
+        CROSS JOIN corptot ct
+        GROUP BY s.source, st.n ORDER BY s.source
+    """,
+    doc="Per-domain distribution drift: KL(p_domain || p_corpus) over "
+    "unigram token distributions, in bits. The domain-mixing "
+    "diagnostic for training-corpus assembly - a domain whose KL "
+    "spikes between snapshots changed character (spam influx, scrape "
+    "drift) and its mixing weight (q108) needs review. Everything "
+    "after the one exploded census is vocabulary-sized: the "
+    "(source, tok) counts aggregate map-side, and the corpus "
+    "marginal + totals broadcast back onto it.",
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    tok = table(spark, sf, "documents").select(
+        "source", F.explode(_tokens()).alias("tok")
+    )
+    src = tok.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    srctot = src.groupBy("source").agg(F.sum("c").alias("n"))
+    corp = src.groupBy("tok").agg(F.sum("c").alias("cc"))
+    corptot = corp.agg(F.sum("cc").alias("nn"))
+    p_s = F.col("c") / F.col("n")
+    p_c = F.col("cc") / F.col("nn")
+    return (
+        src.join(F.broadcast(srctot), "source")
+        .join(F.broadcast(corp), "tok")
+        .crossJoin(F.broadcast(corptot))
+        .groupBy("source", "n")
+        .agg(F.round(F.sum(p_s * F.log2(p_s / p_c)), 4).alias("kl_bits"))
+        .select("source", F.col("n").cast("long").alias("n_tokens"), "kl_bits")
+        .orderBy("source")
+    )
