@@ -296,3 +296,73 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def state_v2_available() -> bool:
+    """Whether Spark 4's transformWithStateInPandas (state API v2,
+    SPARK-49187) can run here. The Python state server speaks protobuf
+    to the JVM; a broken/absent google.protobuf makes the streaming
+    runner die at init with STREAMING_PYTHON_RUNNER_INITIALIZATION_
+    FAILURE ("cannot import name 'descriptor' from 'google.protobuf'"
+    in this container), so callers must gate on this probe."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_v2(events: DataFrame) -> DataFrame:
+    """`running_user_totals` on the modern transformWithStateInPandas
+    API (Spark 4 state v2): same per-user running count + value sum,
+    held in a typed ValueState instead of the single opaque
+    applyInPandasWithState tuple. v2 is where streaming state is
+    headed (typed value/list/map state, per-state TTL, timers,
+    initial-state seeding, state-store repartitioning), so the engine
+    exposes both; the parity test runs whichever the runtime supports.
+    State size is O(distinct users), identical to the v1 operator.
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("value_sum", DoubleType()),
+        ]
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._st = handle.getValueState(
+                "totals",
+                StructType(
+                    [StructField("n", LongType()), StructField("total", DoubleType())]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._st.get() if self._st.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._st.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_sum": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

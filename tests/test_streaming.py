@@ -557,3 +557,26 @@ def test_streaming_heavy_hitters_bounds(spark, sf_dir):
     for k, n in true.items():
         if n > shard_n[shard_of[k]] / capacity:
             assert k in sk, (k, n)
+
+
+def test_state_v2_running_totals_parity(spark, sf_dir):
+    """Same parity check as test_custom_stateful_operator, on the
+    Spark-4 transformWithStateInPandas API. Skips where the runtime
+    lacks a working google.protobuf (the v2 state server's wire
+    protocol) — see ops.state_v2_available."""
+    if not ops.state_v2_available():
+        pytest.skip("google.protobuf unavailable: state v2 runner cannot start")
+    events = ops.stream_events(spark, sf_dir)
+    got = run_stream(ops.running_user_totals_v2(events), spark, "t_totals_v2", "update")
+    import pyspark.sql.functions as F
+
+    from harmony_spark.io import table
+
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("value_sum"))
+    )
+    g = {r["user_id"]: (r["n_events"], r["value_sum"]) for r in got.collect()}
+    b = {r["user_id"]: (r["n_events"], r["value_sum"]) for r in batch.collect()}
+    assert g == b
