@@ -331,3 +331,30 @@ def test_q107_prefix_sum_is_sharded_not_global(spark, sf_dir):
     # windowspecdefinition(doc_id#... with no partition column before it
     assert "windowspecdefinition(doc_id#" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q110_vocab_model_broadcasts(spark, sf_dir):
+    """The unigram model (vocab probabilities + total) must broadcast
+    back onto the exploded corpus — a sort-merge join there would
+    shuffle every token occurrence at 100 TB."""
+    plan = plan_of(load_all()["q110_unigram_surprisal"], spark, sf_dir, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q111_marginals_broadcast(spark, sf_dir):
+    """KL drift: the per-source totals and corpus marginal join the
+    (source, tok) count table broadcast-side; the only corpus-sized
+    shuffle is the one exploded census aggregate."""
+    plan = plan_of(load_all()["q111_domain_kl_drift"], spark, sf_dir, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q112_pairs_keyed_on_doc_id(spark, sf_dir):
+    """The source-overlap matrix never re-joins documents by content:
+    edges attach source labels via doc_id equi-joins only, and pair
+    generation stays keyed on the band hash (bucket-local)."""
+    plan = plan_of(load_all()["q112_source_overlap_matrix"], spark, sf_dir, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
