@@ -1,0 +1,229 @@
+"""CDC / warehouse-maintenance operators: SCD2 history build and
+MERGE-INTO upsert emulation.
+
+Spark without a table format (Delta/Iceberg, absent in this container)
+has no MERGE INTO; the engine answer is the full-outer-join merge —
+the same physical plan those formats produce underneath. SCD2
+(slowly-changing-dimension type 2) compaction is the companion op:
+collapse an append-only change log into validity-interval rows. Both
+are key-partitioned window/join plans: shuffle keyed on the business
+key only, nothing global, so the plan is per-key-parallel at any
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from harmony_spark.io import table, table_parallel
+from harmony_spark.registry import register
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def scd2_history(
+    log: DataFrame,
+    key: str,
+    attr: str,
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Collapse an append-only change log into SCD2 validity intervals.
+
+    Gaps-and-islands: per key (ordered by event time), a new island
+    starts whenever ``attr`` differs from its predecessor; each island
+    becomes one row with [valid_from, valid_to) and an is_current
+    flag. One ranking window + one aggregate + one lead window, all
+    partitioned by the business key — the shuffle is keyed on ``key``
+    alone and each key's history is processed independently.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    flagged = log.withColumn(
+        "_chg",
+        F.when(
+            F.lag(attr).over(w).isNull() | (F.lag(attr).over(w) != F.col(attr)), 1
+        ).otherwise(0),
+    ).withColumn("_grp", F.sum("_chg").over(w))
+    islands = flagged.groupBy(key, "_grp").agg(
+        F.first(attr).alias(attr), F.min(ts_col).alias("_from")
+    )
+    w2 = Window.partitionBy(key).orderBy("_grp")
+    return islands.select(
+        key,
+        attr,
+        F.col("_from").alias("valid_from"),
+        F.lead("_from").over(w2).alias("valid_to"),
+        F.lead("_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "q113_scd2_history",
+    oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts, event_type,
+                 CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM events WHERE user_id < 40
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        grp AS (
+          SELECT user_id, ts, event_type,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS g
+          FROM flagged
+        ),
+        islands AS (
+          SELECT user_id, g, ANY_VALUE(event_type) AS event_type,
+                 MIN(ts) AS vf
+          FROM grp GROUP BY user_id, g
+        )
+        SELECT user_id, event_type,
+               strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+               COALESCE(strftime(LEAD(vf) OVER w2, '%Y-%m-%d %H:%M:%S.%f'),
+                        'current') AS valid_to,
+               CAST(LEAD(vf) OVER w2 IS NULL AS BOOLEAN) AS is_current
+        FROM islands
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY g)
+        ORDER BY user_id, valid_from
+    """,
+    doc="SCD2 dimension-history build from an append-only event log "
+    "(users' event_type as the tracked attribute): consecutive equal "
+    "values collapse into one validity-interval row "
+    "[valid_from, valid_to) with an is_current flag - the "
+    "gaps-and-islands compaction every CDC pipeline runs. All three "
+    "steps (change flag, island id, interval close) are windows/aggs "
+    "partitioned by the business key; the oracle recomputes it "
+    "independently in DuckDB window SQL.",
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    log = (
+        table_parallel(spark, sf, "events")
+        .where(F.col("user_id") < 40)
+        .select("user_id", "ts", "event_type", "event_id")
+    )
+    hist = scd2_history(log, key="user_id", attr="event_type", tiebreak="event_id")
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", _TS_FMT).alias("valid_from"),
+        F.coalesce(F.date_format("valid_to", _TS_FMT), F.lit("current")).alias(
+            "valid_to"
+        ),
+        "is_current",
+    ).orderBy("user_id", "valid_from")
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    update_set: dict[str, Column],
+    insert_values: dict[str, Column],
+) -> DataFrame:
+    """MERGE INTO emulation: full outer join on the business key, then
+    per-row resolution - matched rows take ``update_set`` expressions,
+    source-only rows materialize from ``insert_values``, target-only
+    rows pass through. This is the physical plan Delta/Iceberg MERGE
+    lowers to; without a transactional format the caller rewrites the
+    result atomically via write-new + rename (see layout.compact_parquet
+    for the pattern). Shuffle is the one equi-join on ``key``; AQE
+    broadcasts a small change set, which is the common CDC shape
+    (daily delta << dimension).
+    """
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
+    insert_only = F.col(f"t.{key}").isNull()
+    cols = []
+    for c in target.columns:
+        upd = update_set.get(c, F.col(f"t.{c}"))
+        ins = insert_values[c] if c in insert_values else F.lit(None)
+        cols.append(
+            F.when(matched, upd).when(insert_only, ins).otherwise(F.col(f"t.{c}")).alias(c)
+        )
+    return joined.select(*cols)
+
+
+@register(
+    "q114_merge_upsert",
+    oracle="""
+        WITH delta AS (
+          -- integer cents end-to-end: float ROUND at a half-cent
+          -- boundary flips between engines when the SUM order differs
+          SELECT o_custkey AS k,
+                 SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) // 1000 AS d
+          FROM orders WHERE o_custkey % 7 = 0 GROUP BY o_custkey
+        ),
+        src AS (
+          SELECT k, d FROM delta
+          UNION ALL
+          SELECT k + 10000000, d // 2 FROM delta WHERE k % 21 = 0
+        ),
+        merged AS (
+          SELECT COALESCE(t.c_custkey, s.k) AS c_custkey,
+                 CASE WHEN t.c_custkey IS NOT NULL AND s.k IS NOT NULL
+                        THEN CAST(ROUND(t.c_acctbal * 100, 0) AS BIGINT) + s.d
+                      WHEN t.c_custkey IS NULL THEN s.d
+                      ELSE CAST(ROUND(t.c_acctbal * 100, 0) AS BIGINT)
+                 END AS bal_cents,
+                 CASE WHEN t.c_custkey IS NULL THEN CAST(s.k % 25 AS INTEGER)
+                      ELSE t.c_nationkey END AS c_nationkey
+          FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.k
+        )
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+        FROM merged GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    doc="MERGE INTO emulation (upsert without a table format): a "
+    "per-customer order-value delta updates matched customers' "
+    "balances and inserts synthetic not-matched keys, then a "
+    "per-nation census of the post-merge dimension. Matched/insert/"
+    "pass-through resolution in ONE full-outer-join projection; the "
+    "oracle replays the same MERGE semantics in SQL. The change set "
+    "aggregates before the join, so the merge shuffles the delta "
+    "(small) against the dimension keyed on the business key.",
+)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    delta = (
+        table(spark, sf, "orders")
+        .where(F.col("o_custkey") % 7 == 0)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.sum(cents).alias("sc"))
+        .select("k", F.expr("sc div 1000").alias("d"))  # exact integral div
+    )
+    src = delta.unionByName(
+        delta.where(F.col("k") % 21 == 0).select(
+            (F.col("k") + 10000000).alias("k"), F.expr("d div 2").alias("d")
+        )
+    )
+    target = (
+        table(spark, sf, "customer")
+        .select("c_custkey", "c_acctbal", "c_nationkey")
+        .withColumn("bal_cents", F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+        .drop("c_acctbal")
+    )
+    merged = merge_upsert(
+        target,
+        src.withColumnRenamed("k", "c_custkey"),
+        key="c_custkey",
+        update_set={"bal_cents": F.col("t.bal_cents") + F.col("s.d")},
+        insert_values={
+            "c_custkey": F.col("s.c_custkey"),
+            "bal_cents": F.col("s.d"),
+            "c_nationkey": (F.col("s.c_custkey") % 25).cast("int"),
+        },
+    )
+    return (
+        merged.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )

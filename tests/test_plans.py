@@ -358,3 +358,20 @@ def test_q112_pairs_keyed_on_doc_id(spark, sf_dir):
     plan = plan_of(load_all()["q112_source_overlap_matrix"], spark, sf_dir, mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q113_windows_keyed_on_business_key(spark, sf_dir):
+    """SCD2 build: every window partitions by user_id — a global
+    (unpartitioned) window would serialize the corpus through one task."""
+    plan = plan_of(load_all()["q113_scd2_history"], spark, sf_dir)
+    assert "windowspecdefinition(user_id" in plan.replace(" ", "").lower() or "user_id" in plan
+    assert "windowspecdefinition()" not in plan.replace(" ", "")
+
+
+def test_q114_merge_is_single_key_join(spark, sf_dir):
+    """MERGE emulation: one full-outer equi-join on the business key,
+    no nested-loop fallback."""
+    plan = plan_of(load_all()["q114_merge_upsert"], spark, sf_dir, mode="simple")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
