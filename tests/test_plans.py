@@ -375,3 +375,46 @@ def test_q114_merge_is_single_key_join(spark, sf_dir):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_on_nonbroadcast_join(spark, sf_dir):
+    """When the filtered side of a fact join is too big to broadcast
+    (sort-merge territory at 100 TB), Spark's InjectRuntimeFilter must
+    plant a bloom might_contain predicate on the fact scan — the
+    runtime answer to 'push the dim filter across the join'. Pin that
+    the engine's session leaves the feature ON and it actually fires."""
+    import pyspark.sql.functions as F
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # sf0.001 scans are below the default 10GB application-side gate
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        ords = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(ords, li.l_orderkey == ords.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        import contextlib
+        import io as _io
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
