@@ -291,6 +291,8 @@ def probe_curationscale() -> dict:
         "q107_sequence_packing",
         "q108_domain_mix_weights",
         "q109_training_shards",
+        "q110_unigram_surprisal",
+        "q111_domain_kl_drift",
     ):
         t0 = time.perf_counter()
         n = specs[name].fn(spark, tmp).count()
