@@ -975,3 +975,68 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "q115_graph_centrality",
+    oracle=f"""
+        WITH sig AS ({_minhash_sig_sql()}),
+        bands AS (
+          SELECT doc_id, b, band FROM (
+            SELECT doc_id,
+                   UNNEST([0, 1, 2, 3]) AS b,
+                   UNNEST([md5(mh_0 || mh_1), md5(mh_2 || mh_3),
+                           md5(mh_4 || mh_5), md5(mh_6 || mh_7)]) AS band
+            FROM sig) x),
+        e AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id),
+        bi AS (SELECT da AS a, db AS b FROM e
+               UNION ALL SELECT db AS a, da AS b FROM e),
+        deg AS (SELECT a, COUNT(*) AS outdeg FROM bi GROUP BY a),
+        n AS (SELECT COUNT(*) AS nn FROM deg),
+        r0 AS (SELECT a AS node, outdeg, 1.0 / nn AS rank FROM deg CROSS JOIN n),
+        r1 AS (SELECT deg.a AS node, deg.outdeg,
+                      0.15 / n.nn + 0.85 * COALESCE(m.mass, 0) AS rank
+               FROM deg CROSS JOIN n
+               LEFT JOIN (SELECT bi.b AS node, SUM(r0.rank / r0.outdeg) AS mass
+                          FROM bi JOIN r0 ON r0.node = bi.a GROUP BY bi.b) m
+                 ON m.node = deg.a),
+        r2 AS (SELECT deg.a AS node, deg.outdeg,
+                      0.15 / n.nn + 0.85 * COALESCE(m.mass, 0) AS rank
+               FROM deg CROSS JOIN n
+               LEFT JOIN (SELECT bi.b AS node, SUM(r1.rank / r1.outdeg) AS mass
+                          FROM bi JOIN r1 ON r1.node = bi.a GROUP BY bi.b) m
+                 ON m.node = deg.a),
+        r3 AS (SELECT deg.a AS node, deg.outdeg,
+                      0.15 / n.nn + 0.85 * COALESCE(m.mass, 0) AS rank
+               FROM deg CROSS JOIN n
+               LEFT JOIN (SELECT bi.b AS node, SUM(r2.rank / r2.outdeg) AS mass
+                          FROM bi JOIN r2 ON r2.node = bi.a GROUP BY bi.b) m
+                 ON m.node = deg.a)
+        SELECT node, ROUND(rank, 6) AS rank FROM r3 ORDER BY node
+    """,
+    doc="Graph centrality (3-iteration PageRank, d=0.85) over the LSH "
+    "near-dup edge set: rank measures how central a document is inside "
+    "its duplicate cluster - the principled pick of a canonical "
+    "representative for keep-one dedup (and, on a citation/link graph, "
+    "the classic quality prior for corpus weighting). Spark side is "
+    "the power method with one edge-join + one dst-keyed aggregate "
+    "per round and per-round lineage truncation "
+    "(operators/graph.py:pagerank); the oracle unrolls the identical "
+    "three iterations as nested SQL CTEs - an independent evaluation "
+    "of the same fixpoint sequence.",
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.operators.graph import pagerank
+
+    e = _lsh_pairs(spark, sf)
+    bi = e.select(F.col("da").alias("src"), F.col("db").alias("dst")).unionByName(
+        e.select(F.col("db").alias("src"), F.col("da").alias("dst"))
+    )
+    return (
+        pagerank(bi, n_iter=3)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy("node")
+    )

@@ -120,3 +120,57 @@ def connected_components(
         .select(F.col("v").alias("u"), F.col("v").alias("component"))
     )
     return non_roots.unionByName(roots).withColumnRenamed("u", "node")
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank power method over a directed edge set.
+
+    Returns (node, rank) after ``n_iter`` rounds of
+    r' = (1-d)/N + d * sum_in(r/outdeg). Per round: ONE equi-join of
+    the edge set with the O(#nodes) rank vector and ONE aggregate
+    keyed on dst — the same shuffle shape as one CC round, linear in
+    |E| — plus a left join back onto the node set for sinks with no
+    in-edges. Lineage is truncated per round (localCheckpoint), so the
+    plan stays flat at any iteration count. N comes from a 1-row
+    broadcast aggregate, never a driver collect.
+
+    On a symmetric near-dup graph every node has outdeg >= 1 (no
+    dangling-mass redistribution needed); rank then measures cluster
+    centrality — the most-connected member is the natural canonical
+    representative for keep-one dedup.
+    """
+    deg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
+    nodes = deg.select(F.col(src).alias("node"), "outdeg").localCheckpoint(eager=False)
+    n_tot = nodes.agg(F.count("*").alias("n"))
+    r = nodes.crossJoin(F.broadcast(n_tot)).select(
+        "node", "outdeg", (F.lit(1.0) / F.col("n")).alias("rank"), "n"
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(
+                r.select(F.col("node").alias(src), "outdeg", "rank"), src
+            )
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("in_mass"))
+        )
+        r = (
+            r.select("node", "outdeg", "n")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                "n",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return r.select("node", "rank")

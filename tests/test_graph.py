@@ -97,3 +97,33 @@ def test_nonconvergence_raises_not_partial(spark):
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(chain, max_iter=2)
+
+
+def test_pagerank_matches_numpy_power_method(spark):
+    """Cross-oracle: the distributed power method must match a dense
+    NumPy transition-matrix iteration on an asymmetric digraph
+    (directed edges exercise the outdeg weighting and the no-in-edge
+    sink path that the symmetric LSH graph of q115 never hits)."""
+    import numpy as np
+
+    from harmony_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=5).collect()}
+
+    nodes = sorted({u for u, _ in edges})  # nodes with outdeg >= 1
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, 0.15 / n)
+        for u, v in edges:
+            if v in idx:
+                nxt[idx[v]] += 0.85 * r[idx[u]] / outdeg[idx[u]]
+        r = nxt
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-12
