@@ -785,3 +785,118 @@ def pq_topk(
 )
 def q101(spark: SparkSession, sf: str) -> DataFrame:
     return pq_topk(spark, sf, [0, 1, 2, 3, 4])
+
+
+def gram_partials(df: DataFrame, col: str = "embedding", d: int = 64) -> DataFrame:
+    """Per-partition Gram partials via mapInPandas: each Arrow batch
+    contributes (X^T X flat, column sums, row count) — one d*d+d+1 row
+    per partition regardless of partition size, the classic map-side
+    reduction for second-moment statistics. 100 TB of vectors shuffle
+    only #partitions tiny partial rows; the per-batch work is one BLAS
+    GEMM."""
+    import numpy as np
+    import pandas as pd
+
+    def part(it):
+        g = np.zeros((d, d))
+        s = np.zeros(d)
+        n = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[col].to_numpy()).astype(np.float64)
+            g += x.T @ x
+            s += x.sum(axis=0)
+            n += len(x)
+        if n:
+            yield pd.DataFrame({"g": [g.ravel()], "s": [s], "n": [n]})
+
+    return df.select(col).mapInPandas(
+        part, schema="g array<double>, s array<double>, n long"
+    )
+
+
+def embedding_covariance(df: DataFrame, col: str = "embedding", d: int = 64) -> DataFrame:
+    """Population covariance matrix of an embedding column as
+    (i, j, cov) rows, i <= j: sum the per-partition Gram partials
+    (posexplode of #partitions flat arrays — thousands of rows, not
+    corpus-sized), then cov = G/n - mean_i * mean_j."""
+    parts = gram_partials(df, col, d)
+    g = (
+        parts.select(F.posexplode("g").alias("pos", "v"), "n")
+        .groupBy("pos")
+        .agg(F.sum("v").alias("gv"))
+    )
+    s = (
+        parts.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("sv"))
+    )
+    n_tot = parts.agg(F.sum("n").alias("n"))
+    return (
+        g.select((F.col("pos") / d).cast("long").alias("i"),
+                 (F.col("pos") % d).alias("j"), "gv")
+        .where(F.col("i") <= F.col("j"))
+        .join(F.broadcast(s.withColumnRenamed("sv", "si")), "i")
+        .join(F.broadcast(s.withColumnRenamed("sv", "sj").withColumnRenamed("i", "j")), "j")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "i",
+            "j",
+            (F.col("gv") / F.col("n")
+             - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))).alias("cov"),
+        )
+    )
+
+
+@register(
+    "q116_embedding_covariance",
+    oracle="""
+        WITH x AS (
+          SELECT vec_id, s.i AS i, CAST(embedding[s.i] AS DOUBLE) AS xi
+          FROM embeddings,
+               UNNEST(generate_series(1, len(embedding))) AS s(i)
+        ),
+        n AS (SELECT COUNT(*) AS n FROM embeddings),
+        mu AS (SELECT i, AVG(xi) AS m FROM x GROUP BY i)
+        SELECT a.i - 1 AS i, b.i - 1 AS j,
+               ROUND(SUM(a.xi * b.xi) / n.n - ma.m * mb.m, 6) AS cov
+        FROM x a
+        JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        JOIN mu ma ON ma.i = a.i
+        JOIN mu mb ON mb.i = b.i
+        CROSS JOIN n
+        GROUP BY a.i, b.i, n.n, ma.m, mb.m
+        ORDER BY i, j
+    """,
+    doc="Distributed covariance of the embedding corpus (upper "
+    "triangle, population normalization): per-partition X^T X Gram "
+    "partials via an Arrow-batched mapInPandas GEMM, reduced by a "
+    "posexplode + sum over #partitions flat arrays. The oracle "
+    "recomputes every entry from a doubly-unnested self-join - "
+    "quadratic in d and fine at oracle scale, which is exactly why "
+    "the engine path ships partials instead. Feeds PCA/whitening "
+    "(eigh on the d x d result is driver-trivial).",
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    return (
+        embedding_covariance(e)
+        .select("i", "j", F.round("cov", 6).alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
+def pca_explained_variance(df: DataFrame, col: str = "embedding", d: int = 64, k: int = 8):
+    """Top-k PCA explained-variance ratios: distributed covariance
+    (one partial-Gram pass), then a driver-side eigh on the d x d
+    matrix — O(d^2) driver state, independent of corpus size."""
+    import numpy as np
+
+    cov_rows = embedding_covariance(df, col, d).collect()
+    c = np.zeros((d, d))
+    for r in cov_rows:
+        c[r["i"], r["j"]] = r["cov"]
+        c[r["j"], r["i"]] = r["cov"]
+    w = np.linalg.eigvalsh(c)[::-1]
+    return (w[:k] / w.sum()).tolist()

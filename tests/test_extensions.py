@@ -369,3 +369,22 @@ def test_q89_mask_and_array_paths_agree(spark, sf_dir):
         tuple(r) for r in _array_pairs(sets, toks, dfreq, prefix_len).collect()
     )
     assert via_dispatch == via_array and len(via_dispatch) > 0
+
+
+def test_pca_explained_variance(spark, sf_dir):
+    """PCA over the distributed covariance must match a straight NumPy
+    eigendecomposition of the densely-computed covariance."""
+    import numpy as np
+
+    from harmony_spark.extensions.similarity import pca_explained_variance
+    from harmony_spark.io import table
+
+    got = pca_explained_variance(table(spark, sf_dir, "embeddings"), k=5)
+    x = np.stack(
+        table(spark, sf_dir, "embeddings").toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    c = np.cov(x, rowvar=False, bias=True)
+    w = np.linalg.eigvalsh(c)[::-1]
+    want = w[:5] / w.sum()
+    assert np.allclose(got, want, atol=1e-5)
+    assert all(a >= b for a, b in zip(got, got[1:]))  # sorted desc
