@@ -558,3 +558,153 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def _cc_closure_sql() -> str:
+    """Recursive-CTE connected components over the LSH edge set (the
+    independent closure the dedup funnels verify against): yields
+    cc(doc_id, cluster_id) for every document IN the near-dup graph."""
+    from harmony_spark.extensions.dedup import _minhash_sig_sql
+
+    return f"""
+        sig AS ({_minhash_sig_sql()}),
+        bands AS (
+          SELECT doc_id, b, band FROM (
+            SELECT doc_id,
+                   UNNEST([0, 1, 2, 3]) AS b,
+                   UNNEST([md5(mh_0 || mh_1), md5(mh_2 || mh_3),
+                           md5(mh_4 || mh_5), md5(mh_6 || mh_7)]) AS band
+            FROM sig) x),
+        e AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id),
+        bi AS (SELECT da AS a, db AS b FROM e
+               UNION ALL SELECT db AS a, da AS b FROM e),
+        reach(a, b) AS (
+          SELECT a, b FROM bi
+          UNION
+          SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a),
+        cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+               FROM reach GROUP BY a)
+    """
+
+
+_SPLIT_EXPR_SQL = (
+    "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "q117_leakage_free_split",
+    oracle=f"""
+        WITH RECURSIVE {_cc_closure_sql()},
+        grouped AS (
+          SELECT d.doc_id, d.source,
+                 COALESCE(cc.cluster_id, d.doc_id) AS gkey
+          FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        ),
+        assigned AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(CAST(gkey AS VARCHAR)), 1, 4)) AS INT)
+                   % 100 AS h
+          FROM grouped
+        )
+        SELECT {_SPLIT_EXPR_SQL} AS split, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM assigned GROUP BY 1, 2 ORDER BY split, source
+    """,
+    doc="Leakage-free train/val/test split: documents are hashed into "
+    "80/10/10 splits BY NEAR-DUP CLUSTER, not individually - two "
+    "near-identical documents always land in the same split, so "
+    "validation never scores memorized training text. Group key = "
+    "connected component of the LSH graph (min doc_id) for grouped "
+    "docs, the doc itself otherwise; assignment = md5 of the group "
+    "key (engine-independent, seedless, reproducible). Shuffle shape: "
+    "CC (logarithmic star rounds) + one digest-keyed left join + one "
+    "bounded census aggregate; the oracle replays the split over a "
+    "recursive-CTE closure.",
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.extensions.dedup import _lsh_pairs
+    from harmony_spark.io import table_parallel
+    from harmony_spark.operators.graph import connected_components
+
+    docs = table_parallel(spark, sf, "documents").select("doc_id", "source")
+    e = _lsh_pairs(spark, sf)
+    cc = connected_components(
+        e.select(F.col("da").alias("src"), F.col("db").alias("dst"))
+    ).withColumnRenamed("node", "doc_id")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("gkey").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(F.col("h") < 80, "train").when(F.col("h") < 90, "val").otherwise("test")
+    )
+    return (
+        docs.join(cc, "doc_id", "left")
+        .withColumn("gkey", F.coalesce("component", "doc_id"))
+        .withColumn("h", h)
+        .withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+@register(
+    "q118_soft_dedup_weights",
+    oracle=f"""
+        WITH RECURSIVE {_cc_closure_sql()},
+        sizes AS (SELECT cluster_id, COUNT(*) AS csize FROM cc GROUP BY cluster_id),
+        weighted AS (
+          SELECT d.doc_id, d.source,
+                 1.0 / COALESCE(s.csize, 1) AS w
+          FROM documents d
+          LEFT JOIN cc ON cc.doc_id = d.doc_id
+          LEFT JOIN sizes s ON s.cluster_id = cc.cluster_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(SUM(w), 6) AS effective_docs
+        FROM weighted GROUP BY source ORDER BY source
+    """,
+    doc="Soft deduplication: instead of dropping near-duplicates, each "
+    "document gets sampling weight 1/|near-dup cluster| (singletons "
+    "weigh 1.0) - the down-weighting recipe some pretraining mixes "
+    "use to keep one effective copy of boilerplate without losing "
+    "coverage. Output: per-source doc count vs effective (weighted) "
+    "count. Cluster sizes come from one aggregate over the CC labels; "
+    "everything else is a digest-keyed join + census.",
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.extensions.dedup import _lsh_pairs
+    from harmony_spark.io import table_parallel
+    from harmony_spark.operators.graph import connected_components
+
+    docs = table_parallel(spark, sf, "documents").select("doc_id", "source")
+    e = _lsh_pairs(spark, sf)
+    cc = connected_components(
+        e.select(F.col("da").alias("src"), F.col("db").alias("dst"))
+    ).withColumnRenamed("node", "doc_id")
+    sizes = cc.groupBy("component").agg(F.count("*").alias("csize"))
+    weighted = (
+        docs.join(cc, "doc_id", "left")
+        .join(F.broadcast(sizes), "component", "left")
+        .withColumn("w", F.lit(1.0) / F.coalesce("csize", F.lit(1)))
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.sum("w"), 6).alias("effective_docs"),
+        )
+        .orderBy("source")
+    )

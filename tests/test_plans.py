@@ -104,6 +104,10 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q91_quantized_topk",  # broadcast of 5 fixed quantized query rows
     "q97_dedup_pipeline",  # cross join of three single-row aggregates
     "q98_semantic_dedup",  # cross join of two single-row aggregates
+    "q110_unigram_surprisal",  # cross join vs the 1-row token total
+    "q111_domain_kl_drift",  # cross join vs the 1-row corpus total
+    "q115_graph_centrality",  # cross join vs the 1-row node count
+    "q116_embedding_covariance",  # cross join vs the 1-row vector count
 }
 
 
