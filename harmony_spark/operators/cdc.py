@@ -227,3 +227,79 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, digest: Column
+) -> DataFrame:
+    """Row-level diff of two table snapshots: full outer join on the
+    business key comparing a content digest, labeling each key added /
+    removed / changed / unchanged. The audit query behind incremental
+    pipelines without a table format's changelog: both sides reduce to
+    (key, digest) projections before the join, so 100 TB of content
+    diffs by shuffling 16-byte digests only."""
+    o = old.select(F.col(key).alias("k"), digest.alias("dg")).alias("o")
+    n = new.select(F.col(key).alias("k"), digest.alias("dg")).alias("n")
+    j = o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
+    status = (
+        F.when(F.col("o.k").isNull(), "added")
+        .when(F.col("n.k").isNull(), "removed")
+        .when(F.col("o.dg") != F.col("n.dg"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        F.coalesce(F.col("o.k"), F.col("n.k")).alias(key), status.alias("status")
+    )
+
+
+@register(
+    "q120_snapshot_diff",
+    oracle="""
+        WITH snap_a AS (
+          SELECT doc_id, source, md5(text) AS dg
+          FROM documents WHERE doc_id % 10 <> 0
+        ),
+        snap_b AS (
+          SELECT doc_id, source,
+                 md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS dg
+          FROM documents WHERE doc_id % 7 <> 0
+        ),
+        d AS (
+          SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                 COALESCE(a.source, b.source) AS source,
+                 CASE WHEN a.doc_id IS NULL THEN 'added'
+                      WHEN b.doc_id IS NULL THEN 'removed'
+                      WHEN a.dg <> b.dg THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+        )
+        SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM d GROUP BY source, status ORDER BY source, status
+    """,
+    doc="Snapshot diff / audit: two synthetic snapshots of the corpus "
+    "(disjoint retention rules + a simulated in-place edit) compared "
+    "by content digest on the business key, censused as added / "
+    "removed / changed / unchanged per source. The incremental-"
+    "pipeline primitive a changelog-less lake needs; both snapshots "
+    "project to (key, md5) before the one full-outer equi-join, so "
+    "document text never shuffles.",
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table_parallel(spark, sf, "documents")
+    snap_a = docs.where(F.col("doc_id") % 10 != 0)
+    snap_b = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.upper("text")).otherwise(F.col("text")),
+    )
+    src_map = docs.select("doc_id", "source")
+    d = snapshot_diff(snap_a, snap_b, "doc_id", F.md5(F.col("text").cast("binary")))
+    return (
+        d.join(src_map, "doc_id")
+        .groupBy("source", "status")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("source", "status")
+    )

@@ -166,3 +166,44 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q119_cohort_retention",
+    oracle="""
+        WITH firstday AS (
+          SELECT user_id, date_trunc('day', MIN(ts)) AS cohort
+          FROM events GROUP BY user_id
+        ),
+        active AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        )
+        SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+               CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_offset,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM active a JOIN firstday f ON f.user_id = a.user_id
+        GROUP BY f.cohort, day_offset ORDER BY cohort_day, day_offset
+    """,
+    doc="Cohort retention matrix (the product-analytics staple): users "
+    "grouped by first-seen day, counted on each subsequent active day "
+    "offset. Two aggregates keyed on user_id (first-touch + distinct "
+    "active days) and one user-keyed equi-join - the cohort table is "
+    "users-sized, never events-sized, and at 100 TB both aggregates "
+    "combine map-side; nothing is keyed on the low-cardinality cohort "
+    "until the final bounded matrix.",
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select("user_id", "ts")
+    firstday = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    active = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    return (
+        active.join(firstday, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort")).cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
