@@ -900,3 +900,109 @@ def pca_explained_variance(df: DataFrame, col: str = "embedding", d: int = 64, k
         c[r["j"], r["i"]] = r["cov"]
     w = np.linalg.eigvalsh(c)[::-1]
     return (w[:k] / w.sum()).tolist()
+
+
+_RRF_K, _RRF_TOPN, _RRF_OUT = 60, 200, 50
+
+
+@register(
+    "q122_hybrid_rrf",
+    oracle=None,  # set just below via _q122_oracle() (shares the BM25 CTE)
+    doc="Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical "
+    "top-200 (q121's scorer) and the dense cosine top-200 (query = "
+    "vector 0) merge by RRF score sum(1/(60+rank)) - the standard "
+    "fusion in production RAG stacks, no score normalization needed. "
+    "Each leg is a bounded top-k (TakeOrdered, never a global window "
+    "over the corpus) with a deterministic (score, id) tiebreak; the "
+    "fusion itself joins two 200-row lists. The oracle replays both "
+    "legs and the fusion in SQL over the same parquet.",
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.extensions.text_analysis import bm25_table
+
+    lex = (
+        bm25_table(spark, sf)
+        .where(F.col("doc_id") != 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_TOPN)
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = lex.select("doc_id", F.row_number().over(w).alias("lr"))
+
+    e = table(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), _l2("embedding").alias("qn")
+    )
+    dense = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (_dot("embedding", "qe") / (_l2("embedding") * F.col("qn"))).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(_RRF_TOPN)
+    )
+    wd = Window.orderBy(F.col("cos").desc(), "doc_id")
+    dense = dense.select("doc_id", F.row_number().over(wd).alias("dr"))
+
+    rrf = F.coalesce(1.0 / (_RRF_K + F.col("lr")), F.lit(0.0)) + F.coalesce(
+        1.0 / (_RRF_K + F.col("dr")), F.lit(0.0)
+    )
+    return (
+        lex.join(dense, "doc_id", "full_outer")
+        .select("doc_id", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_RRF_OUT)
+    )
+
+
+def _q122_oracle() -> str:
+    from harmony_spark.extensions.text_analysis import _bm25_sql
+
+    return f"""
+        WITH {_bm25_sql()},
+        lex AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lr
+          FROM bm25 WHERE doc_id <> 0
+          ORDER BY bm25 DESC, doc_id LIMIT {_RRF_TOPN}
+        ),
+        qv AS (
+          SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+          FROM (SELECT vec_id, UNNEST(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings)
+        ),
+        qnorm AS (SELECT SQRT(SUM(x * x)) AS qn FROM qv WHERE vec_id = 0),
+        cosin AS (
+          SELECT a.vec_id AS doc_id,
+                 SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * MAX(qnorm.qn)) AS cos
+          FROM qv a JOIN qv b ON b.vec_id = 0 AND a.i = b.i
+          CROSS JOIN qnorm
+          WHERE a.vec_id <> 0
+          GROUP BY a.vec_id
+        ),
+        dense AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS dr
+          FROM cosin ORDER BY cos DESC, doc_id LIMIT {_RRF_TOPN}
+        )
+        SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / ({_RRF_K} + lr), 0)
+                     + COALESCE(1.0 / ({_RRF_K} + dr), 0), 6) AS rrf
+        FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT {_RRF_OUT}
+    """
+
+
+def _set_q122_oracle() -> None:
+    from harmony_spark.registry import QUERIES, QuerySpec
+
+    spec = QUERIES["q122_hybrid_rrf"]
+    QUERIES["q122_hybrid_rrf"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=_q122_oracle(), doc=spec.doc
+    )
+
+
+_set_q122_oracle()

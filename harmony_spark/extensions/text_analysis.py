@@ -482,10 +482,12 @@ _BM25_TERMS = ("spark", "hash", "window")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-@register(
-    "q121_bm25_scores",
-    oracle=rf"""
-        WITH tok AS (
+def _bm25_sql(terms=_BM25_TERMS) -> str:
+    """DuckDB CTE chain ending in bm25(doc_id, len, bm25) — unrounded,
+    shared by the q121 oracle and the q122 hybrid-fusion oracle."""
+    quoted = ", ".join(f"'{t}'" for t in terms)
+    return rf"""
+        tok AS (
           SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
           FROM documents
         ),
@@ -493,40 +495,36 @@ _BM25_K1, _BM25_B = 1.2, 0.75
         stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM dl),
         tf AS (
           SELECT doc_id, tok, COUNT(*) AS tf FROM tok
-          WHERE tok IN ('spark', 'hash', 'window') GROUP BY doc_id, tok
+          WHERE tok IN ({quoted}) GROUP BY doc_id, tok
         ),
-        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
-        SELECT tf.doc_id,
-               ROUND(SUM(
-                 ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
-                 * tf.tf * ({_BM25_K1} + 1)
-                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
-                    + {_BM25_B} * dl.len / stats.avgdl))
-               ), 6) AS bm25
-        FROM tf
-        JOIN df ON df.tok = tf.tok
-        JOIN dl ON dl.doc_id = tf.doc_id
-        CROSS JOIN stats
-        GROUP BY tf.doc_id ORDER BY tf.doc_id
-    """,
-    doc="BM25 full-text relevance scoring (Robertson k1=1.2 b=0.75) for "
-    "a fixed 3-term query over the whole corpus - the lexical-search "
-    "half of every hybrid RAG retrieval stack. One exploded census "
-    "builds doc lengths and per-(doc, query-term) term frequencies; "
-    "document frequencies and the corpus stats are term-sized / 1-row "
-    "aggregates that broadcast back. At 100 TB the only corpus-sized "
-    "shuffles are the two doc_id-keyed aggregates; a real deployment "
-    "would additionally prefilter by an inverted-index semi-join on "
-    "the query terms, which is exactly the tf CTE here.",
-)
-def q121(spark: SparkSession, sf: str) -> DataFrame:
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        bm25 AS (
+          SELECT tf.doc_id,
+                 SUM(
+                   ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * ({_BM25_K1} + 1)
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * dl.len / stats.avgdl))
+                 ) AS bm25
+          FROM tf
+          JOIN df ON df.tok = tf.tok
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+    """
+
+
+def bm25_table(spark: SparkSession, sf: str, terms=_BM25_TERMS) -> DataFrame:
+    """Unrounded BM25 scores (doc_id, bm25) for a fixed term set —
+    the engine core behind q121 and the lexical leg of q122."""
     tok = table(spark, sf, "documents").select(
         "doc_id", F.explode(_tokens()).alias("tok")
     )
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
     stats = dl.agg(F.count("*").alias("n"), F.avg("len").alias("avgdl"))
     tf = (
-        tok.where(F.col("tok").isin(*_BM25_TERMS))
+        tok.where(F.col("tok").isin(*terms))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
     )
@@ -540,6 +538,30 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / norm), 6).alias("bm25"))
+        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / norm).alias("bm25"))
+    )
+
+
+@register(
+    "q121_bm25_scores",
+    oracle=f"""
+        WITH {_bm25_sql()}
+        SELECT doc_id, ROUND(bm25, 6) AS bm25
+        FROM bm25 ORDER BY doc_id
+    """,
+    doc="BM25 full-text relevance scoring (Robertson k1=1.2 b=0.75) for "
+    "a fixed 3-term query over the whole corpus - the lexical-search "
+    "half of every hybrid RAG retrieval stack. One exploded census "
+    "builds doc lengths and per-(doc, query-term) term frequencies; "
+    "document frequencies and the corpus stats are term-sized / 1-row "
+    "aggregates that broadcast back. At 100 TB the only corpus-sized "
+    "shuffles are the two doc_id-keyed aggregates; a real deployment "
+    "would additionally prefilter by an inverted-index semi-join on "
+    "the query terms, which is exactly the tf CTE here.",
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        bm25_table(spark, sf)
+        .select("doc_id", F.round("bm25", 6).alias("bm25"))
         .orderBy("doc_id")
     )
