@@ -113,6 +113,10 @@ def run_checks() -> int:
         "q89_prefix_similarity_join",  # bitmask path + localCheckpoint
         "q97_dedup_pipeline",  # composed exact->LSH->CC funnel
         "q98_semantic_dedup",  # bucketed-cosine->CC funnel
+        "q115_graph_centrality",  # iterative pagerank + checkpoints
+        "q116_embedding_covariance",  # mapInPandas Gram partials
+        "q117_leakage_free_split",  # CC + md5 split composition
+        "q122_hybrid_rrf",  # BM25 + dense fusion, two TakeOrdered legs
         "harmony_correct",  # full harmony: broadcasts + Arrow passes
         "harmony_stream_drift",  # stateful streaming on real executors
     ]
