@@ -1040,3 +1040,49 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
         .select("node", F.round("rank", 6).alias("rank"))
         .orderBy("node")
     )
+
+
+@register(
+    "q123_edit_distance_verify",
+    oracle=f"""
+        WITH sig AS ({_minhash_sig_sql()}),
+        bands AS (
+          SELECT doc_id, b, band FROM (
+            SELECT doc_id,
+                   UNNEST([0, 1, 2, 3]) AS b,
+                   UNNEST([md5(mh_0 || mh_1), md5(mh_2 || mh_3),
+                           md5(mh_4 || mh_5), md5(mh_6 || mh_7)]) AS band
+            FROM sig) x),
+        e AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id)
+        SELECT e.da, e.db,
+               CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+        FROM e
+        JOIN documents ta ON ta.doc_id = e.da
+        JOIN documents tb ON tb.doc_id = e.db
+        ORDER BY da, db
+    """,
+    doc="Exact verification stage for the LSH dedup funnel: every "
+    "candidate pair gets a true Levenshtein edit distance (JVM "
+    "built-in, no UDF), turning probabilistic candidates into "
+    "certified near-duplicates under whatever distance cutoff the "
+    "pipeline applies. Candidates are bucket-local (linear), so the "
+    "O(len^2) distance compute runs only on the bounded pair set; "
+    "document text moves once per matched pair via doc_id equi-joins "
+    "- the standard candidate-then-verify shape at 100 TB.",
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table_parallel(spark, sf, "documents").select("doc_id", "text")
+    e = _lsh_pairs(spark, sf)
+    return (
+        e.join(docs.withColumnRenamed("doc_id", "da").withColumnRenamed("text", "ta"), "da")
+        .join(docs.withColumnRenamed("doc_id", "db").withColumnRenamed("text", "tb"), "db")
+        .select(
+            "da",
+            "db",
+            F.levenshtein("ta", "tb").cast("long").alias("dist"),
+        )
+        .orderBy("da", "db")
+    )
