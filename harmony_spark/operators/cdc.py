@@ -303,3 +303,90 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "status")
     )
+
+
+@register(
+    "q124_data_quality_checks",
+    oracle="""
+        SELECT 'orders_custkey_fk' AS chk,
+               CAST((SELECT COUNT(*) FROM orders o
+                     LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+                     WHERE c.c_custkey IS NULL) AS BIGINT) AS n_violations
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk',
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+                     WHERE o.o_orderkey IS NULL) AS BIGINT)
+        UNION ALL
+        SELECT 'orders_pk_unique',
+               CAST((SELECT COALESCE(SUM(n - 1), 0) FROM
+                     (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey) t
+                     WHERE n > 1) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem_qty_range',
+               CAST((SELECT COUNT(*) FROM lineitem
+                     WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+        UNION ALL
+        SELECT 'orders_date_not_null',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_orderdate IS NULL) AS BIGINT)
+        UNION ALL
+        SELECT 'customer_acctbal_finite',
+               CAST((SELECT COUNT(*) FROM customer
+                     WHERE c_acctbal IS NULL OR isnan(c_acctbal)
+                        OR isinf(c_acctbal)) AS BIGINT)
+        ORDER BY chk
+    """,
+    doc="Data-quality constraint suite (the dbt/Great-Expectations "
+    "audit shape): referential integrity via left-anti probes "
+    "(orders->customer, lineitem->orders), primary-key uniqueness as "
+    "excess-count, accepted-range, not-null, and finite-value checks, "
+    "each reduced to a violation count in one row. Every check is one "
+    "scan + (for the FKs) one key-only join - checks over different "
+    "tables run as independent jobs, and none moves more than keys. "
+    "The FK anti-joins broadcast the dimension side at this scale; at "
+    "100 TB they become the same shuffle as any fact-dim join.",
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    li = table(spark, sf, "lineitem")
+
+    def one(chk: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_violations")).select(
+            F.lit(chk).alias("chk"), "n_violations"
+        )
+
+    fk_orders = orders.join(
+        cust.select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    fk_line = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    pk_dupes = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("long").alias("n_violations"))
+        .select(F.lit("orders_pk_unique").alias("chk"), "n_violations")
+    )
+    qty_range = li.where((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+    date_null = orders.where(F.col("o_orderdate").isNull())
+    bal_finite = cust.where(
+        F.col("c_acctbal").isNull()
+        | F.isnan("c_acctbal")
+        | (F.abs("c_acctbal") == float("inf"))
+    )
+    return (
+        one("orders_custkey_fk", fk_orders)
+        .unionByName(one("lineitem_orderkey_fk", fk_line))
+        .unionByName(pk_dupes)
+        .unionByName(one("lineitem_qty_range", qty_range))
+        .unionByName(one("orders_date_not_null", date_null))
+        .unionByName(one("customer_acctbal_finite", bal_finite))
+        .orderBy("chk")
+    )

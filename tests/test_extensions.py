@@ -388,3 +388,31 @@ def test_pca_explained_variance(spark, sf_dir):
     want = w[:5] / w.sum()
     assert np.allclose(got, want, atol=1e-5)
     assert all(a >= b for a, b in zip(got, got[1:]))  # sorted desc
+
+
+def test_merge_upsert_laws(spark):
+    """MERGE semantics invariants: empty source is identity; a pure
+    insert grows the target by |source|; an update changes values but
+    never cardinality; unmatched target rows always pass through."""
+    import pyspark.sql.functions as F
+
+    from harmony_spark.operators.cdc import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    empty = spark.createDataFrame([], "k long, d double")
+    out = merge_upsert(target, empty, "k", {"v": F.col("t.v") + F.col("s.d")},
+                       {"k": F.col("s.k"), "v": F.col("s.d")})
+    assert sorted(map(tuple, out.collect())) == [(1, 10.0), (2, 20.0), (3, 30.0)]
+
+    inserts = spark.createDataFrame([(4, 40.0), (5, 50.0)], "k long, d double")
+    out = merge_upsert(target, inserts, "k", {"v": F.col("t.v") + F.col("s.d")},
+                       {"k": F.col("s.k"), "v": F.col("s.d")})
+    assert sorted(map(tuple, out.collect())) == [
+        (1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0)]
+
+    updates = spark.createDataFrame([(2, 5.0)], "k long, d double")
+    out = merge_upsert(target, updates, "k", {"v": F.col("t.v") + F.col("s.d")},
+                       {"k": F.col("s.k"), "v": F.col("s.d")})
+    assert sorted(map(tuple, out.collect())) == [(1, 10.0), (2, 25.0), (3, 30.0)]
