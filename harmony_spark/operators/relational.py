@@ -1118,3 +1118,47 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "yr")
     )
+
+
+@register(
+    "q125_grouped_regression",
+    oracle="""
+        SELECT n_name,
+               CAST(regr_count(l.l_extendedprice, l.l_quantity) AS BIGINT) AS n,
+               ROUND(regr_slope(l.l_extendedprice, l.l_quantity), 6) AS slope,
+               ROUND(regr_intercept(l.l_extendedprice, l.l_quantity), 6) AS intercept,
+               ROUND(regr_r2(l.l_extendedprice, l.l_quantity), 6) AS r2
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    doc="Grouped ordinary-least-squares (price vs quantity per "
+    "customer nation): the SQL-standard regr_slope / regr_intercept / "
+    "regr_r2 aggregates - in-database ML's workhorse, computed as "
+    "five streaming moments per group (count, means, co/variances), "
+    "so the whole regression is ONE map-side-combinable hash "
+    "aggregate after the dim joins broadcast. Both engines implement "
+    "the identical SQL:2003 definitions, which is the parity the "
+    "oracle checks.",
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.regr_count(y, x).cast("long").alias("n"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
+        .orderBy("n_name")
+    )
