@@ -534,6 +534,41 @@ def build_ivf_index(spark: SparkSession, sf: str, path: str) -> None:
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
 
 
+def _ivf_assign(vectors: DataFrame) -> DataFrame:
+    """(c_id, ce, cn, cid) index rows for arbitrary (vec_id, embedding)
+    input — the same row-local centroid argmax the builder uses."""
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in _ivf_centroids()])
+    scored = vectors.select(
+        F.col("vec_id").alias("c_id"),
+        # pin the stored element type: arithmetic upstream promotes to
+        # double, and a double-typed append corrupts a float-built index
+        F.col("embedding").cast("array<float>").alias("ce"),
+        _l2("embedding").alias("cn"),
+    ).withColumn(
+        "scores", F.transform(cent_arr, lambda c: _dot("ce", c) / F.col("cn"))
+    )
+    return scored.select(
+        "c_id",
+        "ce",
+        "cn",
+        (F.expr("array_position(scores, array_max(scores))") - 1)
+        .cast("int")
+        .alias("cid"),
+    )
+
+
+def ivf_index_upsert(spark: SparkSession, index_path: str, vectors: DataFrame) -> None:
+    """Incremental index maintenance: assign new (vec_id, embedding)
+    rows to their coarse cell and APPEND only those partitions —
+    ingest cost is proportional to the batch, not the index. Deletes/
+    re-embeds follow the same shape with an anti-join compaction of
+    the touched cells (see layout.compact_parquet); the centroids
+    stay fixed between full retrains, exactly like a production IVF
+    store — a drifted corpus shows up as cell-size skew in
+    clustering_quality, which is the retrain signal."""
+    _ivf_assign(vectors).write.mode("append").partitionBy("cid").parquet(index_path)
+
+
 def ivf_search(
     spark: SparkSession,
     index_path: str,

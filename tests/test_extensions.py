@@ -416,3 +416,54 @@ def test_merge_upsert_laws(spark):
     out = merge_upsert(target, updates, "k", {"v": F.col("t.v") + F.col("s.d")},
                        {"k": F.col("s.k"), "v": F.col("s.d")})
     assert sorted(map(tuple, out.collect())) == [(1, 10.0), (2, 25.0), (3, 30.0)]
+
+
+def test_ivf_index_upsert_searchable(spark, sf_dir, tmp_path):
+    """Incremental maintenance: a vector appended via ivf_index_upsert
+    must be retrievable immediately — a near-clone of vector 7 has to
+    surface as its top neighbor — and only its own cell partition may
+    gain files."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from harmony_spark.io import table
+    from harmony_spark.operators.advanced import (
+        _ivf_scored,
+        build_ivf_index,
+        ivf_index_upsert,
+        ivf_search,
+    )
+
+    idx = str(tmp_path / "ivf_idx")
+    build_ivf_index(spark, sf_dir, idx)
+    files_before = {
+        d: len(os.listdir(os.path.join(idx, d)))
+        for d in os.listdir(idx)
+        if d.startswith("cid=")
+    }
+
+    base = table(spark, sf_dir, "embeddings").where(F.col("vec_id") == 7)
+    clone = base.select(
+        F.lit(100000).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+    )
+    ivf_index_upsert(spark, idx, clone)
+
+    files_after = {
+        d: len(os.listdir(os.path.join(idx, d)))
+        for d in os.listdir(idx)
+        if d.startswith("cid=")
+    }
+    changed = [d for d in files_after if files_after[d] != files_before.get(d, 0)]
+    assert len(changed) == 1  # append touched exactly the clone's cell
+
+    queries = _ivf_scored(spark, sf_dir).where(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("n").alias("qn"),
+        "scores",
+    )
+    got = ivf_search(spark, idx, queries).collect()
+    assert got[0]["c_id"] == 100000  # the near-clone is the top neighbor
+    assert got[0]["cos"] > 0.999
