@@ -108,6 +108,8 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q111_domain_kl_drift",  # cross join vs the 1-row corpus total
     "q115_graph_centrality",  # cross join vs the 1-row node count
     "q116_embedding_covariance",  # cross join vs the 1-row vector count
+    "q121_bm25_scores",  # cross join vs the 1-row corpus stats
+    "q122_hybrid_rrf",  # same BM25 leg + 1-row query-vector broadcast
 }
 
 
