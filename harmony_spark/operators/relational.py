@@ -1162,3 +1162,70 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "q126_table_stats",
+    oracle="""
+        -- averages via exact integer-cents sums: AVG(double) rounds
+        -- differently across engines when the fp sum lands on a
+        -- half-boundary (l_discount at sf0.01 did exactly that)
+        SELECT 'l_quantity' AS col,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS ndv,
+               CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_nulls,
+               ROUND(MIN(l_quantity), 6) AS min_v,
+               ROUND(MAX(l_quantity), 6) AS max_v,
+               ROUND(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT))
+                     / (100.0 * COUNT(l_quantity)), 6) AS avg_v
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+               CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+               ROUND(MIN(l_extendedprice), 6), ROUND(MAX(l_extendedprice), 6),
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                     / (100.0 * COUNT(l_extendedprice)), 6)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+               CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+               ROUND(MIN(l_discount), 6), ROUND(MAX(l_discount), 6),
+               ROUND(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                     / (100.0 * COUNT(l_discount)), 6)
+        FROM lineitem
+        ORDER BY col
+    """,
+    doc="ANALYZE-style column statistics collection (count, exact NDV, "
+    "null count, min/max/avg per column) - what a cost-based optimizer "
+    "ingests and what data-profiling runs first on a new table. One "
+    "pass per column family; count/min/max/avg combine map-side, the "
+    "NDVs are the only real shuffles (keyed on the value), and at "
+    "100 TB they swap to approx_count_distinct (HLL, also map-side-"
+    "combinable) - the exact form here is what makes the oracle "
+    "hashable.",
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+
+    def stats(col: str) -> DataFrame:
+        c = F.col(col)
+        cents = F.round(c * 100, 0).cast("long")
+        return li.agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct(c).cast("long").alias("ndv"),
+            (F.count("*") - F.count(c)).cast("long").alias("n_nulls"),
+            F.round(F.min(c), 6).alias("min_v"),
+            F.round(F.max(c), 6).alias("max_v"),
+            F.round(F.sum(cents) / (100.0 * F.count(c)), 6).alias("avg_v"),
+        ).select(F.lit(col).alias("col"), "n", "ndv", "n_nulls", "min_v", "max_v", "avg_v")
+
+    return (
+        stats("l_quantity")
+        .unionByName(stats("l_extendedprice"))
+        .unionByName(stats("l_discount"))
+        .orderBy("col")
+    )
