@@ -302,6 +302,48 @@ def probe_curationscale() -> dict:
     return out
 
 
+def probe_dedupscale() -> dict:
+    """Near-dup-funnel scaling: replicate sf0.1 documents 20x (100k
+    docs) with a per-copy suffix token — copies are NEAR-duplicates,
+    not exact ones, so the LSH path does real work and every document
+    sits in a ~20-member near-dup cluster. This is the adversarial
+    shape for pair generation (every bucket is a clique); the star-CC
+    + bucket-local band joins must stay wall-bounded."""
+    from harmony_spark.registry import load_all
+
+    spark = _spark("dedupscale-probe")
+    src = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    rest = [c for c in src.columns if c not in ("doc_id", "text")]
+    big = (
+        spark.range(20)
+        .crossJoin(src)
+        .select(
+            (F.col("doc_id") + F.col("id") * 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" copytag"), F.col("id").cast("string")).alias("text"),
+            *rest,
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    big.cache().count()
+    tmp = tempfile.mkdtemp(prefix="dedupscale_")
+    big.write.parquet(f"{tmp}/documents.parquet")
+
+    specs = load_all()
+    out: dict = {"n_docs": big.count()}
+    for name in (
+        "q97_dedup_pipeline",
+        "q112_source_overlap_matrix",
+        "q115_graph_centrality",
+        "q118_soft_dedup_weights",
+    ):
+        t0 = time.perf_counter()
+        n = specs[name].fn(spark, tmp).count()
+        out[name] = {"rows": n, "seconds": round(time.perf_counter() - t0, 2)}
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "cc"
     fn = {
@@ -312,5 +354,6 @@ if __name__ == "__main__":
         "quality": probe_quality,
         "textscale": probe_textscale,
         "curationscale": probe_curationscale,
+        "dedupscale": probe_dedupscale,
     }[which]
     print(json.dumps({which: fn()}))
