@@ -710,7 +710,7 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_CHUNK_W, _CHUNK_STRIDE = 30, 20
+_RAGCHUNK_W, _RAGCHUNK_STRIDE = 30, 20
 
 
 @register(
@@ -721,19 +721,19 @@ _CHUNK_W, _CHUNK_STRIDE = 30, 20
           FROM documents
         ),
         starts AS (
-          SELECT doc_id, toks, UNNEST(generate_series(1, len(toks), {_CHUNK_STRIDE})) AS s
+          SELECT doc_id, toks, UNNEST(generate_series(1, len(toks), {_RAGCHUNK_STRIDE})) AS s
           FROM t
         )
         SELECT doc_id,
-               CAST((s - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
-               CAST(len(toks[s:s + {_CHUNK_W} - 1]) AS BIGINT) AS n_tokens,
-               substr(md5(array_to_string(toks[s:s + {_CHUNK_W} - 1], ' ')), 1, 8) AS chunk_sig
+               CAST((s - 1) / {_RAGCHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(len(toks[s:s + {_RAGCHUNK_W} - 1]) AS BIGINT) AS n_tokens,
+               substr(md5(array_to_string(toks[s:s + {_RAGCHUNK_W} - 1], ' ')), 1, 8) AS chunk_sig
         FROM starts
         WHERE doc_id < 100
         ORDER BY doc_id, chunk_idx
     """,
     doc="RAG sliding-window chunker: fixed token windows "
-    f"(w={_CHUNK_W}, stride={_CHUNK_STRIDE}, {_CHUNK_W - _CHUNK_STRIDE}-token "
+    f"(w={_RAGCHUNK_W}, stride={_RAGCHUNK_STRIDE}, {_RAGCHUNK_W - _RAGCHUNK_STRIDE}-token "
     "overlap) per document, emitted as (chunk_idx, token count, content "
     "signature) - the chunking contract every retrieval pipeline feeds "
     "its embedder, the overlap preserving cross-boundary context. "
@@ -753,14 +753,14 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "toks",
         F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(_CHUNK_STRIDE))
+            F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(_RAGCHUNK_STRIDE))
         ).alias("s"),
     )
-    chunk = F.slice("toks", F.col("s"), F.lit(_CHUNK_W))
+    chunk = F.slice("toks", F.col("s"), F.lit(_RAGCHUNK_W))
     return (
         starts.select(
             "doc_id",
-            ((F.col("s") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            ((F.col("s") - 1) / _RAGCHUNK_STRIDE).cast("long").alias("chunk_idx"),
             F.size(chunk).cast("long").alias("n_tokens"),
             F.substring(F.md5(F.array_join(chunk, " ").cast("binary")), 1, 8).alias(
                 "chunk_sig"
