@@ -207,3 +207,48 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "q128_time_rollup",
+    oracle="""
+        SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+               COALESCE(CAST(EXTRACT(hour FROM ts) AS VARCHAR), 'ALL') AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) / 1000.0, 3)
+                 AS v
+        FROM events
+        GROUP BY GROUPING SETS ((date_trunc('day', ts), EXTRACT(hour FROM ts)),
+                                (date_trunc('day', ts)),
+                                ())
+        ORDER BY day, hour
+    """,
+    doc="Hypertable-style multi-granular time rollup: (day, hour-of-"
+    "day), per-day, and grand-total aggregates in ONE grouping-sets "
+    "pass over the event stream - the continuous-aggregate shape "
+    "time-series stores maintain incrementally, here as a single "
+    "scan with map-side partial aggregation at every grain (Spark "
+    "expands grouping sets before the shuffle, so each input row "
+    "shuffles once per grain on bounded keys). Sums ride exact "
+    "integer millis to stay engine-deterministic.",
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    day = F.date_trunc("day", "ts")
+    hour = F.hour("ts")
+    milli = F.round(F.col("value") * 1000, 0).cast("long")
+    return (
+        ev.select(day.alias("d"), hour.alias("h"), milli.alias("mv"))
+        .groupingSets([["d", "h"], ["d"], []], "d", "h")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("mv") / 1000.0, 3).alias("v"),
+        )
+        .select(
+            F.coalesce(F.date_format("d", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("h").cast("string"), F.lit("ALL")).alias("hour"),
+            "n",
+            "v",
+        )
+        .orderBy("day", "hour")
+    )
