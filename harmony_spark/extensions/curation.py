@@ -560,14 +560,16 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _cc_closure_sql() -> str:
+def _cc_closure_sql(where: str = "") -> str:
     """Recursive-CTE connected components over the LSH edge set (the
     independent closure the dedup funnels verify against): yields
-    cc(doc_id, cluster_id) for every document IN the near-dup graph."""
+    cc(doc_id, cluster_id) for every document IN the near-dup graph.
+    ``where`` restricts the document set the graph is built over (it may
+    reference CTEs defined earlier in the enclosing WITH chain)."""
     from harmony_spark.extensions.dedup import _minhash_sig_sql
 
     return f"""
-        sig AS ({_minhash_sig_sql()}),
+        sig AS ({_minhash_sig_sql(where)}),
         bands AS (
           SELECT doc_id, b, band FROM (
             SELECT doc_id,
@@ -705,6 +707,153 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.round(F.sum("w"), 6).alias("effective_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q130_full_curation",
+    oracle=f"""
+        WITH RECURSIVE
+        qsig AS (
+          SELECT doc_id, source, n_chars,
+                 len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+                 len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS n_distinct
+          FROM documents),
+        qpass AS (
+          SELECT doc_id FROM qsig
+          WHERE doc_id % 23 <> 0
+            AND n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+            AND CAST(n_chars AS DOUBLE) / n_tokens
+                BETWEEN {_MIN_TOK_LEN} AND {_MAX_TOK_LEN}
+            AND CAST(n_distinct AS DOUBLE) / n_tokens >= {_MIN_DISTINCT_RATIO}),
+        ekept AS (
+          SELECT MIN(doc_id) AS doc_id FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM qpass) GROUP BY md5(text)),
+        {_cc_closure_sql("WHERE doc_id IN (SELECT doc_id FROM ekept)")},
+        ndkept AS (
+          SELECT e2.doc_id FROM ekept e2 LEFT JOIN cc ON cc.doc_id = e2.doc_id
+          WHERE cc.doc_id IS NULL OR cc.cluster_id = e2.doc_id),
+        tokd AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                 FROM documents),
+        shing AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - {_SHINGLE_N - 2}),
+                        i -> array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' '))) AS shingle
+          FROM tokd WHERE len(toks) >= {_SHINGLE_N}),
+        evs AS (SELECT DISTINCT shingle FROM shing WHERE doc_id % 23 = 0),
+        cont AS (SELECT DISTINCT s.doc_id FROM shing s JOIN evs USING (shingle)
+                 WHERE s.doc_id IN (SELECT doc_id FROM ndkept)),
+        final AS (SELECT doc_id FROM ndkept
+                  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        cens AS (
+          SELECT q.source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(q.n_tokens) AS BIGINT) AS kept_tokens,
+                 CAST(SUM(q.doc_id) AS BIGINT) AS id_checksum
+          FROM qsig q JOIN final f ON f.doc_id = q.doc_id
+          GROUP BY q.source)
+        SELECT source, n_docs, kept_tokens, id_checksum,
+               ROUND(CAST(kept_tokens AS DOUBLE) / SUM(kept_tokens) OVER (), 8)
+                 AS token_share
+        FROM cens ORDER BY source
+    """,
+    doc="THE end-to-end pretraining-corpus curation pipeline, every stage "
+    "composed in one plan: (0) hold out the eval split (doc_id % 23) - "
+    "never trains; (1) C4/Gopher quality gate (length window, mean "
+    "token length, distinct-token ratio - q102's rule); (2) exact "
+    "dedup, min doc_id per md5 (q30/q97 stage); (3) MinHash/LSH "
+    "near-dup graph over the survivors + connected components, keeping "
+    "each cluster's representative (q97 stage); (4) decontamination - "
+    "drop any survivor sharing a 5-token shingle with the eval split "
+    "(q104's rule); (5) per-source census with token totals and the "
+    "final mix share (q108's input). Scale shape is the union of its "
+    "parts, all pinned individually: digest-not-document shuffles for "
+    "both dedups, band-bucket-local LSH pair generation, O(log n) "
+    "star-CC rounds, broadcast eval shingle set, and one bounded "
+    "census aggregate. The DuckDB oracle replays the ENTIRE pipeline "
+    "with a recursive-CTE transitive closure standing in for CC - "
+    "every stage boundary must agree for the hash to match.",
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.extensions.dedup import _lsh_pairs_of
+    from harmony_spark.io import table_parallel
+    from harmony_spark.operators.graph import connected_components
+
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    base = table_parallel(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    is_eval = F.col("doc_id") % 23 == 0
+    passing = base.where(~is_eval).where(
+        F.col("n_tokens").between(_MIN_TOKENS, _MAX_TOKENS)
+        & (F.col("n_chars").cast("double") / F.col("n_tokens")).between(
+            _MIN_TOK_LEN, _MAX_TOK_LEN
+        )
+        & (
+            F.col("n_distinct").cast("double") / F.col("n_tokens")
+            >= _MIN_DISTINCT_RATIO
+        )
+    )
+    ekept = (
+        passing.groupBy(F.md5(F.col("text").cast("binary")))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept_docs = base.join(ekept, "doc_id").select("doc_id", "text")
+    cc = connected_components(
+        _lsh_pairs_of(kept_docs).select(
+            F.col("da").alias("src"), F.col("db").alias("dst")
+        )
+    ).withColumnRenamed("node", "doc_id")
+    ndkept = (
+        ekept.join(cc, "doc_id", "left")
+        .where(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id")
+    )
+
+    def _sh(df: DataFrame) -> DataFrame:
+        d = df.select("doc_id", toks.alias("toks"))
+        expr = F.expr(
+            f"transform(sequence(0, size(toks) - {_SHINGLE_N}), "
+            f"i -> array_join(slice(toks, i + 1, {_SHINGLE_N}), ' '))"
+        )
+        return d.where(F.size("toks") >= _SHINGLE_N).select(
+            "doc_id", F.explode(expr).alias("shingle")
+        )
+
+    ev = _sh(base.where(is_eval)).select("shingle").distinct()
+    cont = (
+        _sh(base.join(ndkept, "doc_id"))
+        .join(F.broadcast(ev), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    final = ndkept.join(cont, "doc_id", "left_anti")
+    cens = (
+        base.join(final, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("kept_tokens"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return (
+        cens.withColumn(
+            "token_share",
+            F.round(
+                F.col("kept_tokens").cast("double")
+                / F.sum("kept_tokens").over(w_all),
+                8,
+            ),
         )
         .orderBy("source")
     )

@@ -48,9 +48,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # prefix-filtered similarity join, and the round-3 additions (partition
 # pruning, IVF-PQ, quality funnel, benchmark decontamination). Promoted
 # ahead of the q33+ extensions so they land inside the driver's 50-entry
-# window. To make room, four rows whose components stay covered by other
+# window. To make room, five rows whose components stay covered by other
 # in-window entries are demoted: q33/q34/q38 (X2 — covered by q35, q36,
-# q97) and q42 (X4 — covered by q32, q39, q40).
+# q97), q42 (X4 — covered by q32, q39, q40), and q37 (X3 — covered by
+# q31, q101).
 _PROMOTED = (
     "q89_prefix_similarity_join",
     "q97_dedup_pipeline",
@@ -59,20 +60,27 @@ _PROMOTED = (
     "q101_pq_topk",
     "q102_quality_funnel",
     "q104_decontamination",
+    "q130_full_curation",
 )
 _DEMOTED = frozenset(
-    {"q33_ngram_jaccard", "q34_minhash_signatures", "q38_lsh_bucket_histogram", "q42_token_frequencies"}
+    {
+        "q33_ngram_jaccard",
+        "q34_minhash_signatures",
+        "q37_cosine_topk",
+        "q38_lsh_bucket_histogram",
+        "q42_token_frequencies",
+    }
 )
 
 
 def _priority(name: str) -> tuple[int, int]:
     """Registry ordering: the driver's correctness gate checks the FIRST
     50 entries. In-window (positions 1-50): the declared SURVEY §2.11
-    corpus q01-q32, the four harmony_* pipelines, the seven promoted
-    queries (q89/q97/q98/q100/q101/q102/q104), then the first seven of
-    q33-q47 not demoted (q35/q36/q37/q39/q40/q41/q43). Out-of-window
+    corpus q01-q32, the four harmony_* pipelines, the eight promoted
+    queries (q89/q97/q98/q100/q101/q102/q104/q130), then the first six
+    of q33-q47 not demoted (q35/q36/q39/q40/q41/q43). Out-of-window
     (covered by the identical local gate at sf0.001 instead): the
-    demoted q33/q34/q38/q42, q44-q47, q83-q88, q90-q92, and the
+    demoted q33/q34/q37/q38/q42, q44-q47, q83-q88, q90-q92, and the
     remaining relational surface q48+."""
     if name in _PROMOTED:
         return (2, _PROMOTED.index(name))
@@ -94,7 +102,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the
     registry in driver-priority order (see :func:`_priority`)."""
     from harmony_spark.operators import adapters, advanced, cdc, relational, windows, streaming_batch  # noqa: F401
-    from harmony_spark.extensions import curation, dedup, multimodal, similarity, text_analysis  # noqa: F401
+    from harmony_spark.extensions import curation, dedup, multimodal, similarity, sketches, text_analysis  # noqa: F401
     from harmony_spark.functions import preprocessing  # noqa: F401
     from harmony_spark.core import queries as core_queries  # noqa: F401
 
