@@ -1086,3 +1086,76 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("da", "db")
     )
+
+
+@register(
+    "q132_incremental_neardup",
+    oracle=f"""
+        WITH sigh AS ({_minhash_sig_sql("WHERE doc_id % 10 < 8")}),
+        sigd AS ({_minhash_sig_sql("WHERE doc_id % 10 >= 8")}),
+        bh AS (
+          SELECT doc_id, b, band FROM (
+            SELECT doc_id,
+                   UNNEST([0, 1, 2, 3]) AS b,
+                   UNNEST([md5(mh_0 || mh_1), md5(mh_2 || mh_3),
+                           md5(mh_4 || mh_5), md5(mh_6 || mh_7)]) AS band
+            FROM sigh) x),
+        bd AS (
+          SELECT doc_id, b, band FROM (
+            SELECT doc_id,
+                   UNNEST([0, 1, 2, 3]) AS b,
+                   UNNEST([md5(mh_0 || mh_1), md5(mh_2 || mh_3),
+                           md5(mh_4 || mh_5), md5(mh_6 || mh_7)]) AS band
+            FROM sigd) x),
+        p AS (
+          SELECT DISTINCT d.doc_id AS delta_id, h.doc_id AS hist_id
+          FROM bd d JOIN bh h ON d.b = h.b AND d.band = h.band),
+        flag AS (SELECT delta_id, COUNT(*) AS n_matches FROM p GROUP BY delta_id)
+        SELECT s.source,
+               CAST(COUNT(*) AS BIGINT) AS n_delta_docs,
+               CAST(COUNT(f.delta_id) AS BIGINT) AS n_neardup,
+               CAST(COALESCE(SUM(f.n_matches), 0) AS BIGINT) AS n_pairs
+        FROM documents s LEFT JOIN flag f ON f.delta_id = s.doc_id
+        WHERE s.doc_id % 10 >= 8
+        GROUP BY s.source ORDER BY s.source
+    """,
+    doc="Incremental ingest near-dup check - the shape a 100 TB corpus "
+    "actually runs daily: the arriving DELTA (doc_id % 10 >= 8 plays "
+    "the new batch) is checked against the HISTORY's persisted LSH "
+    "band index (doc_id % 10 < 8) without ever re-shingling or "
+    "re-scanning history text - the band table IS the index, a "
+    "(doc_id, band-hash) parquet artifact maintained by appending "
+    "each day's delta bands (same pattern as the IVF index upsert). "
+    "The delta-vs-history join is band-bucket-local like every LSH "
+    "path here, and the output is the per-source admission report: "
+    "arriving docs, how many near-duplicate history, candidate pair "
+    "mass. Full-corpus re-dedup (q97) is the backfill path; this is "
+    "the steady-state one.",
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table_parallel(spark, sf, "documents")
+    is_delta = F.col("doc_id") % 10 >= 8
+    hist_bands = _band_table_of(docs.where(~is_delta)).localCheckpoint(eager=False)
+    delta_bands = _band_table_of(docs.where(is_delta))
+    p = (
+        delta_bands.alias("d")
+        .join(
+            hist_bands.alias("h"),
+            (F.col("d.b") == F.col("h.b")) & (F.col("d.band") == F.col("h.band")),
+        )
+        .select(F.col("d.doc_id").alias("delta_id"), F.col("h.doc_id").alias("hist_id"))
+        .distinct()
+    )
+    flag = p.groupBy("delta_id").agg(F.count("*").alias("n_matches"))
+    return (
+        docs.where(is_delta)
+        .select("doc_id", "source")
+        .join(flag, F.col("doc_id") == F.col("delta_id"), "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_delta_docs"),
+            F.count("delta_id").cast("long").alias("n_neardup"),
+            F.coalesce(F.sum("n_matches"), F.lit(0)).cast("long").alias("n_pairs"),
+        )
+        .orderBy("source")
+    )
