@@ -366,3 +366,40 @@ def running_user_totals_v2(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def neardup_admission(
+    delta_docs: DataFrame, history_bands: DataFrame
+) -> DataFrame:
+    """Streaming near-dup admission: the streaming face of q132.
+
+    Each arriving delta document's MinHash band hashes are computed
+    ROW-LOCALLY (``dedup._minhash_sig_rowlocal`` — a stateless
+    projection, the only streaming-legal formulation: an aggregation
+    here would force update mode and forbid the join below) and
+    stream-static joined against the persisted HISTORY band index.
+    Output is one row per admitted-with-suspicion document:
+    (doc_id, n_hist_matches), in UPDATE mode (a streaming aggregation
+    without watermark); the per-document group is complete after its
+    own micro-batch, since a document's 4 band rows arrive together.
+
+    At scale the history_bands side is the parquet band index the
+    batch pipeline maintains (q132's doc); Spark re-reads it per
+    micro-batch, so keep it compacted (layout.compact_parquet).
+    """
+    from harmony_spark.extensions.dedup import (
+        _band_table_of,
+        _minhash_sig_rowlocal,
+    )
+
+    delta_bands = _band_table_of(delta_docs, sig_fn=_minhash_sig_rowlocal)
+    hist = history_bands.select(
+        F.col("doc_id").alias("hist_id"), "b", "band"
+    )
+    return (
+        delta_bands.join(hist, ["b", "band"])
+        .groupBy("doc_id")
+        # countDistinct is illegal in streaming aggs; collect_set is the
+        # update-mode-safe equivalent (bounded: <= |history| per doc)
+        .agg(F.size(F.collect_set("hist_id")).alias("n_hist_matches"))
+    )

@@ -580,3 +580,57 @@ def test_state_v2_running_totals_parity(spark, sf_dir):
     g = {r["user_id"]: (r["n_events"], r["value_sum"]) for r in got.collect()}
     b = {r["user_id"]: (r["n_events"], r["value_sum"]) for r in batch.collect()}
     assert g == b
+
+
+def test_streaming_neardup_admission_matches_batch(spark, sf_dir):
+    """The streaming delta-ingest admission (row-local signatures +
+    stream-static band-index join) must flag exactly the delta docs the
+    batch q132 pipeline flags, with the same per-doc match counts."""
+    import pyspark.sql.functions as F
+    from harmony_spark.extensions.dedup import _band_table_of
+    from harmony_spark.io import table
+
+    docs = table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 10 >= 8
+    hist_bands = _band_table_of(docs.where(~is_delta)).localCheckpoint()
+
+    delta_stream = ops.stream_documents(spark, sf_dir).where(is_delta)
+    got = {
+        r["doc_id"]: r["n_hist_matches"]
+        for r in run_stream(
+            ops.neardup_admission(delta_stream, hist_bands),
+            spark, "t_neardup_admission", "update",
+        ).collect()
+    }
+
+    want = {
+        r["delta_id"]: r["n_matches"]
+        for r in _band_table_of(docs.where(is_delta))
+        .alias("d")
+        .join(
+            hist_bands.alias("h"),
+            (F.col("d.b") == F.col("h.b")) & (F.col("d.band") == F.col("h.band")),
+        )
+        .select(F.col("d.doc_id").alias("delta_id"), F.col("h.doc_id").alias("hist_id"))
+        .distinct()
+        .groupBy("delta_id")
+        .agg(F.count("*").alias("n_matches"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_rowlocal_signature_parity(spark, sf_dir):
+    """The streaming-legal row-local MinHash formulation must produce
+    byte-identical signatures to the batch explode+groupBy one."""
+    from harmony_spark.extensions.dedup import (
+        _minhash_sig_rowlocal,
+        _minhash_sig_spark,
+    )
+    from harmony_spark.io import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = {tuple(r) for r in _minhash_sig_spark(docs).collect()}
+    b = {tuple(r) for r in _minhash_sig_rowlocal(docs).collect()}
+    assert a == b and len(a) > 0
