@@ -201,3 +201,72 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None, schema=None
     if fmt == "orc":
         return spark.read.options(**options).orc(path)
     raise ValueError(f"unsupported format {fmt!r}; expected parquet/csv/json/orc")
+
+
+def read_epochs(spark: SparkSession, epoch_paths: list[str], target_schema) -> DataFrame:
+    """Schema-evolution read: union data written at different schema
+    epochs, conformed to ``target_schema``.
+
+    A 100 TB table is never one schema — columns get added, types get
+    widened, and history is not rewritten. Parquet's ``mergeSchema``
+    cannot express this (it errors on widened types and yields the
+    union of columns with no defaults policy); the robust pattern is
+    epoch-wise conforming: read each epoch with its OWN footer schema,
+    then project onto the target — present columns CAST to the target
+    type (widening int->long, float->double), absent columns as typed
+    NULLs — and unionByName. Each epoch stays an independent
+    partition-pruned scan; the union adds no shuffle.
+
+    Unknown columns (present on disk, absent from target) are dropped:
+    the target schema is the contract, and readers must not silently
+    grow columns because one epoch had an experiment.
+    """
+    parts = []
+    for p in epoch_paths:
+        df = spark.read.parquet(p)
+        have = {f.name: f for f in df.schema.fields}
+        cols = []
+        for f in target_schema.fields:
+            if f.name in have:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        parts.append(df.select(*cols))
+    out = parts[0]
+    for nxt in parts[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-Lines ingest with a dead-letter channel: returns
+    ``(good, quarantined)``.
+
+    PERMISSIVE parsing keeps malformed lines instead of failing the
+    1000-executor job 6 hours in (FAILFAST) or silently dropping data
+    (DROPMALFORMED): rows that do not parse against ``schema`` carry
+    their raw line in a corrupt-record column, and the caller writes
+    that channel to a quarantine sink for replay after the producer is
+    fixed. The split is a pure filter — one scan, no shuffle; Spark
+    requires the corrupt column to be part of the read schema, hence
+    the temporary ``_corrupt`` field dropped from the good side.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    aug = StructType(list(schema.fields) + [StructField("_corrupt", StringType())])
+    df = (
+        spark.read.schema(aug)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        # caching before the filter split is the documented workaround for
+        # Spark's lazy-parse restriction on referencing the corrupt column
+        .cache()
+    )
+    good = df.where(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = df.where(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("raw_line")
+    )
+    return good, bad

@@ -136,3 +136,68 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
     schema = table(spark, sf, "customer").schema
     path = _mirror(spark, sf, "customer", "json")
     return _adapter_agg(read_any(spark, path, "json", schema=schema))
+
+
+def _evolution_mirror(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Two schema epochs of customer, written once per sf: epoch 1
+    (even c_custkey) predates the c_acctbal / c_mktsegment columns;
+    epoch 2 (odd) has the full schema. History is never rewritten —
+    exactly the state a years-old 100 TB table is in."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = os.path.join(_MIRROR_ROOT, tag, "customer_epochs")
+    p1, p2 = os.path.join(root, "epoch1"), os.path.join(root, "epoch2")
+    if not os.path.exists(os.path.join(p2, "_SUCCESS")):
+        cust = table(spark, sf_dir, "customer")
+        even = F.col("c_custkey") % 2 == 0
+        cust.where(even).select("c_custkey", "c_nationkey", "c_name").write.mode(
+            "overwrite"
+        ).parquet(p1)
+        cust.where(~even).select(
+            "c_custkey", "c_nationkey", "c_name", "c_acctbal", "c_mktsegment"
+        ).write.mode("overwrite").parquet(p2)
+    return p1, p2
+
+
+@register(
+    "q133_schema_evolution",
+    oracle="""
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+               CAST(COUNT(CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END)
+                    AS BIGINT) AS n_with_segment,
+               ROUND(SUM(CASE WHEN c_custkey % 2 = 1 THEN c_acctbal ELSE 0 END), 2)
+                 AS bal_sum
+        FROM customer
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    doc="Schema-evolution ingest (io.read_epochs): customer history "
+    "split across two schema epochs — epoch 1 predates the balance and "
+    "segment columns, epoch 2 has the full schema; neither is ever "
+    "rewritten. Epoch-wise conforming (per-epoch footer schema, CAST "
+    "present columns, typed-NULL absent ones, unionByName) yields one "
+    "logical table; parquet mergeSchema cannot do this (no widening, "
+    "no defaults policy). The oracle replays the epoch split on the "
+    "ORIGINAL parquet, so the hash match proves no row or value was "
+    "lost or invented across the evolution boundary. Scale shape: each "
+    "epoch remains an independently pruned scan; the union is plan-"
+    "level only (no shuffle).",
+)
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import read_epochs
+
+    target = table(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_name", "c_acctbal", "c_mktsegment"
+    ).schema
+    p1, p2 = _evolution_mirror(spark, sf)
+    df = read_epochs(spark, [p1, p2], target)
+    return (
+        df.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+            F.count("c_mktsegment").cast("long").alias("n_with_segment"),
+            F.round(F.sum(F.coalesce("c_acctbal", F.lit(0.0))), 2).alias("bal_sum"),
+        )
+        .orderBy("c_nationkey")
+    )

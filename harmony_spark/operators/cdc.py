@@ -390,3 +390,93 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(one("customer_acctbal_finite", bal_finite))
         .orderBy("chk")
     )
+
+
+@register(
+    "q134_pit_enrichment",
+    oracle="""
+        WITH views AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN value < 20 THEN 'low'
+                      WHEN value < 60 THEN 'mid' ELSE 'high' END AS seg
+          FROM events WHERE user_id < 40 AND event_type = 'view'
+        ),
+        flagged AS (
+          SELECT user_id, ts, seg,
+                 CASE WHEN LAG(seg) OVER w IS DISTINCT FROM seg
+                      THEN 1 ELSE 0 END AS chg
+          FROM views
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        grp AS (
+          SELECT user_id, ts, seg,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS g
+          FROM flagged
+        ),
+        islands AS (
+          SELECT user_id, g, ANY_VALUE(seg) AS seg, MIN(ts) AS vf
+          FROM grp GROUP BY user_id, g
+        ),
+        hist AS (
+          SELECT user_id, seg, vf, LEAD(vf) OVER w2 AS vt
+          FROM islands WINDOW w2 AS (PARTITION BY user_id ORDER BY g)
+        ),
+        fact AS (
+          SELECT user_id, ts, value FROM events
+          WHERE user_id < 40 AND event_type = 'purchase'
+        ),
+        pit AS (
+          SELECT COALESCE(h.seg, 'unknown') AS seg, f.value
+          FROM fact f LEFT JOIN hist h
+            ON h.user_id = f.user_id
+           AND f.ts >= h.vf AND (h.vt IS NULL OR f.ts < h.vt)
+        )
+        SELECT seg,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               ROUND(SUM(value), 2) AS value_sum
+        FROM pit GROUP BY seg ORDER BY seg
+    """,
+    doc="Point-in-time-correct enrichment - the feature-store join that "
+    "keeps training data free of lookahead leakage: each purchase is "
+    "enriched with the user's browsing segment (SCD2 history built "
+    "from 'view' events via scd2_history) that was valid AT the "
+    "purchase timestamp, never a later one; purchases before any view "
+    "get 'unknown'. Joining the current dimension instead would leak "
+    "future attribute values into past training rows - the classic "
+    "offline/online skew bug. Shuffle shape: the PIT join is an "
+    "equi-join on the business key with a residual validity-interval "
+    "filter (at most one interval matches), so it costs exactly one "
+    "user-keyed shuffle; history and facts both stay partitioned by "
+    "the key at any scale.",
+)
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    seg = (
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high")
+    )
+    ev = table_parallel(spark, sf, "events").where(F.col("user_id") < 40)
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", seg.alias("seg")
+    )
+    hist = scd2_history(views, key="user_id", attr="seg", tiebreak="event_id")
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    f, h = fact.alias("f"), hist.alias("h")
+    pit = f.join(
+        h,
+        (F.col("h.user_id") == F.col("f.user_id"))
+        & (F.col("f.ts") >= F.col("h.valid_from"))
+        & (F.col("h.valid_to").isNull() | (F.col("f.ts") < F.col("h.valid_to"))),
+        "left",
+    ).select(F.coalesce(F.col("h.seg"), F.lit("unknown")).alias("seg"), "f.value")
+    return (
+        pit.groupBy("seg")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("seg")
+    )

@@ -467,3 +467,58 @@ def test_ivf_index_upsert_searchable(spark, sf_dir, tmp_path):
     got = ivf_search(spark, idx, queries).collect()
     assert got[0]["c_id"] == 100000  # the near-clone is the top neighbor
     assert got[0]["cos"] > 0.999
+
+
+def test_read_epochs_widens_types(spark, sf_dir, tmp_path):
+    """Type widening across epochs: an int32/float32 epoch conforms to
+    the long/double target via per-epoch CAST — the case parquet
+    mergeSchema refuses outright."""
+    from pyspark.sql import functions as F
+    from harmony_spark.io import read_epochs, table
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    even = F.col("c_custkey") % 2 == 0
+    cust.where(even).select(
+        F.col("c_custkey").cast("int").alias("c_custkey"),
+        F.col("c_acctbal").cast("float").alias("c_acctbal"),
+    ).write.parquet(p1)
+    cust.where(~even).write.parquet(p2)
+
+    out = read_epochs(spark, [p1, p2], cust.schema)
+    assert [f.dataType.typeName() for f in out.schema.fields] == ["long", "double"]
+    assert out.count() == cust.count()
+    # narrowed epoch-1 floats widen back losslessly for these 2-decimal
+    # balances only when they fit float32's mantissa; check keys exactly
+    # and balances to float32 precision
+    got = {r["c_custkey"]: r["c_acctbal"] for r in out.collect()}
+    want = {r["c_custkey"]: r["c_acctbal"] for r in cust.collect()}
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-2 * max(1.0, abs(want[k])) for k in want)
+
+
+def test_read_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
+    """Malformed JSONL lines land in the dead-letter channel with their
+    raw text; good lines parse fully — no silent drops, no job failure."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from harmony_spark.io import read_jsonl_quarantine
+
+    path = str(tmp_path / "docs.jsonl")
+    lines = [
+        '{"doc_id": 1, "text": "alpha"}',
+        "this is not json at all",
+        '{"doc_id": 2, "text": "beta"}',
+        '{"doc_id": "not-a-number", "text": "gamma"}',
+        '{"doc_id": 3, "text": "delta"}',
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    good, bad = read_jsonl_quarantine(spark, path, schema)
+    assert {r["doc_id"] for r in good.collect()} == {1, 2, 3}
+    raw = [r["raw_line"] for r in bad.collect()]
+    assert len(raw) == 2
+    assert "not json at all" in raw[0] or "not json at all" in raw[1]
