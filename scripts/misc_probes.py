@@ -335,6 +335,8 @@ def probe_dedupscale() -> dict:
         "q112_source_overlap_matrix",
         "q115_graph_centrality",
         "q118_soft_dedup_weights",
+        "q130_full_curation",
+        "q132_incremental_neardup",
     ):
         t0 = time.perf_counter()
         n = specs[name].fn(spark, tmp).count()
