@@ -403,3 +403,32 @@ def neardup_admission(
         # update-mode-safe equivalent (bounded: <= |history| per doc)
         .agg(F.size(F.collect_set("hist_id")).alias("n_hist_matches"))
     )
+
+
+def windowed_distinct_users(
+    events: DataFrame, size: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Distinct users per (window, event_type) on a stream, via HLL
+    sketch aggregation (extensions/sketches.py rationale).
+
+    Exact streaming COUNT(DISTINCT) is illegal (and would be unbounded
+    state: the distinct key set per open window); the ~4 KB HLL sketch
+    is the bounded-state answer and merges across micro-batches like
+    any algebraic aggregate. Watermark closes window state. Accuracy
+    (+-1.6% rel. std. error at lgK=12) vs exact batch distinct is
+    pinned in tests/test_streaming.py.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size), "event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("approx_users")
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "approx_users",
+        )
+    )

@@ -634,3 +634,30 @@ def test_rowlocal_signature_parity(spark, sf_dir):
     a = {tuple(r) for r in _minhash_sig_spark(docs).collect()}
     b = {tuple(r) for r in _minhash_sig_rowlocal(docs).collect()}
     assert a == b and len(a) > 0
+
+
+def test_streaming_windowed_distinct_within_tolerance(spark, sf_dir):
+    """Streaming HLL distinct-per-window (bounded state where exact
+    distinct is illegal/unbounded) must land within 2% of the exact
+    batch answer for every (window, event_type) group."""
+    import pyspark.sql.functions as F
+    from harmony_spark.io import table
+
+    got = {
+        (r["win_start"], r["event_type"]): r["approx_users"]
+        for r in run_stream(
+            ops.windowed_distinct_users(ops.stream_events(spark, sf_dir)),
+            spark, "t_win_distinct", "update",
+        ).collect()
+    }
+    exact = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n")
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(1, 0.02 * n), (k, got[k], n)
