@@ -242,3 +242,107 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
         .select("user_id", "event_type", "event_id", "value")
         .orderBy("user_id", "event_type")
     )
+
+
+# q136: z-normalized subsequence pattern matching (the distributed
+# time-series similarity-search shape: REPOSE ICDE'21 / Odyssey VLDB'23
+# study the same decomposition — window candidates generated locally,
+# scored against a broadcast query, only survivors reported).
+_TS_PATTERN = [0.0, 0.0, 1.0, 2.0, 4.0, 2.0, 1.0, 0.0]  # a spike shape
+_TS_W = len(_TS_PATTERN)  # 8
+_TS_SP = sum(_TS_PATTERN)  # 10.0
+_TS_DEN_P = _TS_W * sum(x * x for x in _TS_PATTERN) - _TS_SP * _TS_SP  # 108.0
+_TS_CORR_MIN = 0.8
+
+
+@register(
+    "q136_ts_pattern_match",
+    oracle=f"""
+        WITH s AS (
+          SELECT user_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS pos
+          FROM events WHERE user_id < 50
+        ),
+        pat AS (SELECT UNNEST(range(0, {_TS_W})) AS j,
+                       UNNEST({_TS_PATTERN}) AS p),
+        ex AS (
+          SELECT user_id, pos - j AS start, value * p AS vp, value
+          FROM s, pat
+        ),
+        win AS (
+          SELECT user_id, start,
+                 COUNT(*) AS n, SUM(vp) AS sxy,
+                 SUM(value) AS sx, SUM(value * value) AS sxx
+          FROM ex WHERE start >= 1 GROUP BY user_id, start
+        ),
+        scored AS (
+          SELECT user_id, start,
+                 ({_TS_W} * sxy - sx * {_TS_SP})
+                   / sqrt(({_TS_W} * sxx - sx * sx) * {_TS_DEN_P}) AS corr
+          FROM win
+          WHERE n = {_TS_W} AND ({_TS_W} * sxx - sx * sx) > 1e-9
+        )
+        SELECT user_id, CAST(start AS BIGINT) AS win_start,
+               ROUND(corr, 6) AS corr
+        FROM scored WHERE ROUND(corr, 6) >= {_TS_CORR_MIN}
+        ORDER BY user_id, win_start
+    """,
+    doc="Distributed time-series subsequence similarity search "
+    "(REPOSE/Odyssey family): every length-8 sliding window of each "
+    "user's value series is scored by Pearson correlation against a "
+    "broadcast spike pattern (z-normalized distance and correlation "
+    "are affine equivalents), windows above 0.8 reported. The plan is "
+    "join-FREE: posexplode fans each point into the 8 windows it "
+    "belongs to (start = pos - j, weight p_j) and one (user, start)-"
+    "keyed aggregate rebuilds every window's sufficient statistics "
+    "(sum xy / sum x / sum x^2); pattern-side sums are plan-time "
+    "constants. Shuffle = W x series points of scalars, partitioned "
+    "by user — no self-join, no per-window recompute, skew-free "
+    "because windows of one user stay in one partition only for the "
+    "length of an aggregate. This is the textbook scale shape for "
+    "telemetry pattern scans at 100 TB.",
+)
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    wspec = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    series = (
+        table_parallel(spark, sf, "events")
+        .where(F.col("user_id") < 50)
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("pos", F.row_number().over(wspec))
+    )
+    pat = F.array(*[F.lit(x) for x in _TS_PATTERN])
+    ex = series.select(
+        "user_id", "pos", "value", F.posexplode(pat).alias("j", "p")
+    ).select(
+        "user_id",
+        (F.col("pos") - F.col("j")).alias("start"),
+        (F.col("value") * F.col("p")).alias("vp"),
+        "value",
+    )
+    win = (
+        ex.where(F.col("start") >= 1)
+        .groupBy("user_id", "start")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("vp").alias("sxy"),
+            F.sum("value").alias("sx"),
+            F.sum(F.col("value") * F.col("value")).alias("sxx"),
+        )
+    )
+    var_x = _TS_W * F.col("sxx") - F.col("sx") * F.col("sx")
+    corr = (_TS_W * F.col("sxy") - F.col("sx") * F.lit(_TS_SP)) / F.sqrt(
+        var_x * F.lit(_TS_DEN_P)
+    )
+    return (
+        win.where((F.col("n") == _TS_W) & (var_x > 1e-9))
+        .select(
+            "user_id",
+            F.col("start").cast("long").alias("win_start"),
+            F.round(corr, 6).alias("corr"),
+        )
+        .where(F.col("corr") >= _TS_CORR_MIN)
+        .orderBy("user_id", "win_start")
+    )
