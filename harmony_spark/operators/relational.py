@@ -1229,3 +1229,44 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(stats("l_discount"))
         .orderBy("col")
     )
+
+
+@register(
+    "q138_variant_shred",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+                 AS k_sum,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6)
+                 AS k_avg
+        FROM events
+        GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Spark 4 VARIANT ingestion: props parses ONCE into the binary "
+    "VARIANT encoding (parse_json) and fields come out typed via "
+    "variant_get - the modern semi-structured path, replacing "
+    "per-query string re-parsing (q26/q64's get_json_object) with a "
+    "parse-at-ingest + shredded-access model. At 100 TB the VARIANT "
+    "column persists to parquet (round-trip pinned by an engine "
+    "test), so the JSON text is parsed exactly once in the table's "
+    "lifetime instead of once per query per row. Oracle: DuckDB "
+    "json_extract over the raw strings.",
+)
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    v = table_parallel(spark, sf, "events").select(
+        "event_type", F.parse_json("props").alias("pv")
+    )
+    k = F.variant_get("pv", "$.k", "int")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.round(F.avg("k"), 6).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )

@@ -522,3 +522,32 @@ def test_read_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
     raw = [r["raw_line"] for r in bad.collect()]
     assert len(raw) == 2
     assert "not json at all" in raw[0] or "not json at all" in raw[1]
+
+
+def test_variant_roundtrips_parquet(spark, sf_dir, tmp_path):
+    """The parse-at-ingest model only works if VARIANT survives storage:
+    write the parsed column to parquet, read back, typed access must
+    equal direct json extraction on the strings."""
+    from pyspark.sql import functions as F
+    from harmony_spark.io import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "props", F.parse_json("props").alias("pv")
+    )
+    path = str(tmp_path / "variant.parquet")
+    ev.select("event_id", "pv").write.parquet(path)
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["pv"] == "variant"
+    got = {
+        r["event_id"]: r["k"]
+        for r in back.select(
+            "event_id", F.variant_get("pv", "$.k", "int").alias("k")
+        ).collect()
+    }
+    want = {
+        r["event_id"]: r["k"]
+        for r in ev.select(
+            "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
