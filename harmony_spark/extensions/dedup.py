@@ -1196,3 +1196,92 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q139_triangle_census",
+    oracle=f"""
+        WITH sig AS ({_minhash_sig_sql()}),
+        bands AS (
+          SELECT doc_id, b, band FROM (
+            SELECT doc_id,
+                   UNNEST([0, 1, 2, 3]) AS b,
+                   UNNEST([md5(mh_0 || mh_1), md5(mh_2 || mh_3),
+                           md5(mh_4 || mh_5), md5(mh_6 || mh_7)]) AS band
+            FROM sig) x),
+        e AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id),
+        bi AS (SELECT da AS a, db AS b FROM e
+               UNION ALL SELECT db AS a, da AS b FROM e),
+        deg AS (SELECT a AS node, COUNT(*) AS d FROM bi GROUP BY a),
+        tri AS (
+          SELECT COUNT(*) AS n_triangles
+          FROM e e1 JOIN e e2 ON e2.da = e1.db
+                    JOIN e e3 ON e3.da = e1.da AND e3.db = e2.db)
+        SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+               CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+               CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+               CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+               ROUND(3.0 * tri.n_triangles
+                     / NULLIF((SELECT SUM(d * (d - 1) / 2) FROM deg), 0), 6)
+                 AS clustering_coeff
+        FROM tri
+    """,
+    doc="Triangle census + global clustering coefficient over the LSH "
+    "near-dup graph - the density diagnostic that tells a dedup "
+    "pipeline whether its clusters are cliques (true duplicate "
+    "groups, coeff near 1) or chains (drifting edits that transitive "
+    "closure over-merges). Spark side uses the degree-ordered "
+    "orientation (Schank-Wagner / MapReduce triangle counting): every "
+    "edge points from its (degree, id)-smaller endpoint to the "
+    "larger, so each triangle is generated exactly once from its "
+    "unique orientation and the wedge join's fan-out per node is "
+    "bounded by the oriented out-degree <= O(sqrt(m)) - the skew "
+    "bound that makes triangle counting survive power-law graphs at "
+    "100 TB, where id-ordered wedges would square the hub degrees. "
+    "The DuckDB oracle counts via plain id-ordered 3-way self-join - "
+    "orientation changes the plan, never the count.",
+)
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    e = _lsh_pairs(spark, sf).localCheckpoint(eager=False)
+    bi = e.unionByName(e.select(F.col("db").alias("da"), F.col("da").alias("db")))
+    deg = bi.groupBy("da").agg(F.count("*").alias("d")).withColumnRenamed("da", "node")
+
+    ed = (
+        e.join(deg.withColumnRenamed("node", "da").withColumnRenamed("d", "deg_a"), "da")
+        .join(deg.withColumnRenamed("node", "db").withColumnRenamed("d", "deg_b"), "db")
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("da") < F.col("db"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("u"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("v"),
+    ).localCheckpoint(eager=False)
+
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    wedges = o1.join(o2, F.col("o2.u") == F.col("o1.v")).select(
+        F.col("o1.u").alias("x"), F.col("o1.v").alias("y"), F.col("o2.v").alias("z")
+    )
+    tri = wedges.join(
+        o3, (F.col("o3.u") == F.col("x")) & (F.col("o3.v") == F.col("z"))
+    ).agg(F.count("*").alias("n_triangles"))
+
+    census = e.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+        )
+    ).crossJoin(tri)
+    return census.select(
+        "n_edges",
+        "n_nodes",
+        "n_wedges",
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.round(
+            3.0 * F.col("n_triangles") / F.when(F.col("n_wedges") > 0, F.col("n_wedges")),
+            6,
+        ).alias("clustering_coeff"),
+    )

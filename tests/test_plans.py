@@ -110,6 +110,7 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q116_embedding_covariance",  # cross join vs the 1-row vector count
     "q121_bm25_scores",  # cross join vs the 1-row corpus stats
     "q122_hybrid_rrf",  # same BM25 leg + 1-row query-vector broadcast
+    "q139_triangle_census",  # cross join of three single-row census aggregates
 }
 
 
