@@ -917,3 +917,68 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+_WS_K = 200  # weighted sample size
+
+
+@register(
+    "q140_weighted_sample",
+    oracle=f"""
+        WITH w AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+                 (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  + 1.0) / 4294967297.0 AS u
+          FROM documents
+        ),
+        keyed AS (
+          SELECT doc_id, source, n_tokens, ln(u) / n_tokens AS es_key
+          FROM w WHERE n_tokens > 0
+        ),
+        topk AS (
+          SELECT * FROM keyed ORDER BY es_key DESC, doc_id LIMIT {_WS_K}
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+               CAST(SUM(n_tokens) AS BIGINT) AS token_sum
+        FROM topk GROUP BY source ORDER BY source
+    """,
+    doc="Deterministic weighted sampling WITHOUT replacement "
+    "(Efraimidis-Spirakis A-ES): each document draws a seedless "
+    "uniform u from md5(doc_id) and competes on key = ln(u)/weight "
+    "(equivalent to u^(1/w)); the global top-200 keys ARE a weighted "
+    "sample without replacement - here weight = token count, the "
+    "draw a tokenizer/vocab-learning pipeline wants (sample mass "
+    "proportional to text mass, reproducible across engines and "
+    "runs). Scale shape: one projection + a TakeOrdered top-k "
+    "(per-partition heaps, no global sort, no shuffle of losers); "
+    "composing with q108's mix weights (w = mix_weight) turns the "
+    "same operator into the corpus-mix subsampler.",
+)
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    toks = F.size(F.split(F.lower(F.col("text")), r"\s+"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / 4294967297.0
+    keyed = (
+        table_parallel(spark, sf, "documents")
+        .select("doc_id", "source", toks.alias("n_tokens"), u.alias("u"))
+        .where(F.col("n_tokens") > 0)
+        .withColumn("es_key", F.log("u") / F.col("n_tokens"))
+    )
+    topk = keyed.orderBy(F.desc("es_key"), "doc_id").limit(_WS_K)
+    return (
+        topk.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("n_tokens").cast("long").alias("token_sum"),
+        )
+        .orderBy("source")
+    )
