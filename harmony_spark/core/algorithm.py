@@ -549,7 +549,14 @@ class HarmonySpark:
         o = self.objective_harmony
         return (o[-2] - o[-1]) / abs(o[-2]) < self.p.epsilon_harmony
 
-    def run(self, verbose: bool = False) -> DataFrame:
+    def run(self, verbose: bool = False, progress=None) -> DataFrame:
+        """``progress``, if given, is called after every harmony round as
+        ``progress(round_idx, objective) -> bool | None``; returning
+        ``False`` aborts the loop cooperatively (the model keeps the
+        rounds completed so far and still emits a corrected embedding) —
+        the C6 progress/abort surface (the reference's progress bar +
+        interrupt, R/ui.R:268-272, re-expressed as a callback since a
+        driver script has no TTY)."""
         if getattr(self, "cells0", None) is None:
             raise RuntimeError(
                 "this model has no training cells (loaded via load_model?) — "
@@ -594,6 +601,8 @@ class HarmonySpark:
             combos = self._moe_partials(cells)
             self._solve_moe(combos)
 
+            if progress is not None and progress(round_idx, self.objective_kmeans[-1]) is False:
+                break
             if self._harmony_converged():
                 break
             # truncate lineage between rounds. localCheckpoint already

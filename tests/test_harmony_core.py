@@ -642,3 +642,38 @@ def test_load_model_refuses_precision_downcast(spark, spark_fixture_df, tmp_path
     json.dump(meta, open(f"{path}/model.json", "w"))
     with pytest.raises(ValueError, match="scalar_double"):
         load_model(spark, path)
+
+
+def test_progress_callback_and_abort(spark, sf_dir):
+    """C6 progress/abort: the callback sees every round's objective, and
+    returning False stops the loop early while still producing a full
+    corrected embedding."""
+    from pyspark.sql import functions as F
+
+    from harmony_spark.core.algorithm import HarmonySpark
+    from harmony_spark.io import table
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("string").alias("label")
+    )
+
+    def build():
+        return HarmonySpark(
+            e, ["label"], features_col="embedding", id_col="vec_id",
+            nclust=3, max_iter=4, lamb=1.0, sigma=0.1, seed=7,
+        )
+
+    seen = []
+    m1 = build()
+    n_cells = m1.run(progress=lambda i, obj: seen.append((i, obj))).count()
+    m1.cleanup()
+    assert len(seen) >= 1
+    assert [i for i, _ in seen] == list(range(len(seen)))
+    assert all(obj > 0 for _, obj in seen)
+
+    aborted = []
+    m2 = build()
+    out = m2.run(progress=lambda i, obj: aborted.append(i) or i < 0)  # False after round 0
+    assert out.count() == n_cells  # abort still yields every cell corrected
+    m2.cleanup()
+    assert aborted == [0]  # loop stopped cooperatively after round 1
