@@ -425,3 +425,31 @@ def test_runtime_bloom_filter_on_nonbroadcast_join(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_thresh,
         )
+
+
+def test_q140_weighted_sample_is_topk_not_global_sort(spark, sf_dir):
+    """Efraimidis-Spirakis sampling must plan TakeOrderedAndProject —
+    per-partition heaps forwarding k rows each — never a global sort of
+    the corpus by sample key."""
+    plan = plan_of(load_all()["q140_weighted_sample"], spark, sf_dir, mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    # no full-width Sort feeding an Exchange rangepartitioning (global sort)
+    assert "rangepartitioning" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_q136_pattern_match_plans_no_join(spark, sf_dir):
+    """Subsequence matching is posexplode + one keyed aggregate: any
+    Join node means the plan regressed to a self-join formulation that
+    re-shuffles the series once per pattern offset."""
+    plan = plan_of(load_all()["q136_ts_pattern_match"], spark, sf_dir, mode="simple")
+    assert "Join" not in plan
+
+
+def test_q133_epochs_union_no_join_no_extra_exchange(spark, sf_dir):
+    """Schema-evolution read: two independent epoch scans union at plan
+    level; the only exchange is the final census aggregate's (plus AQE
+    reads) — conforming must not introduce joins or per-epoch shuffles."""
+    plan = plan_of(load_all()["q133_schema_evolution"], spark, sf_dir, mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Union") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
