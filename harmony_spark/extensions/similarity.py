@@ -1006,3 +1006,72 @@ def _set_q122_oracle() -> None:
 
 
 _set_q122_oracle()
+
+
+_HN_ANCHORS = 20  # bounded anchor window for the oracle check
+_HN_LO, _HN_HI = 0.25, 0.95  # the hard band: the top of this corpus's cross-label cosine distribution (p90 = 0.29, max = 0.49), below the near-dup cutoff
+_HN_K = 3
+
+
+@register(
+    "q141_hard_negatives",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe,
+                          sqrt(list_sum(list_transform(embedding,
+                               x -> CAST(x AS DOUBLE) * x))) AS qn
+                   FROM embeddings WHERE vec_id < {_HN_ANCHORS}),
+        c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS ce,
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * x))) AS cn
+              FROM embeddings),
+        s AS (SELECT q_id, c_id,
+                     ROUND(list_sum(list_transform(list_zip(qe, ce),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                           / (qn * cn), 6) AS cos
+              FROM q, c
+              WHERE q_id <> c_id AND q_label <> c_label),
+        f AS (SELECT q_id, c_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, c_id) AS rn
+              FROM s WHERE cos >= {_HN_LO} AND cos < {_HN_HI})
+        SELECT q_id, c_id, cos, CAST(rn AS BIGINT) AS rn
+        FROM f WHERE rn <= {_HN_K} ORDER BY q_id, rn
+    """,
+    doc="Hard-negative mining for contrastive embedding training: for "
+    "each anchor, the top-3 OTHER-class vectors inside the hard band "
+    "(cosine in [0.25, 0.95)) - similar enough to be informative "
+    "gradients, excluded above 0.95 where they are probably mislabeled "
+    "duplicates (the semantic-dedup threshold, q98), excluded same-"
+    "class because those are positives. This is the batch-mining step "
+    "of every contrastive/embedding-finetune pipeline. Scale shape: "
+    "anchors broadcast (the mining batch is small per round), "
+    "candidates stream by once with per-anchor rank windows keyed on "
+    "the anchor - at full 100 TB scale candidates come from the IVF "
+    "index (q78) shortlist instead of the brute-force scan, same "
+    "downstream contract.",
+)
+def q141(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < _HN_ANCHORS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("ce"),
+    )
+    cos = _dot("qe", "ce") / (_l2("qe") * _l2("ce"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("q_id") != F.col("c_id")) & (F.col("q_label") != F.col("c_label")),
+        )
+        .select("q_id", "c_id", F.round(cos, 6).alias("cos"))
+        .where((F.col("cos") >= _HN_LO) & (F.col("cos") < _HN_HI))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= _HN_K)
+        .orderBy("q_id", "rn")
+    )
