@@ -919,7 +919,7 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_WS_K = 200  # weighted sample size
+_WS_K = 200  # weighted sample size (q140)
 
 
 @register(

@@ -293,6 +293,7 @@ def probe_curationscale() -> dict:
         "q109_training_shards",
         "q110_unigram_surprisal",
         "q111_domain_kl_drift",
+        "q135_bpe_tokens",
     ):
         t0 = time.perf_counter()
         n = specs[name].fn(spark, tmp).count()
