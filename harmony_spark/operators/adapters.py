@@ -38,6 +38,8 @@ def _mirror(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> str:
             df.write.mode("overwrite").option("header", "true").csv(path)
         elif fmt == "json":
             df.write.mode("overwrite").json(path)
+        elif fmt == "orc":
+            df.write.mode("overwrite").orc(path)
         else:
             raise ValueError(fmt)
     return path
@@ -201,3 +203,18 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "q142_orc_adapter",
+    oracle=_ADAPTER_ORACLE,
+    doc="ORC source adapter, value-checked end-to-end: same contract as "
+    "q93/q94 over an ORC mirror of customer - covers the third "
+    "columnar format Spark reads natively (ORC is the Hive-ecosystem "
+    "sibling of parquet: striped, with min/max stats and predicate "
+    "pushdown). The hash match against the parquet-side oracle proves "
+    "the ORC write/read round trip preserves every value.",
+)
+def q142(spark: SparkSession, sf: str) -> DataFrame:
+    path = _mirror(spark, sf, "customer", "orc")
+    return _adapter_agg(read_any(spark, path, "orc"))

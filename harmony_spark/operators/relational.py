@@ -1270,3 +1270,48 @@ def q138(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q143_custom_udaf_mad",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(mad(value), 6) AS value_mad
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Custom UDAF surface (R17, driver-checkable): median absolute "
+    "deviation per group - a robust dispersion statistic Spark has no "
+    "built-in for - implemented as an Arrow GROUPED_AGG pandas_udf "
+    "(one vectorized numpy call per group, Arrow-batched transfer; "
+    "the UDAF slot in the aggregate plan, not a collect-and-loop). "
+    "Unlike algebraic aggregates a median-of-deviations cannot "
+    "partially aggregate, so the group's values DO flow to its "
+    "reducer - the honest cost of any exact rank statistic, same as "
+    "Spark's own percentile(); use approx sketches (q129 rationale) "
+    "when groups outgrow executors. Oracle: DuckDB's native mad().",
+)
+def q143(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from harmony_spark.io import table_parallel
+
+    # explicit GROUPED_AGG: the type-hint route cannot see pd/np here
+    # (module uses deferred annotations and imports them lazily)
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def mad(v):
+        x = v.to_numpy()
+        return float(np.median(np.abs(x - np.median(x))))
+
+    # Spark forbids mixing a GROUPED_AGG pandas UDF with JVM aggregates
+    # in one Aggregate node (INVALID_PANDAS_UDF_PLACEMENT), so the count
+    # is its own tiny agg joined back on the 5-row group key.
+    ev = table_parallel(spark, sf, "events")
+    m = ev.groupBy("event_type").agg(F.round(mad("value"), 6).alias("value_mad"))
+    n = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    return (
+        n.join(F.broadcast(m), "event_type")
+        .select("event_type", "n", "value_mad")
+        .orderBy("event_type")
+    )
