@@ -1315,3 +1315,69 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
         .select("event_type", "n", "value_mad")
         .orderBy("event_type")
     )
+
+
+@register(
+    "q144_welch_ttest",
+    oracle="""
+        WITH g AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 AVG(CASE WHEN event_type = 'purchase' THEN value END) AS m1,
+                 VAR_SAMP(CASE WHEN event_type = 'purchase' THEN value END) AS v1,
+                 COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n1,
+                 AVG(CASE WHEN event_type = 'view' THEN value END) AS m2,
+                 VAR_SAMP(CASE WHEN event_type = 'view' THEN value END) AS v2,
+                 COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n2
+          FROM events GROUP BY day
+        )
+        SELECT CAST(day AS VARCHAR) AS day,
+               CAST(n1 AS BIGINT) AS n_purchase,
+               CAST(n2 AS BIGINT) AS n_view,
+               ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+               ROUND(POW(v1 / n1 + v2 / n2, 2)
+                     / (POW(v1 / n1, 2) / (n1 - 1) + POW(v2 / n2, 2) / (n2 - 1)),
+                     6) AS dof
+        FROM g WHERE n1 >= 2 AND n2 >= 2 ORDER BY day
+    """,
+    doc="Distributed hypothesis testing: per-day Welch's t-statistic "
+    "(unequal-variance two-sample t) comparing purchase vs view value "
+    "distributions, with the Welch-Satterthwaite degrees of freedom - "
+    "the A/B-test primitive every experimentation platform runs at "
+    "warehouse scale. The whole test is ONE conditional hash "
+    "aggregate (six streaming moments per group, all map-side "
+    "combinable); no per-variant re-scan, no shuffle beyond the "
+    "day-keyed aggregate - the same plan shape at 100 TB.",
+)
+def q144(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    is_p = F.col("event_type") == "purchase"
+    is_v = F.col("event_type") == "view"
+    g = (
+        table_parallel(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.avg(F.when(is_p, F.col("value"))).alias("m1"),
+            F.var_samp(F.when(is_p, F.col("value"))).alias("v1"),
+            F.count(F.when(is_p, F.lit(1))).alias("n1"),
+            F.avg(F.when(is_v, F.col("value"))).alias("m2"),
+            F.var_samp(F.when(is_v, F.col("value"))).alias("v2"),
+            F.count(F.when(is_v, F.lit(1))).alias("n2"),
+        )
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    dof = (se2 ** 2) / (
+        (F.col("v1") / F.col("n1")) ** 2 / (F.col("n1") - 1)
+        + (F.col("v2") / F.col("n2")) ** 2 / (F.col("n2") - 1)
+    )
+    return (
+        g.where((F.col("n1") >= 2) & (F.col("n2") >= 2))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n1").cast("long").alias("n_purchase"),
+            F.col("n2").cast("long").alias("n_view"),
+            F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+            F.round(dof, 6).alias("dof"),
+        )
+        .orderBy("day")
+    )
