@@ -982,3 +982,63 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_QN_RATE = 0.8  # per-source quantile cutoff: keep the top 20%
+
+
+@register(
+    "q145_quantile_gate",
+    oracle=f"""
+        WITH s AS (
+          SELECT doc_id, source,
+                 CAST(n_chars AS DOUBLE)
+                   / len(string_split_regex(lower(text), '\\s+')) AS score
+          FROM documents
+        ),
+        th AS (SELECT source, quantile_cont(score, {_QN_RATE}) AS cutoff
+               FROM s GROUP BY source)
+        SELECT s.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN s.score >= th.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               ROUND(th.cutoff, 6) AS cutoff
+        FROM s JOIN th USING (source)
+        GROUP BY s.source, th.cutoff ORDER BY s.source
+    """,
+    doc="Per-domain quantile thresholding (rank-normalized quality "
+    "gate): every source keeps its own top 20% by quality score, so "
+    "domains with incomparable score scales survive at equal rates - "
+    "the fairness-across-domains filter a naive global threshold "
+    "breaks (it would empty the domain whose scores run low). Scale "
+    "shape: the cutoff is ONE exact-percentile aggregate to ~20 "
+    "source rows, broadcast back for the gating pass - no "
+    "percent_rank window over a low-cardinality partition key (which "
+    "would funnel each domain's full corpus through one task); at "
+    "extreme group sizes swap percentile for percentile_approx and "
+    "keep the identical two-pass plan.",
+)
+def q145(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    score = F.col("n_chars").cast("double") / F.size(
+        F.split(F.lower(F.col("text")), r"\s+")
+    )
+    s = table_parallel(spark, sf, "documents").select(
+        "doc_id", "source", score.alias("score")
+    )
+    th = s.groupBy("source").agg(
+        F.percentile("score", F.lit(_QN_RATE)).alias("cutoff")
+    )
+    return (
+        s.join(F.broadcast(th), "source")
+        .groupBy("source", "cutoff")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("score") >= F.col("cutoff")).cast("long")).alias("n_kept"),
+        )
+        .select(
+            "source", "n_docs", "n_kept", F.round("cutoff", 6).alias("cutoff")
+        )
+        .orderBy("source")
+    )
