@@ -1,0 +1,207 @@
+"""Manifest-lite snapshot catalog: transactional reads over plain parquet.
+
+ROADMAP's "Delta/Iceberg sink" candidate, re-scoped to what those
+formats fundamentally ARE minus the ecosystem: a TABLE is not a
+directory of files, it is a MANIFEST — an explicit list of data files
+plus stats — and a pointer naming the current manifest. Everything
+transactional follows from that one inversion:
+
+* **Atomic commits.** Writers stage data files, then publish a new
+  manifest and swap the `_latest` pointer with an atomic rename.
+  Readers never list the directory, so half-written files, stray
+  files, and concurrent writers' staging output are INVISIBLE until
+  their manifest publishes. (Rename is atomic on POSIX/HDFS; on an
+  object store back the pointer with a conditional-put — the same
+  single seam Delta's LogStore abstracts.)
+* **Time travel.** Old manifests are never mutated; `read_snapshot(v)`
+  reads the file list of version v. Retention = deleting manifests
+  older than the horizon, then garbage-collecting unreferenced files.
+* **Optimistic concurrency.** A commit records the version it was
+  based on; if `_latest` moved meanwhile, the commit raises instead of
+  silently clobbering the other writer (the reader-visible guarantee
+  Delta calls mutual exclusion). Losers re-read and retry.
+* **Stats pruning hook.** The manifest carries per-file row counts and
+  min/max for requested columns (read from parquet footers, no data
+  pages), so a planner can skip whole files before Spark ever lists
+  them — the manifest-level pruning that directory listings cannot do.
+
+Scale notes: manifests are O(#files), written by the driver once per
+commit; data files never move on commit (append publishes the union of
+the old list and the staged files). At 100 TB the listing-free read is
+itself the win — object-store LIST is the slowest, least-consistent
+operation in the stack.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """`_latest` moved since the commit's base version (another writer
+    published first). Re-read the table and retry the commit."""
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(table, "_manifests", f"v{version:06d}.json")
+
+
+def _latest_path(table: str) -> str:
+    return os.path.join(table, "_manifests", "_latest")
+
+
+def current_version(table: str) -> int | None:
+    try:
+        with open(_latest_path(table)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _load_manifest(table: str, version: int) -> dict:
+    with open(_manifest_path(table, version)) as f:
+        return json.load(f)
+
+
+def _file_stats(files: list[str], stat_cols: list[str]) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        entry: dict = {"path": f, "rows": meta.num_rows}
+        names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+        for c in stat_cols:
+            if c not in names:
+                continue
+            ci = names.index(c)
+            lo = hi = None
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ci).statistics
+                if st is None or st.min is None:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                entry[f"min_{c}"] = lo if not isinstance(lo, bytes) else None
+                entry[f"max_{c}"] = hi if not isinstance(hi, bytes) else None
+        out.append(entry)
+    return out
+
+
+def commit_snapshot(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    mode: str = "append",
+    stat_cols: list[str] | None = None,
+    base_version: int | None = None,
+) -> int:
+    """Stage df's parquet files, publish the next manifest, swap the
+    pointer atomically. Returns the new version number.
+
+    ``base_version`` (default: the version read at entry) implements
+    optimistic concurrency: raises :class:`CommitConflict` if another
+    writer published after it."""
+    import glob
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(mode)
+    os.makedirs(os.path.join(table, "_manifests"), exist_ok=True)
+    before = current_version(table)
+    if base_version is None:
+        base_version = before
+
+    staging = os.path.join(table, "data", uuid.uuid4().hex)
+    df.write.parquet(staging)
+    staged = sorted(glob.glob(os.path.join(staging, "*.parquet")))
+
+    prev_files: list[dict] = []
+    if mode == "append" and before is not None:
+        prev_files = _load_manifest(table, before)["files"]
+
+    version = (before if before is not None else -1) + 1
+    manifest = {
+        "version": version,
+        "base_version": base_version,
+        "mode": mode,
+        "committed_at": time.time(),
+        "schema": df.schema.jsonValue(),
+        "files": prev_files + _file_stats(staged, stat_cols or []),
+    }
+    tmp = _manifest_path(table, version) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+
+    # last-writer-wins window closes here: re-check the pointer, then
+    # publish manifest + pointer via atomic renames
+    if current_version(table) != base_version:
+        os.remove(tmp)
+        raise CommitConflict(
+            f"table moved to v{current_version(table)} (commit based on "
+            f"{base_version}); re-read and retry"
+        )
+    os.rename(tmp, _manifest_path(table, version))
+    ptr_tmp = _latest_path(table) + f".tmp-{uuid.uuid4().hex}"
+    with open(ptr_tmp, "w") as f:
+        f.write(str(version))
+    os.rename(ptr_tmp, _latest_path(table))
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Listing-free read of a table version (default: latest). Only
+    files the manifest names are visible — stray or half-written files
+    in the directory do not exist as far as readers are concerned."""
+    v = current_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot at {table}")
+    m = _load_manifest(table, v)
+    files = [e["path"] for e in m["files"]]
+    if not files:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(m["schema"]))
+    return spark.read.parquet(*files)
+
+
+def prune_files(table: str, column: str, lo, hi, version: int | None = None) -> list[str]:
+    """Manifest-level file pruning: the files of snapshot ``version``
+    whose [min, max] for ``column`` intersects [lo, hi] — decided from
+    the manifest alone, before Spark lists or opens anything. Files
+    without stats are kept (pruning must never drop data)."""
+    v = current_version(table) if version is None else version
+    m = _load_manifest(table, v)
+    keep = []
+    for e in m["files"]:
+        mn, mx = e.get(f"min_{column}"), e.get(f"max_{column}")
+        if mn is None or mx is None or (mx >= lo and mn <= hi):
+            keep.append(e["path"])
+    return keep
+
+
+def history(table: str) -> list[dict]:
+    """Commit log: (version, mode, file/row counts, committed_at)."""
+    import glob
+
+    out = []
+    for p in sorted(glob.glob(os.path.join(table, "_manifests", "v*.json"))):
+        m = json.load(open(p))
+        out.append(
+            {
+                "version": m["version"],
+                "mode": m["mode"],
+                "n_files": len(m["files"]),
+                "n_rows": sum(e["rows"] for e in m["files"]),
+                "committed_at": m["committed_at"],
+            }
+        )
+    return out

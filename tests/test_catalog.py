@@ -1,0 +1,85 @@
+"""Contract tests for the manifest-lite snapshot catalog
+(operators/catalog.py): atomic visibility, time travel, optimistic
+concurrency, stray-file isolation, and manifest-level stats pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from harmony_spark.io import table
+from harmony_spark.operators import catalog
+
+
+@pytest.fixture()
+def orders(spark, sf_dir):
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def test_append_overwrite_and_time_travel(spark, orders, tmp_path):
+    t = str(tmp_path / "tbl")
+    v0 = catalog.commit_snapshot(spark, t, orders.where(F.col("o_orderkey") % 2 == 0))
+    v1 = catalog.commit_snapshot(spark, t, orders.where(F.col("o_orderkey") % 2 == 1))
+    assert (v0, v1) == (0, 1)
+    n_all = orders.count()
+    assert catalog.read_snapshot(spark, t).count() == n_all  # append = union
+    assert catalog.read_snapshot(spark, t, version=0).count() == orders.where(
+        F.col("o_orderkey") % 2 == 0
+    ).count()  # time travel sees only v0's files
+
+    v2 = catalog.commit_snapshot(spark, t, orders.limit(10), mode="overwrite")
+    assert catalog.read_snapshot(spark, t).count() == 10
+    assert catalog.read_snapshot(spark, t, version=v1).count() == n_all  # history intact
+    hist = catalog.history(t)
+    assert [h["version"] for h in hist] == [0, 1, v2]
+    assert hist[-1]["n_rows"] == 10
+
+
+def test_stray_files_invisible(spark, orders, tmp_path):
+    """A file dropped into the data directory outside a commit (a
+    crashed writer, a concurrent stage) must not appear in reads."""
+    t = str(tmp_path / "tbl")
+    catalog.commit_snapshot(spark, t, orders.limit(50))
+    n = catalog.read_snapshot(spark, t).count()
+    stray_dir = os.path.join(t, "data", "stray")
+    orders.limit(7).write.parquet(stray_dir)
+    assert catalog.read_snapshot(spark, t).count() == n  # unchanged
+
+
+def test_commit_conflict_raises(spark, orders, tmp_path):
+    """Optimistic concurrency: a commit based on a stale version must
+    raise instead of clobbering the interleaved writer's snapshot."""
+    t = str(tmp_path / "tbl")
+    base = catalog.commit_snapshot(spark, t, orders.limit(5))
+    catalog.commit_snapshot(spark, t, orders.limit(5))  # another writer
+    with pytest.raises(catalog.CommitConflict):
+        catalog.commit_snapshot(spark, t, orders.limit(5), base_version=base)
+    # winner's state intact; the failed commit consumed no version
+    # number, and a retry against the new head succeeds
+    v = catalog.commit_snapshot(spark, t, orders.limit(5))
+    assert v == 2 and catalog.history(t)[-1]["version"] == 2
+
+
+def test_manifest_stats_pruning(spark, orders, tmp_path):
+    """Per-file min/max in the manifest must prune files before any
+    listing; pruned reads stay correct vs the full-scan answer."""
+    t = str(tmp_path / "tbl")
+    clustered = orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    )
+    catalog.commit_snapshot(spark, t, clustered, stat_cols=["o_orderkey"])
+    all_files = [e["path"] for e in catalog._load_manifest(t, 0)["files"]]
+    lo, hi = 100, 500
+    kept = catalog.prune_files(t, "o_orderkey", lo, hi)
+    assert 0 < len(kept) < len(all_files)  # real pruning happened
+    want = orders.where(F.col("o_orderkey").between(lo, hi)).count()
+    got = (
+        spark.read.parquet(*kept)
+        .where(F.col("o_orderkey").between(lo, hi))
+        .count()
+    )
+    assert got == want
