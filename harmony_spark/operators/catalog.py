@@ -102,6 +102,7 @@ def commit_snapshot(
     mode: str = "append",
     stat_cols: list[str] | None = None,
     base_version: int | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Stage df's parquet files, publish the next manifest, swap the
     pointer atomically. Returns the new version number.
@@ -135,6 +136,8 @@ def commit_snapshot(
         "schema": df.schema.jsonValue(),
         "files": prev_files + _file_stats(staged, stat_cols or []),
     }
+    if meta:
+        manifest["meta"] = meta
     tmp = _manifest_path(table, version) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -195,13 +198,47 @@ def history(table: str) -> list[dict]:
     out = []
     for p in sorted(glob.glob(os.path.join(table, "_manifests", "v*.json"))):
         m = json.load(open(p))
-        out.append(
-            {
-                "version": m["version"],
-                "mode": m["mode"],
-                "n_files": len(m["files"]),
-                "n_rows": sum(e["rows"] for e in m["files"]),
-                "committed_at": m["committed_at"],
-            }
-        )
+        h = {
+            "version": m["version"],
+            "mode": m["mode"],
+            "n_files": len(m["files"]),
+            "n_rows": sum(e["rows"] for e in m["files"]),
+            "committed_at": m["committed_at"],
+        }
+        if "meta" in m:
+            h["meta"] = m["meta"]
+        out.append(h)
     return out
+
+
+def commit_stream_batch(spark, table: str, batch_df, batch_id: int) -> int | None:
+    """Idempotent per-micro-batch commit: the manifest records the
+    stream batch id, and a REPLAYED batch (restart after a crash
+    between sink write and checkpoint advance - the window where plain
+    file sinks duplicate) is recognized and skipped. Commit + skip
+    check together give the exactly-once contract a transactional
+    sink owes the stream. Returns the new version, or None if the
+    batch had already committed."""
+    if any(
+        h.get("meta", {}).get("batch_id") == batch_id for h in history(table)
+    ):
+        return None
+    return commit_snapshot(
+        spark, table, batch_df, meta={"batch_id": batch_id}
+    )
+
+
+def catalog_sink(df, table: str, checkpoint: str, query_name: str = "catalog_sink"):
+    """Structured Streaming -> snapshot-catalog sink via foreachBatch:
+    each micro-batch publishes one atomic manifest version, so readers
+    see batch boundaries, never partial files; replays dedupe on the
+    recorded batch id. Start with .start() / .trigger(...) as usual."""
+
+    def write_batch(batch_df, batch_id):
+        commit_stream_batch(batch_df.sparkSession, table, batch_df, batch_id)
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+    )
