@@ -242,3 +242,55 @@ def catalog_sink(df, table: str, checkpoint: str, query_name: str = "catalog_sin
         .queryName(query_name)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def diff_files(table: str, v_from: int, v_to: int | None = None) -> list[str]:
+    """Data files ADDED between two versions — the incremental-processing
+    contract: a downstream job (dedup admission, index upsert, metric
+    refresh) reads only these files instead of re-scanning the table,
+    with the version pair recording exactly what it has seen. Overwrite
+    commits show up as their full new file set (the old files left the
+    manifest)."""
+    v_to = current_version(table) if v_to is None else v_to
+    old = {e["path"] for e in _load_manifest(table, v_from)["files"]}
+    new = [e["path"] for e in _load_manifest(table, v_to)["files"]]
+    return [p for p in new if p not in old]
+
+
+def read_increment(spark: SparkSession, table: str, v_from: int, v_to: int | None = None) -> DataFrame:
+    """DataFrame over just the files added in (v_from, v_to] — the
+    catalog-driven delta that feeds incremental pipelines (q132's
+    admission, IVF index upserts) without a full re-scan."""
+    files = diff_files(table, v_from, v_to)
+    if not files:
+        m = _load_manifest(table, current_version(table) if v_to is None else v_to)
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(m["schema"]))
+    return spark.read.parquet(*files)
+
+
+def vacuum(table: str, keep_last: int = 2) -> tuple[int, int]:
+    """Retention GC: drop all but the newest ``keep_last`` manifests and
+    delete data files no surviving manifest references. Returns
+    (manifests_removed, files_removed).
+
+    Order matters for crash safety: manifests are removed FIRST, so a
+    crash mid-vacuum can orphan files (re-vacuum collects them) but can
+    never leave a live manifest pointing at deleted data - the same
+    invariant a lakehouse VACUUM maintains with its retention window."""
+    import glob
+
+    manifests = sorted(glob.glob(os.path.join(table, "_manifests", "v*.json")))
+    doomed, kept = manifests[:-keep_last] if keep_last else manifests, manifests[-keep_last:]
+    live: set[str] = set()
+    for p in kept:
+        live.update(e["path"] for e in json.load(open(p))["files"])
+    for p in doomed:
+        os.remove(p)
+    removed = 0
+    for f in glob.glob(os.path.join(table, "data", "*", "*.parquet")):
+        if f not in live:
+            os.remove(f)
+            removed += 1
+    return len(doomed), removed
