@@ -346,3 +346,71 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("corr") >= _TS_CORR_MIN)
         .orderBy("user_id", "win_start")
     )
+
+
+_ANOM_Z = 3.5  # Iglewicz-Hoaglin modified z-score cutoff
+
+
+@register(
+    "q146_robust_anomaly",
+    oracle=f"""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, SUM(value) AS v
+          FROM events GROUP BY user_id, day
+        ),
+        med AS (SELECT user_id, quantile_cont(v, 0.5) AS m
+                FROM daily GROUP BY user_id),
+        dev AS (SELECT d.user_id, d.day, d.v, m.m, ABS(d.v - m.m) AS ad
+                FROM daily d JOIN med m USING (user_id)),
+        madt AS (SELECT user_id, quantile_cont(ad, 0.5) AS mad
+                 FROM dev GROUP BY user_id),
+        scored AS (
+          SELECT dev.user_id, dev.day, dev.v,
+                 ROUND(0.6745 * (dev.v - dev.m) / madt.mad, 4) AS mod_z
+          FROM dev JOIN madt USING (user_id) WHERE madt.mad > 0
+        )
+        SELECT user_id, CAST(day AS VARCHAR) AS day,
+               ROUND(v, 6) AS daily_value, mod_z
+        FROM scored WHERE ABS(mod_z) > {_ANOM_Z}
+        ORDER BY user_id, day
+    """,
+    doc="Robust per-entity anomaly detection: each user's daily activity "
+    "total is scored by the MAD-based modified z-score "
+    "(0.6745*(x - median)/MAD, Iglewicz-Hoaglin) and days beyond |3.5| "
+    "flag - the outlier detector that, unlike mean/stddev z-scores, "
+    "does not let the anomalies inflate their own threshold (median "
+    "and MAD have a 50% breakdown point). Plan shape: two exact-"
+    "percentile aggregates and one join, ALL keyed on user_id, so the "
+    "data shuffles once onto its entity key and stays there - per-"
+    "entity medians are small-group exact statistics, the place exact "
+    "percentile is right (corpus-wide percentiles want the q68 sketch "
+    "path instead).",
+)
+def q146(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    daily = (
+        table_parallel(spark, sf, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("v"))
+    )
+    med = daily.groupBy("user_id").agg(F.percentile("v", F.lit(0.5)).alias("m"))
+    dev = daily.join(med, "user_id").withColumn("ad", F.abs(F.col("v") - F.col("m")))
+    madt = dev.groupBy("user_id").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
+    scored = (
+        dev.join(madt, "user_id")
+        .where(F.col("mad") > 0)
+        .withColumn(
+            "mod_z", F.round(0.6745 * (F.col("v") - F.col("m")) / F.col("mad"), 4)
+        )
+    )
+    return (
+        scored.where(F.abs(F.col("mod_z")) > _ANOM_Z)
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("v", 6).alias("daily_value"),
+            "mod_z",
+        )
+        .orderBy("user_id", "day")
+    )
