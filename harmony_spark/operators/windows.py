@@ -414,3 +414,72 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+_XCORR_MAX_LAG = 3
+
+
+@register(
+    "q147_leadlag_xcorr",
+    oracle=f"""
+        WITH d AS (
+          SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS idx,
+                 COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+                 COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
+          FROM events GROUP BY idx
+        ),
+        lags AS (SELECT UNNEST(range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG + 1})) AS lag),
+        pairs AS (
+          SELECT l.lag, a.views, b.purchases
+          FROM d a CROSS JOIN lags l JOIN d b ON b.idx = a.idx + l.lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(corr(views, purchases), 6) AS xcorr
+        FROM pairs GROUP BY lag ORDER BY lag
+    """,
+    doc="Lead-lag cross-correlation between two event series: Pearson "
+    "correlation of daily view counts against purchase counts shifted "
+    "by each lag in [-3, +3] - the does-browsing-predict-buying "
+    "diagnostic (the lag maximizing correlation estimates the "
+    "conversion delay). Plan shape: the heavy work is ONE conditional "
+    "day-keyed aggregate collapsing the corpus to one row per day; "
+    "the lag fan-out and self-join run on that day-sized series, so "
+    "cost is scan + tiny-table algebra at any corpus size - the "
+    "aggregate-first discipline every telemetry correlation job "
+    "needs.",
+)
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    d = (
+        table_parallel(spark, sf, "events")
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("idx")
+        )
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "purchases"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = d.select(
+        "idx",
+        "views",
+        F.explode(
+            F.sequence(F.lit(-_XCORR_MAX_LAG), F.lit(_XCORR_MAX_LAG))
+        ).alias("lag"),
+    )
+    b = d.select(F.col("idx").alias("bidx"), "purchases")
+    pairs = a.join(b, F.col("bidx") == F.col("idx") + F.col("lag"))
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.round(F.corr("views", "purchases"), 6).alias("xcorr"),
+        )
+        .select(F.col("lag").cast("long").alias("lag"), "n_days", "xcorr")
+        .orderBy("lag")
+    )
