@@ -638,3 +638,115 @@ def q78(spark: SparkSession, sf: str) -> DataFrame:
         "scores",
     )
     return ivf_search(spark, idx, queries)
+
+
+_AUC_POS_LABEL = 0  # embeddings.label value treated as the positive class
+_AUC_SHARDS = 64
+
+
+@register(
+    "q148_distributed_auc",
+    oracle=f"""
+        WITH scored AS (
+          SELECT vec_id,
+                 CAST(label = {_AUC_POS_LABEL} AS INT) AS pos,
+                 list_sum(list_transform(list_zip(embedding,
+                          range(1, len(embedding) + 1)),
+                          p -> CAST(p[1] AS DOUBLE)
+                               * (CASE WHEN p[2] % 2 = 1 THEN 1 ELSE -1 END)))
+                   AS score
+          FROM embeddings
+        ),
+        ranked AS (
+          SELECT pos, RANK() OVER (ORDER BY score, vec_id) AS r FROM scored
+        ),
+        agg AS (
+          SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+                 CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+                 SUM(CASE WHEN pos = 1 THEN r END) AS pos_rank_sum
+          FROM ranked
+        )
+        SELECT n_pos, n_neg,
+               ROUND((pos_rank_sum - n_pos * (n_pos + 1) / 2.0)
+                     / (n_pos * n_neg), 6) AS auc
+        FROM agg
+    """,
+    doc="Exact distributed AUC (Mann-Whitney rank-sum formulation) for "
+    "a linear scorer over the embeddings: AUC = (sum of positive "
+    "ranks - n_pos(n_pos+1)/2) / (n_pos*n_neg). The interesting part "
+    "is the GLOBAL rank at scale: a bare RANK() OVER (ORDER BY score) "
+    "funnels the corpus through one window task, so this uses the "
+    "two-phase distributed scan (q107's pattern): approx-quantile "
+    "boundaries shard the score axis, per-shard counts collect "
+    "(<= 64 rows), exclusive offsets broadcast back, and each shard "
+    "ranks locally + offset. The rank function is exact for ANY "
+    "boundary choice (only the sort order matters; (score, vec_id) "
+    "ties broken deterministically), so the sketch inaccuracy affects "
+    "balance, never correctness - and because the shard is a monotone "
+    "function of score alone, equal scores always share a shard, so "
+    "(shard, score, vec_id) order equals global (score, vec_id) "
+    "order.",
+)
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    e = table_parallel(spark, sf, "embeddings")
+    # deterministic linear scorer: +1/-1 alternating weights
+    score = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda x, i: x.cast("double")
+            * F.when(i % 2 == 1, 1.0).otherwise(-1.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.select(
+        "vec_id",
+        (F.col("label") == _AUC_POS_LABEL).cast("int").alias("pos"),
+        score.alias("score"),
+    ).localCheckpoint(eager=False)
+
+    # phase 1: shard boundaries (accuracy-irrelevant) + per-shard counts
+    qs = [i / _AUC_SHARDS for i in range(1, _AUC_SHARDS)]
+    bounds = sorted(set(scored.agg(
+        F.percentile_approx("score", qs, 10_000).alias("b")
+    ).first()["b"]))
+    barr = F.array(*[F.lit(b) for b in bounds])
+    shard = F.aggregate(
+        barr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("score") > b, 1).otherwise(0),
+    )
+    sh = scored.withColumn("shard", shard)
+    counts = sorted(
+        (r["shard"], r["n"])
+        for r in sh.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for s, n in counts:
+        offsets.append((s, acc))
+        acc += n
+    off = spark.createDataFrame(offsets, "shard int, off long")
+
+    # phase 2: local rank inside each shard + broadcast offset
+    w = Window.partitionBy("shard").orderBy("score", "vec_id")
+    ranked = (
+        sh.join(F.broadcast(off), "shard")
+        .withColumn("r", F.rank().over(w) + F.col("off"))
+    )
+    agg = ranked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("pos")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("pos") == 1, F.col("r"))).alias("pos_rank_sum"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("pos_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )

@@ -454,3 +454,13 @@ def test_q133_epochs_union_no_join_no_extra_exchange(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Union") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q148_rank_is_sharded_not_global(spark, sf_dir):
+    """Distributed AUC's global rank must be the two-phase form: a
+    Window PARTITIONED by shard (an empty partition spec would funnel
+    every score through one task) with the offset table broadcast."""
+    plan = plan_of(load_all()["q148_distributed_auc"], spark, sf_dir, mode="simple")
+    assert "windowspecdefinition(shard#" in plan
+    assert "windowspecdefinition(score#" not in plan
+    assert "BroadcastHashJoin" in plan
