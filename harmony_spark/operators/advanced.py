@@ -750,3 +750,86 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register(
+    "q149_calibration_ece",
+    oracle=f"""
+        WITH scored AS (
+          SELECT CAST(label = {_AUC_POS_LABEL} AS INT) AS pos,
+                 1.0 / (1.0 + exp(-(list_sum(list_transform(list_zip(embedding,
+                        range(1, len(embedding) + 1)),
+                        p -> CAST(p[1] AS DOUBLE)
+                             * (CASE WHEN p[2] % 2 = 1 THEN 1 ELSE -1 END)))
+                        ) * 2.0)) AS prob
+          FROM embeddings
+        ),
+        binned AS (
+          SELECT LEAST(9, CAST(FLOOR(prob * 10) AS INT)) AS bin, pos, prob
+          FROM scored
+        ),
+        b AS (
+          SELECT bin,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 AVG(prob) AS conf,
+                 AVG(pos) AS acc
+          FROM binned GROUP BY bin
+        )
+        SELECT bin, n,
+               ROUND(conf, 6) AS conf,
+               ROUND(acc, 6) AS acc,
+               ROUND(ABS(acc - conf), 6) AS gap,
+               ROUND(SUM(ABS(acc - conf) * n) OVER ()
+                     / SUM(n) OVER (), 6) AS ece
+        FROM b ORDER BY bin
+    """,
+    doc="Calibration report + expected calibration error for the q148 "
+    "linear scorer (sigmoid-mapped to probabilities): ten confidence "
+    "bins, each with its mean predicted probability vs observed "
+    "positive rate, and the N-weighted mean absolute gap (ECE) - the "
+    "model-quality diagnostic a training pipeline runs beside AUC "
+    "(ranking can be perfect while probabilities are badly "
+    "calibrated). One hash aggregate to 10 bins; the ECE windows run "
+    "over those 10 rows. Same plan at any corpus size.",
+)
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    e = table_parallel(spark, sf, "embeddings")
+    score = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda x, i: x.cast("double")
+            * F.when(i % 2 == 1, 1.0).otherwise(-1.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    prob = 1.0 / (1.0 + F.exp(-score * 2.0))
+    binned = e.select(
+        (F.col("label") == _AUC_POS_LABEL).cast("int").alias("pos"),
+        prob.alias("prob"),
+    ).withColumn("bin", F.least(F.lit(9), F.floor(F.col("prob") * 10).cast("int")))
+    b = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("prob").alias("conf_raw"),
+        F.avg("pos").alias("acc_raw"),
+    )
+    w = Window.partitionBy()
+    return (
+        b.withColumn(
+            "ece_raw",
+            F.sum(F.abs(F.col("acc_raw") - F.col("conf_raw")) * F.col("n")).over(w)
+            / F.sum("n").over(w),
+        )
+        .select(
+            "bin",
+            "n",
+            F.round("conf_raw", 6).alias("conf"),
+            F.round("acc_raw", 6).alias("acc"),
+            F.round(F.abs(F.col("acc_raw") - F.col("conf_raw")), 6).alias("gap"),
+            F.round("ece_raw", 6).alias("ece"),
+        )
+        .orderBy("bin")
+    )
