@@ -1042,3 +1042,98 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q150_corpus_health",
+    oracle=rf"""
+        WITH sig AS (
+          SELECT doc_id, source, lang, md5(text) AS digest,
+                 len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+                 len(list_distinct(string_split_regex(lower(text), '\s+'))) AS n_distinct,
+                 n_chars
+          FROM documents
+        ),
+        wide AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_unique,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 AVG(CAST(n_distinct AS DOUBLE) / n_tokens) AS mean_distinct_ratio,
+                 AVG(CAST(n_chars AS DOUBLE) / n_tokens) AS mean_tok_len,
+                 CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+          FROM sig
+        ),
+        lp AS (SELECT lang, COUNT(*) AS n FROM sig GROUP BY lang),
+        ent AS (
+          SELECT SUM(- (CAST(n AS DOUBLE) / t.total)
+                     * ln(CAST(n AS DOUBLE) / t.total) / ln(2)) AS lang_entropy
+          FROM lp, (SELECT SUM(n) AS total FROM lp) t
+        )
+        SELECT metric, ROUND(value, 6) AS value FROM (
+          SELECT '1_n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM wide
+          UNION ALL SELECT '2_exact_dup_rate',
+                           1.0 - CAST(n_unique AS DOUBLE) / n_docs FROM wide
+          UNION ALL SELECT '3_total_tokens', CAST(total_tokens AS DOUBLE) FROM wide
+          UNION ALL SELECT '4_mean_distinct_ratio', mean_distinct_ratio FROM wide
+          UNION ALL SELECT '5_mean_token_len', mean_tok_len FROM wide
+          UNION ALL SELECT '6_n_sources', CAST(n_sources AS DOUBLE) FROM wide
+          UNION ALL SELECT '7_lang_entropy_bits', lang_entropy FROM ent
+        ) ORDER BY metric
+    """,
+    doc="The nightly corpus-health dashboard in one pass: size, exact-"
+    "duplicate rate, token inventory, repetition (mean distinct-token "
+    "ratio), mean token length, source count, and language-diversity "
+    "entropy in bits - the numbers a corpus owner tracks release over "
+    "release to catch ingest regressions (a crawler loop shows up as "
+    "dup-rate and entropy shifts long before eval scores move). "
+    "Everything except the language census comes from ONE wide "
+    "aggregate over one scan; the entropy windows run over the "
+    "~handful of language rows. Emitted as (metric, value) rows - the "
+    "shape a metrics store ingests and a catalog snapshot (operators/"
+    "catalog.py) versions per release.",
+)
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    sig = table_parallel(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        "n_chars",
+    ).localCheckpoint(eager=False)
+    wide = sig.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("digest").alias("n_unique"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.avg(F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+            "mean_distinct_ratio"
+        ),
+        F.avg(F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
+            "mean_tok_len"
+        ),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    lp = sig.groupBy("lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    p = F.col("n").cast("double") / F.sum("n").over(w)
+    ent = lp.select((-p * F.log2(p)).alias("term")).agg(
+        F.sum("term").alias("lang_entropy")
+    )
+    rows = wide.crossJoin(ent).selectExpr(
+        "stack(7, "
+        "'1_n_docs', CAST(n_docs AS DOUBLE), "
+        "'2_exact_dup_rate', 1.0 - CAST(n_unique AS DOUBLE) / n_docs, "
+        "'3_total_tokens', CAST(total_tokens AS DOUBLE), "
+        "'4_mean_distinct_ratio', mean_distinct_ratio, "
+        "'5_mean_token_len', mean_tok_len, "
+        "'6_n_sources', CAST(n_sources AS DOUBLE), "
+        "'7_lang_entropy_bits', lang_entropy"
+        ") AS (metric, value)"
+    )
+    return rows.select("metric", F.round("value", 6).alias("value")).orderBy(
+        "metric"
+    )

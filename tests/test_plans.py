@@ -112,6 +112,7 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q122_hybrid_rrf",  # same BM25 leg + 1-row query-vector broadcast
     "q139_triangle_census",  # cross join of three single-row census aggregates
     "q141_hard_negatives",  # inequality join vs 20 broadcast anchor vectors
+    "q150_corpus_health",  # cross join of two single-row aggregates
 }
 
 
