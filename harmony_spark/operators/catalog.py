@@ -142,15 +142,26 @@ def commit_snapshot(
     with open(tmp, "w") as f:
         json.dump(manifest, f)
 
-    # last-writer-wins window closes here: re-check the pointer, then
-    # publish manifest + pointer via atomic renames
+    # fast-path staleness check (cheap, catches most conflicts early)
     if current_version(table) != base_version:
         os.remove(tmp)
         raise CommitConflict(
             f"table moved to v{current_version(table)} (commit based on "
             f"{base_version}); re-read and retry"
         )
-    os.rename(tmp, _manifest_path(table, version))
+    # the REAL mutual exclusion: publish the version manifest with an
+    # EXCLUSIVE hard-link — rename would silently overwrite a racing
+    # winner's manifest for the same version; link raises instead.
+    # This is the POSIX form of the conditional-put an object store
+    # needs (Delta's LogStore contract: "create if not exists").
+    try:
+        os.link(tmp, _manifest_path(table, version))
+    except FileExistsError:
+        os.remove(tmp)
+        raise CommitConflict(
+            f"another writer published v{version} first; re-read and retry"
+        ) from None
+    os.remove(tmp)
     ptr_tmp = _latest_path(table) + f".tmp-{uuid.uuid4().hex}"
     with open(ptr_tmp, "w") as f:
         f.write(str(version))

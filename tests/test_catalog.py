@@ -195,3 +195,37 @@ def test_merge_upsert_into_catalog_with_history(spark, orders, tmp_path):
     # pre-merge state intact under time travel
     assert catalog.read_snapshot(spark, t, version=0).count() == 100
     assert v == 1
+
+
+def test_concurrent_committers_all_land_exactly_once(spark, orders, tmp_path):
+    """Contention stress: N threads race commits with conflict-retry;
+    every commit must land exactly once (no lost updates, no version
+    gaps) and the final table must hold all N slices."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    slices = [orders.where(F.col("o_orderkey") % 6 == k) for k in range(6)]
+    catalog.commit_snapshot(spark, t, slices[0])
+    errors: list[Exception] = []
+
+    def worker(df):
+        for _ in range(30):  # retry loop under CommitConflict
+            try:
+                catalog.commit_snapshot(spark, t, df)
+                return
+            except catalog.CommitConflict:
+                continue
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+                return
+        errors.append(RuntimeError("retries exhausted"))
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in slices[1:]]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    hist = catalog.history(t)
+    assert [h["version"] for h in hist] == list(range(6))  # no gaps, no dupes
+    assert catalog.read_snapshot(spark, t).count() == orders.count()
