@@ -117,6 +117,10 @@ def run_checks() -> int:
         "q116_embedding_covariance",  # mapInPandas Gram partials
         "q117_leakage_free_split",  # CC + md5 split composition
         "q122_hybrid_rrf",  # BM25 + dense fusion, two TakeOrdered legs
+        "q130_full_curation",  # five-stage composed curation pipeline
+        "q135_bpe_tokens",  # driver-learned merges shipped to executors
+        "q137_als_completion",  # iterative ALS, batched numpy solves
+        "q148_distributed_auc",  # two-phase sharded global rank
         "harmony_correct",  # full harmony: broadcasts + Arrow passes
         "harmony_stream_drift",  # stateful streaming on real executors
     ]
