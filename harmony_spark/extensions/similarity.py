@@ -1075,3 +1075,127 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rn") <= _HN_K)
         .orderBy("q_id", "rn")
     )
+
+
+_NDCG_QUERIES = (0, 1, 2)
+_NDCG_K = 10
+
+
+@register(
+    "q151_ndcg_quantized",
+    oracle=f"""
+        WITH dims AS (
+            SELECT i, MIN(x) AS lo, MAX(x) AS hi
+            FROM (SELECT unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings)
+            GROUP BY i
+        ), stats AS (
+            SELECT list(CAST(lo AS DOUBLE) ORDER BY i) AS mins,
+                   list(CASE WHEN hi = lo THEN 1.0
+                             ELSE CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE) END
+                        ORDER BY i) AS spans
+            FROM dims
+        ), qe AS (
+            SELECT e.vec_id,
+                   list_transform(e.embedding,
+                       (x, i) -> CAST(round((CAST(x AS DOUBLE) - s.mins[i]) * 254 / s.spans[i]) - 127 AS BIGINT)
+                   ) AS qemb
+            FROM embeddings e, stats s
+        ), qrank AS (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, vec_id) AS rn_q
+            FROM (
+              SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                     CAST(list_dot_product(q.qemb, c.qemb) AS BIGINT) AS qdot
+              FROM qe q JOIN qe c ON c.vec_id <> q.vec_id
+              WHERE q.vec_id IN {_NDCG_QUERIES})
+        ), erank AS (
+            SELECT q_id, c_id AS vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY ROUND(cos, 6) DESC, c_id) AS rn_e
+            FROM (
+              SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                     list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x)))
+                        * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x)))) AS cos
+              FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              WHERE q.vec_id IN {_NDCG_QUERIES})
+        ), rel AS (
+            SELECT q_id, vec_id, rn_e,
+                   CASE WHEN rn_e <= 3 THEN 3.0 WHEN rn_e <= {_NDCG_K} THEN 1.0
+                        ELSE 0.0 END AS rel
+            FROM erank
+        ), dcg AS (
+            SELECT qr.q_id,
+                   SUM(COALESCE(r.rel, 0) / (ln(qr.rn_q + 1) / ln(2))) AS dcg
+            FROM qrank qr LEFT JOIN rel r
+              ON r.q_id = qr.q_id AND r.vec_id = qr.vec_id
+            WHERE qr.rn_q <= {_NDCG_K} GROUP BY qr.q_id
+        ), idcg AS (
+            SELECT q_id, SUM(rel / (ln(rn_e + 1) / ln(2))) AS idcg
+            FROM rel WHERE rn_e <= {_NDCG_K} GROUP BY q_id
+        )
+        SELECT d.q_id, ROUND(d.dcg, 6) AS dcg, ROUND(i.idcg, 6) AS idcg,
+               ROUND(d.dcg / i.idcg, 6) AS ndcg
+        FROM dcg d JOIN idcg i USING (q_id) ORDER BY d.q_id
+    """,
+    doc="Retrieval-quality measurement: nDCG@10 of the int8-quantized "
+    "ranking (q91's shortlist stage) against graded relevance derived "
+    "from the exact float cosine ranking (top-3 -> rel 3, top-10 -> "
+    "rel 1) - the IR metric that quantifies what 4x storage "
+    "compression costs in RANKING quality, where plain recall@k only "
+    "counts set overlap and misses position damage. Completes the "
+    "eval-metrics family (q148 AUC ranking / q149 calibration / nDCG "
+    "retrieval). Plan shape: both rankings are broadcast-query "
+    "passes over one corpus scan each; the DCG join is per-query "
+    "top-10 rows only.",
+)
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    qdf, _, _ = quantize_embeddings(e)
+    qrank = quantized_topk(qdf, list(_NDCG_QUERIES), k=_NDCG_K).select(
+        "q_id", "vec_id", F.col("rn").alias("rn_q")
+    )
+    q = e.where(F.col("vec_id").isin(*_NDCG_QUERIES)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    cos = _dot("qe", "ce") / (_l2("qe") * _l2("ce"))
+    we = Window.partitionBy("q_id").orderBy(F.round(cos, 6).desc(), F.col("c_id"))
+    erank = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn("rn_e", F.row_number().over(we))
+        .select("q_id", F.col("c_id").alias("vec_id"), "rn_e")
+    )
+    rel = erank.withColumn(
+        "rel",
+        F.when(F.col("rn_e") <= 3, 3.0)
+        .when(F.col("rn_e") <= _NDCG_K, 1.0)
+        .otherwise(0.0),
+    )
+    dcg = (
+        qrank.join(rel.select("q_id", "vec_id", "rel"), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("rel"), F.lit(0.0)) / F.log2(F.col("rn_q") + 1)
+            ).alias("dcg_raw")
+        )
+    )
+    idcg = (
+        rel.where(F.col("rn_e") <= _NDCG_K)
+        .groupBy("q_id")
+        .agg(F.sum(F.col("rel") / F.log2(F.col("rn_e") + 1)).alias("idcg_raw"))
+    )
+    return (
+        dcg.join(idcg, "q_id")
+        .select(
+            "q_id",
+            F.round("dcg_raw", 6).alias("dcg"),
+            F.round("idcg_raw", 6).alias("idcg"),
+            F.round(F.col("dcg_raw") / F.col("idcg_raw"), 6).alias("ndcg"),
+        )
+        .orderBy("q_id")
+    )

@@ -113,6 +113,7 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q139_triangle_census",  # cross join of three single-row census aggregates
     "q141_hard_negatives",  # inequality join vs 20 broadcast anchor vectors
     "q150_corpus_health",  # cross join of two single-row aggregates
+    "q151_ndcg_quantized",  # inequality joins vs 3 broadcast query vectors
 }
 
 
