@@ -252,3 +252,54 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("day", "hour")
     )
+
+
+@register(
+    "q152_markov_transitions",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type AS src,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS dst
+          FROM events
+        ),
+        t AS (SELECT src, dst, COUNT(*) AS n FROM seq
+              WHERE dst IS NOT NULL GROUP BY src, dst)
+        SELECT src, dst, CAST(n AS BIGINT) AS n,
+               ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6)
+                 AS p
+        FROM t ORDER BY src, dst
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | current) estimated from every "
+    "consecutive pair in each user's timeline - the behavioral model "
+    "behind next-action prediction, anomalous-flow detection, and "
+    "funnel leak analysis. Plan shape: one user-keyed LEAD window "
+    "(the data shuffles onto its entity key once, same as q113/q146) "
+    "then a hash aggregate to the K^2 transition cells; the "
+    "normalizing window runs over those ~25 rows. Same plan at any "
+    "corpus size.",
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        table_parallel(spark, sf, "events")
+        .select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("dst", F.lead("src").over(w))
+        .where(F.col("dst").isNotNull())
+    )
+    t = seq.groupBy("src", "dst").agg(F.count("*").cast("long").alias("n"))
+    wn = Window.partitionBy("src")
+    return (
+        t.withColumn(
+            "p", F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6)
+        )
+        .orderBy("src", "dst")
+    )
