@@ -303,3 +303,69 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+@register(
+    "q153_new_vs_returning",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+          FROM events GROUP BY user_id
+        ),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS day, user_id
+          FROM events GROUP BY day, user_id
+        ),
+        d AS (
+          SELECT daily.day,
+                 COUNT(*) AS n_active,
+                 SUM(CASE WHEN f.first_day = daily.day THEN 1 ELSE 0 END) AS n_new
+          FROM daily JOIN firsts f USING (user_id)
+          GROUP BY daily.day
+        )
+        SELECT CAST(day AS VARCHAR) AS day,
+               CAST(n_active AS BIGINT) AS n_active,
+               CAST(n_new AS BIGINT) AS n_new,
+               CAST(n_active - n_new AS BIGINT) AS n_returning,
+               CAST(SUM(n_new) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+        FROM d ORDER BY day
+    """,
+    doc="New-vs-returning user census with cumulative reach: per day, "
+    "active users split by whether this is their first-ever day, plus "
+    "the running total of users ever seen - the DAU decomposition "
+    "every product dashboard leads with. Plan shape: first-seen days "
+    "are one user-keyed aggregate; the daily census joins it back on "
+    "the user key (AQE-broadcastable); the cumulative window runs "
+    "over the ~30 day rows. No distinct-over-window, no growing "
+    "state - the first-touch table IS the deduplication.",
+)
+def q153(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    ev = table_parallel(spark, sf, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = ev.distinct()
+    d = (
+        daily.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum((F.col("first_day") == F.col("day")).cast("long")).alias(
+                "n_new"
+            ),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n_new").cast("long").alias("n_new"),
+            (F.col("n_active") - F.col("n_new")).cast("long").alias("n_returning"),
+            F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
+        )
+        .orderBy("day")
+    )
