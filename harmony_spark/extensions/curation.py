@@ -1137,3 +1137,87 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
     return rows.select("metric", F.round("value", 6).alias("value")).orderBy(
         "metric"
     )
+
+
+_COV_K = 8  # greedy picks
+
+
+def greedy_coverage_picks(doc_tok: DataFrame, k: int = _COV_K) -> list[tuple[int, int, int]]:
+    """Greedy maximum-coverage selection over a (doc_id, tok) pair set:
+    k rounds, each picking the document covering the most not-yet-
+    covered tokens (ties -> smallest doc_id). Returns
+    [(rank, doc_id, marginal_gain)]. Classic (1 - 1/e)-approximate
+    submodular maximization — the coverage-driven data-selection
+    recipe. Each round is ONE anti-join + ONE aggregate + a 1-row
+    collect; the covered-token set is bounded by the vocabulary and
+    checkpointed per round."""
+    covered = None
+    picks: list[tuple[int, int, int]] = []
+    for i in range(k):
+        remaining = (
+            doc_tok
+            if covered is None
+            else doc_tok.join(covered, "tok", "left_anti")
+        )
+        top = (
+            remaining.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.desc("gain"), "doc_id")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["gain"] == 0:
+            break
+        d, g = top[0]["doc_id"], top[0]["gain"]
+        picks.append((i + 1, int(d), int(g)))
+        newly = doc_tok.where(F.col("doc_id") == d).select("tok")
+        covered = (
+            newly if covered is None else covered.unionByName(newly).distinct()
+        ).localCheckpoint(eager=False)
+    return picks
+
+
+@register(
+    "q154_greedy_coverage",
+    oracle=None,  # iterative argmax loop is not SQL-expressible:
+    # rows-only + exact Python-replica test (tests/test_extensions.py)
+    doc="Coverage-driven data selection (greedy maximum coverage, the "
+    "(1-1/e)-approximate submodular recipe): pick 8 documents that "
+    "together cover the most distinct vocabulary - the data-efficient "
+    "subset selection used to seed tokenizers, eval suites, and "
+    "annotation batches. Each greedy round is one anti-join against "
+    "the covered-token set (vocabulary-bounded, checkpointed) plus "
+    "one marginal-gain aggregate and a 1-row collect - the same "
+    "bounded-driver-state loop discipline as k-means. At 100 TB the "
+    "candidate pool is pre-filtered to the top-N docs by individual "
+    "coverage (one aggregate) before the rounds. Output: pick rank, "
+    "doc, marginal gain, cumulative coverage and coverage fraction "
+    "of the full vocabulary. Deterministic (ties break on doc_id); "
+    "an exact Python replica pins every pick.",
+)
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    doc_tok = (
+        table_parallel(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))).alias(
+                "tok"
+            ),
+        )
+        .where(F.col("tok") != "")
+        .localCheckpoint(eager=False)
+    )
+    vocab_size = doc_tok.select("tok").distinct().count()
+    picks = greedy_coverage_picks(doc_tok)
+    cum = 0
+    rows = []
+    for rank, d, g in picks:
+        cum += g
+        rows.append((rank, d, g, cum, round(cum / vocab_size, 6)))
+    return spark.createDataFrame(
+        rows,
+        "pick_rank long, doc_id long, marginal_gain long, "
+        "cumulative_coverage long, coverage_frac double",
+    )

@@ -551,3 +551,45 @@ def test_variant_roundtrips_parquet(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_greedy_coverage_matches_python_replica(spark, sf_dir):
+    """q154's distributed greedy loop must make the exact same picks as
+    a driver-side Python replica of greedy max-coverage (ties ->
+    smallest doc_id)."""
+    from pyspark.sql import functions as F
+
+    from harmony_spark.extensions.curation import greedy_coverage_picks
+    from harmony_spark.io import table
+
+    doc_tok = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    got = greedy_coverage_picks(doc_tok, k=6)
+
+    pairs = [(r["doc_id"], r["tok"]) for r in doc_tok.collect()]
+    by_doc: dict[int, set] = {}
+    for d, t in pairs:
+        by_doc.setdefault(d, set()).add(t)
+    covered: set = set()
+    want = []
+    for i in range(6):
+        best = max(
+            by_doc, key=lambda d: (len(by_doc[d] - covered), -d)
+        )
+        gain = len(by_doc[best] - covered)
+        if gain == 0:
+            break
+        want.append((i + 1, best, gain))
+        covered |= by_doc[best]
+    assert got == want
+    # submodularity: marginal gains never increase
+    gains = [g for _, _, g in got]
+    assert all(b <= a for a, b in zip(gains, gains[1:]))
