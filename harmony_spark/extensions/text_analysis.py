@@ -565,3 +565,118 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", F.round("bm25", 6).alias("bm25"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q155_pii_census",
+    oracle=r"""
+        WITH aug AS (
+          SELECT doc_id, source,
+                 text ||
+                 CASE WHEN doc_id % 7 = 0 THEN ' card 4532015112830366' ELSE '' END ||
+                 CASE WHEN doc_id % 7 = 1 THEN ' card 4532015112830367' ELSE '' END ||
+                 CASE WHEN doc_id % 11 = 0 THEN ' contact bob@example.com' ELSE '' END ||
+                 CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309' ELSE '' END
+                   AS text
+          FROM documents
+        ),
+        hits AS (
+          SELECT source,
+                 CAST(regexp_matches(text,
+                      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') AS INT) AS has_email,
+                 CAST(regexp_matches(text, '\d{3}-\d{3}-\d{4}') AS INT) AS has_phone,
+                 regexp_extract(text, '(^|[^0-9])([0-9]{16})([^0-9]|$)', 2) AS card
+          FROM aug
+        ),
+        luhn AS (
+          SELECT source, has_email, has_phone,
+                 CASE WHEN card = '' THEN 0 ELSE 1 END AS has_card,
+                 CASE WHEN card = '' THEN 0
+                      WHEN (SELECT SUM(CASE WHEN i % 2 = 1 THEN d
+                                 WHEN 2 * d > 9 THEN 2 * d - 9
+                                 ELSE 2 * d END)
+                            FROM (SELECT TRY_CAST(v.x AS INT) AS d,
+                                         ROW_NUMBER() OVER () AS i
+                                  FROM (SELECT u.x FROM
+                                        UNNEST(string_split(reverse(card), '')) u(x)
+                                        WHERE u.x <> '') v)
+                           ) % 10 = 0 THEN 1 ELSE 0 END AS card_valid
+          FROM hits
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(has_email) AS BIGINT) AS n_email,
+               CAST(SUM(has_phone) AS BIGINT) AS n_phone,
+               CAST(SUM(has_card) AS BIGINT) AS n_card_like,
+               CAST(SUM(card_valid) AS BIGINT) AS n_card_valid
+        FROM luhn GROUP BY source ORDER BY source
+    """,
+    doc="PII detection census with checksum validation: per-source "
+    "counts of email, phone, and 16-digit card-like patterns, with "
+    "card candidates VALIDATED by the Luhn checksum - the filter that "
+    "separates real card numbers from random digit runs (here the "
+    "corpus is deterministically augmented with known-valid and "
+    "known-invalid fixtures inside the query, replayed identically by "
+    "the oracle, since the synthetic corpus carries no natural PII). "
+    "Everything is JVM column expressions - regex + a higher-order "
+    "digit fold for Luhn, no UDF - so the scan stays in codegen and "
+    "the only shuffle is the per-source census. The redaction "
+    "transform itself is q84's regexp_replace with these patterns.",
+)
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    aug_text = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, " card 4532015112830366").otherwise(""),
+        F.when(F.col("doc_id") % 7 == 1, " card 4532015112830367").otherwise(""),
+        F.when(F.col("doc_id") % 11 == 0, " contact bob@example.com").otherwise(""),
+        F.when(F.col("doc_id") % 13 == 0, " call 555-867-5309").otherwise(""),
+    )
+    aug = table_parallel(spark, sf, "documents").select(
+        "source", aug_text.alias("text")
+    )
+    card = F.regexp_extract(F.col("text"), r"(^|[^0-9])([0-9]{16})([^0-9]|$)", 2)
+    hits = aug.select(
+        "source",
+        F.col("text").rlike(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}")
+        .cast("int")
+        .alias("has_email"),
+        F.col("text").rlike(r"\d{3}-\d{3}-\d{4}").cast("int").alias("has_phone"),
+        card.alias("card"),
+    )
+    # Luhn over the reversed digit string: odd positions (1-based from
+    # the right) add d, even positions add 2d - 9 when 2d > 9 else 2d
+    digits = F.split(F.reverse(F.col("card")), "")
+    luhn_sum = F.aggregate(
+        F.zip_with(
+            digits,
+            F.sequence(F.lit(1), F.greatest(F.size(digits), F.lit(1))),
+            lambda x, i: F.when(x == "", 0)
+            .when(i % 2 == 1, x.cast("int"))
+            .when(2 * x.cast("int") > 9, 2 * x.cast("int") - 9)
+            .otherwise(2 * x.cast("int")),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = hits.select(
+        "source",
+        "has_email",
+        "has_phone",
+        (F.col("card") != "").cast("int").alias("has_card"),
+        F.when(
+            (F.col("card") != "") & (luhn_sum % 10 == 0), 1
+        ).otherwise(0).alias("card_valid"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("has_email").cast("long").alias("n_email"),
+            F.sum("has_phone").cast("long").alias("n_phone"),
+            F.sum("has_card").cast("long").alias("n_card_like"),
+            F.sum("card_valid").cast("long").alias("n_card_valid"),
+        )
+        .orderBy("source")
+    )
