@@ -833,3 +833,68 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+_MEDIAN_BUCKETS = 8192
+
+
+@register(
+    "q156_exact_global_median",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median
+        FROM lineitem
+    """,
+    doc="EXACT global median over the fact table by two-pass histogram "
+    "selection: pass 1 buckets every value into 8192 equi-width cells "
+    "(one hash aggregate; the 8192-row histogram collects), the "
+    "cumulative counts locate which cell(s) hold the middle order "
+    "statistics, and pass 2 fetches only those cells' values "
+    "(~n/8192 rows) to take the exact k-th elements. Why it exists: "
+    "Spark's exact percentile() buffers a value->count map PER GROUP "
+    "- fine for small groups (q145/q146), executor-fatal for one "
+    "global group over 100 TB - and a global sort is a full-corpus "
+    "shuffle for two order statistics. Two counting scans + one "
+    "bucket-sized fetch is the classic selection answer; a value so "
+    "frequent its cell stays huge would recurse the same trick inside "
+    "the cell. Matches DuckDB's interpolated quantile_cont exactly "
+    "(even n -> mean of the two middle elements).",
+)
+def q156(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    x = table_parallel(spark, sf, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    ).localCheckpoint(eager=False)
+    st = x.agg(
+        F.count("*").alias("n"), F.min("x").alias("lo"), F.max("x").alias("hi")
+    ).first()
+    n, lo, hi = st["n"], st["lo"], st["hi"]
+    width = (hi - lo) / _MEDIAN_BUCKETS or 1.0
+    k1, k2 = (n + 1) // 2, n // 2 + 1  # 1-based middle order statistics
+    bucket = F.least(
+        F.lit(_MEDIAN_BUCKETS - 1), F.floor((F.col("x") - lo) / width)
+    ).cast("int")
+    hist = sorted(
+        (r["b"], r["c"])
+        for r in x.groupBy(bucket.alias("b")).agg(F.count("*").alias("c")).collect()
+    )
+    cum, before, b1, b2 = 0, {}, None, None
+    for b, c in hist:
+        before[b] = cum
+        cum += c
+        if b1 is None and cum >= k1:
+            b1 = b
+        if b2 is None and cum >= k2:
+            b2 = b
+    # pass 2: only the middle cell(s) leave the executors
+    mid = sorted(
+        r["x"]
+        for r in x.withColumn("b", bucket)
+        .where(F.col("b").between(b1, b2))
+        .collect()
+    )
+    v1 = mid[k1 - before[b1] - 1]
+    v2 = mid[k2 - before[b1] - 1]
+    median = (v1 + v2) / 2.0
+    return spark.createDataFrame([(n, round(median, 6))], "n long, median double")
