@@ -221,6 +221,8 @@ def read_epochs(spark: SparkSession, epoch_paths: list[str], target_schema) -> D
     the target schema is the contract, and readers must not silently
     grow columns because one epoch had an experiment.
     """
+    if not epoch_paths:
+        raise ValueError("read_epochs requires at least one epoch path")
     parts = []
     for p in epoch_paths:
         df = spark.read.parquet(p)

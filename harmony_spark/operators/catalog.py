@@ -292,8 +292,14 @@ def vacuum(table: str, keep_last: int = 2) -> tuple[int, int]:
     invariant a lakehouse VACUUM maintains with its retention window."""
     import glob
 
+    if keep_last < 1:
+        # keep_last=0 would delete every manifest while the just-read
+        # file list still marks all data live - an unreadable table
+        # with orphaned data. Dropping a table is an explicit rmtree,
+        # not a vacuum parameter.
+        raise ValueError("vacuum keeps at least one manifest (keep_last >= 1)")
     manifests = sorted(glob.glob(os.path.join(table, "_manifests", "v*.json")))
-    doomed, kept = manifests[:-keep_last] if keep_last else manifests, manifests[-keep_last:]
+    doomed, kept = manifests[:-keep_last], manifests[-keep_last:]
     live: set[str] = set()
     for p in kept:
         live.update(e["path"] for e in json.load(open(p))["files"])

@@ -229,3 +229,11 @@ def test_concurrent_committers_all_land_exactly_once(spark, orders, tmp_path):
     hist = catalog.history(t)
     assert [h["version"] for h in hist] == list(range(6))  # no gaps, no dupes
     assert catalog.read_snapshot(spark, t).count() == orders.count()
+
+
+def test_vacuum_rejects_keep_zero(spark, orders, tmp_path):
+    t = str(tmp_path / "tbl")
+    catalog.commit_snapshot(spark, t, orders.limit(5))
+    with pytest.raises(ValueError):
+        catalog.vacuum(t, keep_last=0)
+    assert catalog.read_snapshot(spark, t).count() == 5  # untouched

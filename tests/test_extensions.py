@@ -593,3 +593,12 @@ def test_greedy_coverage_matches_python_replica(spark, sf_dir):
     # submodularity: marginal gains never increase
     gains = [g for _, _, g in got]
     assert all(b <= a for a, b in zip(gains, gains[1:]))
+
+
+def test_read_epochs_rejects_empty_list(spark):
+    from pyspark.sql.types import StructType
+
+    from harmony_spark.io import read_epochs
+
+    with pytest.raises(ValueError):
+        read_epochs(spark, [], StructType([]))
