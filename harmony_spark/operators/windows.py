@@ -483,3 +483,70 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("lag").cast("long").alias("lag"), "n_days", "xcorr")
         .orderBy("lag")
     )
+
+
+@register(
+    "q157_time_to_convert",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, ts, event_type,
+                 MAX(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_view
+          FROM events
+        ),
+        conv AS (
+          SELECT date_diff('microsecond', last_view, ts) // 60000000 AS delay_min
+          FROM seq
+          WHERE event_type = 'purchase' AND last_view IS NOT NULL
+        )
+        SELECT LEAST(11, CAST(delay_min // 60 AS INT)) AS delay_hours_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               CAST(MIN(delay_min) AS BIGINT) AS min_minutes,
+               CAST(MAX(delay_min) AS BIGINT) AS max_minutes
+        FROM conv GROUP BY delay_hours_bucket ORDER BY delay_hours_bucket
+    """,
+    doc="Time-to-convert distribution: each purchase is attributed to "
+    "the user's most recent PRIOR view (a conditional carry-forward "
+    "window - the as-of semantics inside an entity partition, no "
+    "join), and the view->purchase delays aggregate into hour "
+    "buckets (11+ capped) - the conversion-latency histogram that "
+    "sets attribution windows and retargeting timers, and the "
+    "empirical answer q147's lag correlation estimates in aggregate. "
+    "Shuffle shape: one user-keyed window, one bounded histogram "
+    "aggregate; the carry-forward is running MAX over a "
+    "rows-preceding frame, so state per user is one timestamp.",
+)
+def q157(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = table_parallel(spark, sf, "events").withColumn(
+        "last_view",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    conv = seq.where(
+        (F.col("event_type") == "purchase") & F.col("last_view").isNotNull()
+    ).select(
+        F.floor(
+            (F.unix_micros("ts") - F.unix_micros("last_view")) / 60_000_000
+        ).cast("long").alias("delay_min")
+    )
+    return (
+        conv.groupBy(
+            F.least(F.lit(11), (F.col("delay_min") / 60).cast("int")).alias(
+                "delay_hours_bucket"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.min("delay_min").cast("long").alias("min_minutes"),
+            F.max("delay_min").cast("long").alias("max_minutes"),
+        )
+        .orderBy("delay_hours_bucket")
+    )
