@@ -1381,3 +1381,66 @@ def q144(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q158_sole_latest_supplier",
+    oracle="""
+        WITH s AS (
+          SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS sd
+          FROM lineitem GROUP BY l_orderkey, l_suppkey
+        )
+        SELECT l_suppkey AS suppkey,
+               CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM s
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = s.l_orderkey
+                        AND l2.l_suppkey <> s.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = s.l_orderkey
+                            AND l3.l_suppkey <> s.l_suppkey
+                            AND l3.l_shipdate >= s.sd)
+        GROUP BY suppkey ORDER BY numwait DESC, suppkey LIMIT 20
+    """,
+    doc="TPC-H Q21's double-correlated subquery shape (EXISTS + NOT "
+    "EXISTS against the same fact with opposite residuals), expressed "
+    "on the available columns: suppliers who were the SOLE latest "
+    "shipper on multi-supplier orders - the blame-assignment query. "
+    "The planner must turn the EXISTS into a left-semi and the NOT "
+    "EXISTS into a left-anti join, BOTH equi-keyed on the order with "
+    "their supplier/date predicates as join residuals - three passes "
+    "over lineitem keyed the same way, so at 100 TB the three legs "
+    "co-partition on l_orderkey and AQE reuses one exchange layout; "
+    "none of the correlation becomes a per-row subquery loop.",
+)
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    li = table_parallel(spark, sf, "lineitem")
+    s = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("sd"))
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    multi = s.join(
+        l2,
+        (F.col("o2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    sole = multi.join(
+        l3,
+        (F.col("o3") == F.col("l_orderkey"))
+        & (F.col("s3") != F.col("l_suppkey"))
+        & (F.col("d3") >= F.col("sd")),
+        "left_anti",
+    )
+    return (
+        sole.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "suppkey")
+        .limit(20)
+    )
