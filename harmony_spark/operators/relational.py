@@ -1444,3 +1444,86 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "suppkey")
         .limit(20)
     )
+
+
+_BASKET_MIN_SUPPORT = 5
+
+
+@register(
+    "q159_basket_lift",
+    oracle=f"""
+        WITH b AS (
+          SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        ),
+        n AS (SELECT COUNT(DISTINCT okey) AS total FROM b),
+        singles AS (SELECT brand, COUNT(*) AS n_a FROM b GROUP BY brand),
+        pairs AS (
+          SELECT a.brand AS brand_a, c.brand AS brand_b, COUNT(*) AS n_ab
+          FROM b a JOIN b c ON c.okey = a.okey AND a.brand < c.brand
+          GROUP BY brand_a, brand_b
+        )
+        SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+               ROUND(CAST(n_ab AS DOUBLE) * n.total
+                     / (sa.n_a * sb.n_a), 6) AS lift
+        FROM pairs
+        JOIN singles sa ON sa.brand = pairs.brand_a
+        JOIN singles sb ON sb.brand = pairs.brand_b
+        CROSS JOIN n
+        WHERE n_ab >= {_BASKET_MIN_SUPPORT}
+        ORDER BY lift DESC, brand_a, brand_b LIMIT 20
+    """,
+    doc="Market-basket affinity (association rules): brand pairs that "
+    "co-occur in the same order more than independence predicts, "
+    "scored by lift = P(a,b)/(P(a)P(b)) with a minimum support floor "
+    "- the cross-sell / co-view signal behind 'frequently bought "
+    "together'. Scale shape: the pair generation is a self-join "
+    "BUCKET-LOCAL on the order key (pairs never cross orders, so "
+    "fan-out is bounded by basket size squared, the same locality "
+    "argument as LSH band buckets); marginals are one census each, "
+    "broadcast back onto the ~K^2 pair rows. Deterministic top-20 by "
+    "(rounded lift, pair).",
+)
+def q159(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    li = table_parallel(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    p = table_parallel(spark, sf, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    total = b.select("okey").distinct().count()
+    singles = b.groupBy("brand").agg(F.count("*").alias("n_a"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("c.okey") == F.col("a.okey"))
+            & (F.col("a.brand") < F.col("c.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("c.brand").alias("brand_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= _BASKET_MIN_SUPPORT)
+    )
+    sa = singles.select(F.col("brand").alias("brand_a"), F.col("n_a").alias("na"))
+    sb = singles.select(F.col("brand").alias("brand_b"), F.col("n_a").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * total / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(20)
+    )
