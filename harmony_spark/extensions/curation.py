@@ -1221,3 +1221,63 @@ def q154(spark: SparkSession, sf: str) -> DataFrame:
         "pick_rank long, doc_id long, marginal_gain long, "
         "cumulative_coverage long, coverage_frac double",
     )
+
+
+@register(
+    "q160_token_gini",
+    oracle=r"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(lower(text), '\s+')) AS x
+          FROM documents
+        ),
+        r AS (
+          SELECT source, x,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY x, doc_id) AS i
+          FROM d
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(x) AS BIGINT) AS token_sum,
+               ROUND(2.0 * SUM(CAST(i AS DOUBLE) * x)
+                     / (COUNT(*) * SUM(x))
+                     - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        FROM r GROUP BY source ORDER BY source
+    """,
+    doc="Token-mass concentration per source (Gini coefficient over "
+    "document lengths): gini near 0 means evenly sized documents, "
+    "near 1 means a few giant documents carry the source's whole "
+    "token mass - the ingest smell (one concatenated dump file, a "
+    "crawler stuck on a mega-page) that mean document length hides. "
+    "Computed by the rank formulation G = 2*sum(i*x_(i))/(n*sum(x)) "
+    "- (n+1)/n: one source-keyed ranking window (entities sort "
+    "within their own partition - no global sort) and one census "
+    "aggregate. Pairs with q150's dashboard as a per-source drill-"
+    "down.",
+)
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    d = table_parallel(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("x"),
+    )
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    r = d.withColumn("i", F.row_number().over(w))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("x").cast("long").alias("token_sum"),
+            F.round(
+                2.0
+                * F.sum(F.col("i").cast("double") * F.col("x"))
+                / (F.count("*") * F.sum("x"))
+                - (F.count("*") + 1.0) / F.count("*"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )
