@@ -1281,3 +1281,138 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_MIX_ALPHA = 0.7  # temperature exponent (alpha < 1 upweights small sources)
+_MIX_BUDGET = 1_000_000  # sampled-token budget the weights allocate
+
+
+@register(
+    "q169_temperature_mix",
+    oracle=rf"""
+        WITH m AS (
+          SELECT source,
+                 CAST(SUM(len(string_split_regex(lower(text), '\s+')))
+                      AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        w AS (
+          SELECT source, n_tokens,
+                 POW(n_tokens, {_MIX_ALPHA})
+                   / SUM(POW(n_tokens, {_MIX_ALPHA})) OVER () AS wt
+          FROM m
+        )
+        SELECT source, n_tokens,
+               ROUND(wt, 6) AS mix_weight,
+               ROUND(wt * {_MIX_BUDGET} / n_tokens, 6) AS epochs
+        FROM w ORDER BY source
+    """,
+    doc="Temperature-scaled sampling mix (the multilingual-training "
+    "recipe: p_s^alpha renormalized, alpha=0.7): small sources are "
+    "upweighted relative to their raw token share, and the per-source "
+    "expected EPOCH count at a fixed token budget (weight*budget/"
+    "mass) makes over-sampling visible before training does - "
+    "epochs >> 1 on a tiny source means it will be memorized. Plan "
+    "shape: one source-keyed token census, then the temperature "
+    "algebra runs on the |sources|-row summary via an unpartitioned "
+    "window over that tiny table - corpus cost is the census scan "
+    "alone. Composes with q140 (weighted sampling executes this "
+    "mix) and q108's mix shares.",
+)
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    m = (
+        table_parallel(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.lower(F.col("text")), r"\s+")))
+            .cast("long")
+            .alias("n_tokens")
+        )
+    )
+    w_all = Window.partitionBy()
+    wt = F.pow("n_tokens", F.lit(_MIX_ALPHA)) / F.sum(
+        F.pow("n_tokens", F.lit(_MIX_ALPHA))
+    ).over(w_all)
+    return m.select(
+        "source",
+        "n_tokens",
+        F.round(wt, 6).alias("mix_weight"),
+        F.round(wt * _MIX_BUDGET / F.col("n_tokens"), 6).alias("epochs"),
+    ).orderBy("source")
+
+
+# per-language keep rates: downsample the dominant language, keep the rest
+_STRAT_RATES = {"en": 0.25, "fr": 0.75, "es": 0.75, "de": 0.75, "zh": 0.75}
+_STRAT_DEFAULT = 1.0
+
+
+def _strat_rate_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_STRAT_RATES.items())
+    )
+    return f"CASE lang {cases} ELSE {_STRAT_DEFAULT} END"
+
+
+@register(
+    "q170_stratified_sample",
+    oracle=f"""
+        WITH u AS (
+          SELECT doc_id, lang,
+                 {_strat_rate_sql()} AS rate,
+                 (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) + 1.0) / 4294967297.0 AS u
+          FROM documents
+        )
+        SELECT lang,
+               ROUND(MAX(rate), 2) AS rate,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(SUM(CASE WHEN u < rate THEN doc_id ELSE 0 END) AS BIGINT)
+                 AS kept_id_checksum
+        FROM u GROUP BY lang ORDER BY lang
+    """,
+    doc="Deterministic stratified sampling: per-language keep rates "
+    "(downsample the dominant 'en' stratum, keep the tails) decided "
+    "by a seedless md5(doc_id) uniform - the same hash-uniform as "
+    "q140, so the SAMPLE ITSELF is reproducible across engines, "
+    "runs, and partitionings, which Spark's df.sampleBy (seeded RNG "
+    "per partition) cannot promise. The kept-id checksum pins the "
+    "exact membership, not just the counts. Plan shape: pure "
+    "projection + one bounded groupBy - no shuffle of losers, no "
+    "two-pass count-then-sample; rebalancing a 100 TB corpus is one "
+    "scan.",
+)
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    rate = F.lit(_STRAT_DEFAULT)
+    for k, v in sorted(_STRAT_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / 4294967297.0
+    d = table_parallel(spark, sf, "documents").select(
+        "doc_id", "lang", rate.alias("rate"), u.alias("u")
+    )
+    kept = F.when(F.col("u") < F.col("rate"), 1).otherwise(0)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.round(F.max("rate"), 2).alias("rate"),
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum(
+                F.when(F.col("u") < F.col("rate"), F.col("doc_id")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("kept_id_checksum"),
+        )
+        .orderBy("lang")
+    )

@@ -114,6 +114,7 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q141_hard_negatives",  # inequality join vs 20 broadcast anchor vectors
     "q150_corpus_health",  # cross join of two single-row aggregates
     "q151_ndcg_quantized",  # inequality joins vs 3 broadcast query vectors
+    "q161_funnel_conversion",  # cross join of five single-row stage aggregates
 }
 
 
