@@ -1199,3 +1199,83 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+@register(
+    "q175_centroid_cosine",
+    oracle="""
+        WITH flat AS (
+          SELECT label, UNNEST(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT label, dim, AVG(CAST(v AS DOUBLE)) AS c
+          FROM flat GROUP BY label, dim
+        ),
+        norms AS (
+          SELECT label, SQRT(SUM(c * c)) AS nrm FROM cent GROUP BY label
+        ),
+        dots AS (
+          SELECT a.label AS label_a, b.label AS label_b,
+                 SUM(a.c * b.c) AS dot
+          FROM cent a JOIN cent b
+            ON a.dim = b.dim AND a.label < b.label
+          GROUP BY a.label, b.label
+        )
+        SELECT label_a, label_b,
+               ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.label = dots.label_a
+        JOIN norms nb ON nb.label = dots.label_b
+        ORDER BY label_a, label_b
+    """,
+    doc="Pairwise cosine similarity between LABEL CENTROIDS of the "
+    "embedding space: the class-confusion structure a curation "
+    "pipeline reads before training (two labels whose centroids sit "
+    "at cosine ~1 are candidates for merging; a label anti-correlated "
+    "with all others is a likely annotation bug). Plan shape: the "
+    "corpus-sized work is ONE posexplode + (label, dim)-keyed AVG "
+    "collapsing N vectors to |labels|*d centroid cells; the pairwise "
+    "algebra is a dim-keyed self-join on that |labels|*d summary "
+    "(45 pairs * 64 dims here), so cost at 100 TB is the centroid "
+    "aggregate alone - never a vector-vector cross join. Composes "
+    "with q116 (covariance) and q31/q37 (instance-level cosine).",
+)
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    cent = (
+        table(spark, sf, "embeddings")
+        .select("label", F.posexplode("embedding").alias("dim0", "v"))
+        .groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy("label_a", "label_b")
+    )

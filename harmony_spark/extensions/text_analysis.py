@@ -680,3 +680,67 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_VOCAB_COVERAGE_KS = (5, 10, 20)  # head sizes to evaluate
+
+
+@register(
+    "q176_vocab_coverage",
+    oracle=f"""
+        WITH tok AS (
+          SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+          FROM documents
+        ),
+        freq AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w),
+        ranked AS (
+          SELECT f,
+                 ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r,
+                 SUM(f) OVER () AS total
+          FROM freq
+        ),
+        ks AS (SELECT UNNEST([{', '.join(str(k) for k in _VOCAB_COVERAGE_KS)}]) AS k)
+        SELECT CAST(ks.k AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               ROUND(SUM(CAST(f AS DOUBLE)) / MAX(total), 6) AS coverage
+        FROM ranked JOIN ks ON ranked.r <= ks.k
+        GROUP BY ks.k ORDER BY k
+    """,
+    doc="Vocabulary coverage curve: the share of corpus token mass "
+    "covered by the top-k most frequent words (k = 5/10/20) - the "
+    "Zipf head/tail diagnostic that sizes a tokenizer vocabulary "
+    "(coverage(k) flattening early means a small vocab suffices; a "
+    "long flat tail means byte-fallback will fire constantly). Plan "
+    "shape: one exploded word census with map-side combine collapses "
+    "the corpus to |vocab| rows; the ranking window and k-join run "
+    "on that vocabulary summary, tiny relative to the corpus (the "
+    "standard vocab<<corpus assumption; a row_number over |vocab| is "
+    "what every vocab builder already pays). n_words < k when the "
+    "vocabulary is smaller than the head size.",
+)
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    tok = table(spark, sf, "documents").select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count("*").alias("f"))
+    ranked = freq.select(
+        "f",
+        F.row_number().over(W.orderBy(F.desc("f"), "w")).alias("r"),
+        F.sum("f").over(W.partitionBy()).alias("total"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _VOCAB_COVERAGE_KS])).alias("k")
+    )
+    return (
+        ranked.join(ks, ranked["r"] <= ks["k"])
+        .groupBy(F.col("k").cast("long").alias("k"))
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.round(
+                F.sum(F.col("f").cast("double")) / F.max("total"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )

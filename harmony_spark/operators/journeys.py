@@ -410,3 +410,391 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
         .limit(_TRIGRAM_TOP_K)
     )
+
+_KM_OBS_END = "2024-01-31"  # observation-window end (data ends 2024-01-30)
+_KM_CENSOR_DAYS = 7  # active within the last 7 days => censored, not churned
+
+
+@register(
+    "q171_kaplan_meier",
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 date_diff('microsecond', MIN(ts), MAX(ts)) // 86400000000
+                   AS lifetime_days,
+                 CASE WHEN date_diff('microsecond', MAX(ts),
+                                     TIMESTAMP '{_KM_OBS_END} 00:00:00')
+                           >= {_KM_CENSOR_DAYS} * 86400000000
+                      THEN 1 ELSE 0 END AS churned
+          FROM events GROUP BY user_id
+        ),
+        g AS (
+          SELECT lifetime_days AS t,
+                 SUM(churned) AS d,
+                 COUNT(*) - SUM(churned) AS c
+          FROM u GROUP BY lifetime_days
+        ),
+        k AS (
+          SELECT t, d, c,
+                 (SELECT COUNT(*) FROM u)
+                   - COALESCE(SUM(d + c) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+          FROM g
+        )
+        SELECT CAST(t AS BIGINT) AS t_days,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS n_churned,
+               ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_risk))
+                         OVER (ORDER BY t)), 6) AS survival
+        FROM k ORDER BY t_days
+    """,
+    doc="Kaplan-Meier survival curve of user lifetime (first->last "
+    "event), with right-censoring: users still active in the final "
+    "7 days of the observation window are censored, not churned - "
+    "the estimator retention dashboards should use instead of naive "
+    "churn rates (naive rates treat censored users as churned and "
+    "bias retention DOWN). The product-limit S(t) = prod(1 - d_i/n_i) "
+    "is computed as EXP of a running LN-sum window - an ordered "
+    "cumulative expression both engines evaluate identically, no "
+    "recursion. Plan shape: events collapse to one row per user (one "
+    "user-keyed aggregate), the curve algebra runs on the day-level "
+    "summary; the unpartitioned window is over |distinct lifetimes| "
+    "rows (<= observation days), not the corpus.",
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    obs_end_us = F.unix_micros(F.lit(_KM_OBS_END).cast("timestamp"))
+    day_us = 86_400_000_000
+    u = (
+        table_parallel(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / day_us
+            ).alias("lifetime_days"),
+            F.when(
+                obs_end_us - F.unix_micros(F.max("ts"))
+                >= _KM_CENSOR_DAYS * day_us,
+                1,
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    g = u.groupBy(F.col("lifetime_days").alias("t")).agg(
+        F.sum("churned").alias("d"),
+        (F.count("*") - F.sum("churned")).alias("c"),
+    )
+    total = u.count()
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    k = g.withColumn(
+        "n_risk",
+        F.lit(total) - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    )
+    return k.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+                ).over(w_cum)
+            ),
+            6,
+        ).alias("survival"),
+    ).orderBy("t_days")
+
+
+@register(
+    "q172_ab_conversion_ztest",
+    oracle="""
+        WITH assign AS (
+          SELECT user_id,
+                 CASE WHEN (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) + 1.0) / 4294967297.0 < 0.5
+                      THEN 'A' ELSE 'B' END AS arm,
+                 CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) >= 14
+                      THEN 1 ELSE 0 END AS converted
+          FROM events GROUP BY user_id
+        ),
+        s AS (
+          SELECT SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n_a,
+                 SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS conv_a,
+                 SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n_b,
+                 SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS conv_b
+          FROM assign
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a,
+               CAST(conv_a AS BIGINT) AS conv_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(conv_b AS BIGINT) AS conv_b,
+               ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+        FROM s
+    """,
+    doc="Two-proportion A/B z-test on purchase conversion (converted = "
+    ">= 14 purchases, the near-median engagement threshold, keeping "
+    "both proportions interior at every scale), with arms "
+    "assigned by the seedless md5(user_id) uniform (the same "
+    "hash-randomization q170 samples with - assignment is "
+    "reproducible across engines and re-runs, the property a real "
+    "experiment framework needs for consistent bucketing). Pooled "
+    "standard error, z = (pA-pB)/sqrt(p(1-p)(1/nA+1/nB)). Plan "
+    "shape: one user-keyed conversion aggregate, then a single-row "
+    "census - all counts are exact integers and the z algebra is "
+    "one deterministic double expression at the end.",
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / 4294967297.0
+    assign = (
+        table_parallel(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+        .withColumn("arm", F.when(u < 0.5, "A").otherwise("B"))
+    )
+    s = assign.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0)).alias("conv_b"),
+    )
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (
+        F.col("conv_a").cast("double") / F.col("n_a")
+        - F.col("conv_b").cast("double") / F.col("n_b")
+    ) / F.sqrt(
+        p_pool * (1.0 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return s.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@register(
+    "q173_theil_sen_trend",
+    oracle="""
+        WITH d AS (
+          SELECT event_type,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS idx,
+                 SUM(value) AS x
+          FROM events GROUP BY event_type, idx
+        ),
+        slopes AS (
+          SELECT a.event_type, (b.x - a.x) / (b.idx - a.idx) AS slope
+          FROM d a JOIN d b
+            ON a.event_type = b.event_type AND a.idx < b.idx
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+        FROM slopes GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Theil-Sen robust trend per event type: the MEDIAN of all "
+    "pairwise slopes of the daily value series - breakdown point "
+    "29%, immune to the outlier days that wreck an OLS slope (the "
+    "robust companion to q146's MAD anomalies). Plan shape: events "
+    "collapse to one row per (type, day) first; the O(days^2) "
+    "pairwise join and exact interpolated median run on that tiny "
+    "series (30 days = 435 pairs per type), so corpus cost is the "
+    "day-keyed aggregate alone - pairwise-on-the-summary, never "
+    "pairwise-on-the-events.",
+)
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    d = (
+        table_parallel(spark, sf, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("idx"),
+        )
+        .agg(F.sum("value").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = d.alias("a"), d.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.idx") < F.col("b.idx")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.x") - F.col("a.x")) / (F.col("b.idx") - F.col("a.idx"))).alias("slope"),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.percentile("slope", F.lit(0.5)), 6).alias("theil_sen_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q174_time_weighted_avg",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, value,
+                 date_diff('microsecond', ts,
+                           LEAD(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)) AS dur_us
+          FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               ROUND(SUM(value * dur_us) / SUM(dur_us), 6) AS twap
+        FROM seq WHERE dur_us IS NOT NULL AND dur_us > 0
+        GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Time-weighted average value per user (TWAP): each event's "
+    "value is weighted by how long it remained the latest observation "
+    "(duration to the next event), the estimator tick data and "
+    "telemetry gauges need - an unweighted mean over-counts bursts "
+    "of rapid-fire events. Plan shape: ONE user-keyed window "
+    "producing the LEAD duration in the same sort the aggregate "
+    "reuses, then a user-keyed SUM - durations are exact integer "
+    "microseconds, zero-length intervals dropped.",
+)
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table_parallel(spark, sf, "events").select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us"),
+    )
+    return (
+        seq.where(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+_SESSION_GAP_MIN = 30  # inactivity gap that closes a session
+
+
+@register(
+    "q183_session_stats",
+    oracle=f"""
+        WITH marked AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN date_diff('microsecond',
+                        LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), ts)
+                        > {_SESSION_GAP_MIN} * 60000000
+                      OR LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sess AS (
+          SELECT user_id,
+                 SUM(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id,
+                 ts
+          FROM marked
+        ),
+        stats AS (
+          SELECT user_id, session_id,
+                 COUNT(*) AS depth,
+                 date_diff('microsecond', MIN(ts), MAX(ts)) AS dur_us
+          FROM sess GROUP BY user_id, session_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bounces,
+               CAST(SUM(depth) AS BIGINT) AS n_events,
+               CAST(SUM(dur_us) // 60000000 AS BIGINT) AS total_minutes
+        FROM stats
+    """,
+    doc="Gap-based sessionization census (30-min inactivity closes a "
+    "session): session count, bounce count (single-event sessions), "
+    "event volume, and total engaged minutes — the batch replica of "
+    "q28's streaming session windows, via the gaps-and-islands "
+    "pattern (new-session marker from LAG, session id from the "
+    "running marker sum — the same island technique as q113's SCD2 "
+    "intervals). Plan shape: both windows and the session aggregate "
+    "share ONE user-keyed sort; per-user state is one timestamp; "
+    "the final census is a single-row reduction.",
+)
+def q183(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.unix_micros(F.lag("ts").over(w))
+    marked = table_parallel(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            lag_us.isNull()
+            | (F.unix_micros("ts") - lag_us > _SESSION_GAP_MIN * 60_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = marked.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    stats = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("depth"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "dur_us"
+        ),
+    )
+    return stats.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("depth") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.sum("depth").cast("long").alias("n_events"),
+        F.floor(F.sum("dur_us") / 60_000_000).cast("long").alias(
+            "total_minutes"
+        ),
+    )

@@ -1527,3 +1527,246 @@ def q159(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("lift"), "brand_a", "brand_b")
         .limit(20)
     )
+
+@register(
+    "q177_small_quantity_revenue",
+    oracle="""
+        WITH pa AS (
+          SELECT l_partkey, 0.2 * AVG(l_quantity) AS qlim
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN pa ON pa.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#13' AND l.l_quantity < pa.qlim
+    """,
+    doc="TPC-H Q17 shape: revenue lost to small-quantity orders — a "
+    "correlated scalar AVG per part decorrelated into a part-keyed "
+    "aggregate joined back to the fact (the rewrite every optimizer "
+    "must find; a naive per-row subquery re-scans lineitem per "
+    "part). Plan shape: the per-part quantity-limit table is "
+    "|parts|-sized and broadcast; the brand filter pushes into the "
+    "part scan and prunes the join early. Quantities are "
+    "integer-valued doubles, so AVG is an exact-sum division and the "
+    "0.2*avg threshold compare is bit-identical across engines. "
+    "Reference: the classic decorrelation benchmark shape.",
+)
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    li = table_parallel(spark, sf, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qlim")
+    )
+    p = table_parallel(spark, sf, "part").where(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(pa), "l_partkey")
+        .where(F.col("l_quantity") < F.col("qlim"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
+@register(
+    "q178_orders_per_customer_histogram",
+    oracle="""
+        WITH c AS (
+          SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+          FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+          GROUP BY c_custkey
+        )
+        SELECT CAST(n_orders AS BIGINT) AS n_orders,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM c GROUP BY n_orders
+        ORDER BY n_customers DESC, n_orders DESC
+    """,
+    doc="TPC-H Q13 shape: the orders-per-customer distribution "
+    "INCLUDING zero-order customers — the left-outer-join-then-"
+    "double-aggregate pattern (COUNT(o_orderkey) counts non-NULL, so "
+    "customers with no orders land in the 0 bucket instead of "
+    "vanishing, the mistake an inner join silently makes). Plan "
+    "shape: one customer-keyed outer join + count, then a bounded "
+    "histogram aggregate over the |distinct counts| keys; both "
+    "aggregates take map-side partials.",
+)
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    c = table_parallel(spark, sf, "customer").select("c_custkey")
+    o = table_parallel(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy(F.col("n_orders").cast("long").alias("n_orders"))
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+@register(
+    "q179_idle_high_balance",
+    oracle="""
+        WITH t AS (
+          SELECT AVG(c_acctbal) AS thr FROM customer WHERE c_acctbal > 0.0
+        ),
+        cutoff AS (
+          SELECT MAX(o_orderdate) - INTERVAL 180 DAY AS cut FROM orders
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM customer, t, cutoff
+        WHERE c_acctbal > t.thr
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c_custkey
+                            AND o.o_orderdate >= cutoff.cut)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: high-balance customers with no RECENT order "
+    "(nothing in the trailing 180 days of the order history) — a "
+    "scalar-aggregate threshold (global positive-balance average) "
+    "feeding a filter, composed with an ANTI join against the "
+    "date-filtered fact table, grouped per segment. Plan shape: both "
+    "scalars (threshold, recency cutoff) are 1-row aggregates "
+    "broadcast over their scans; the NOT EXISTS plans as a broadcast "
+    "anti join keyed on custkey — no correlated re-scan per "
+    "customer.",
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    cust = table_parallel(spark, sf, "customer")
+    orders = table_parallel(spark, sf, "orders")
+    thr = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("thr")
+    )
+    cutoff = orders.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 180 DAYS")).alias("cut")
+    )
+    recent = (
+        orders.crossJoin(F.broadcast(cutoff))
+        .where(F.col("o_orderdate") >= F.col("cut"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("thr"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q180_top_revenue_supplier",
+    oracle="""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2)
+                   AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+          GROUP BY l_suppkey
+        ),
+        ranked AS (
+          SELECT l_suppkey, total_rev,
+                 RANK() OVER (ORDER BY total_rev DESC) AS r
+          FROM rev
+        )
+        SELECT s.s_suppkey, s.s_name, ranked.total_rev
+        FROM ranked JOIN supplier s ON s.s_suppkey = ranked.l_suppkey
+        WHERE ranked.r = 1 ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15 shape: the top supplier(s) by quarterly revenue — "
+    "max-over-aggregate with TIES KEPT (RANK, not LIMIT 1, so equal "
+    "top revenues all surface; the revenue is rounded BEFORE ranking "
+    "so the tie set is engine-stable). Plan shape: the date window "
+    "pushes into the lineitem scan; revenue is one suppkey-keyed "
+    "aggregate; the rank window runs on the |suppliers|-row summary "
+    "and the supplier dim broadcasts onto the winners.",
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    rev = (
+        table_parallel(spark, sf, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))),
+                2,
+            ).alias("total_rev")
+        )
+    )
+    ranked = rev.withColumn(
+        "r", F.rank().over(Window.orderBy(F.desc("total_rev")))
+    ).where(F.col("r") == 1)
+    s = table_parallel(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        ranked.join(s, ranked["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q181_supplier_part_concentration",
+    oracle="""
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey, SUM(l_extendedprice) AS val
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        tot AS (SELECT SUM(val) AS t, COUNT(*) AS n FROM ps)
+        SELECT l_partkey, l_suppkey, ROUND(val, 2) AS val
+        FROM ps, tot WHERE val > 3.0 * t / n
+        ORDER BY l_partkey, l_suppkey
+    """,
+    doc="TPC-H Q11 shape: (part, supplier) cells whose traded value "
+    "exceeds a GLOBAL-AGGREGATE threshold (3x the mean cell value — "
+    "scale-adaptive, unlike Q11's fixed fraction, so the census "
+    "stays non-degenerate as the cell table grows) — the "
+    "aggregate-vs-scalar-subquery HAVING pattern decorrelated to a "
+    "1-row total broadcast over the cell table. Plan shape: one "
+    "(part, supp)-keyed aggregate builds the cell table, the global "
+    "total is a second 1-row aggregate of that summary (not a "
+    "second corpus scan), and the threshold filter is a broadcast "
+    "nested loop over |cells| x 1 rows. The concentration census "
+    "that finds single-supplier exposure in a procurement graph.",
+)
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    ps = (
+        table_parallel(spark, sf, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_extendedprice").alias("val"))
+        .localCheckpoint(eager=False)
+    )
+    tot = ps.agg(F.sum("val").alias("t"), F.count("*").alias("n"))
+    return (
+        ps.crossJoin(F.broadcast(tot))
+        .where(F.col("val") > 3.0 * F.col("t") / F.col("n"))
+        .select(
+            "l_partkey", "l_suppkey", F.round("val", 2).alias("val")
+        )
+        .orderBy("l_partkey", "l_suppkey")
+    )

@@ -550,3 +550,64 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("delay_hours_bucket")
     )
+
+
+
+@register(
+    "q182_percent_of_parent",
+    oracle="""
+        WITH rev AS (
+          SELECT r.r_name AS region, n.n_name AS nation,
+                 SUM(o.o_totalprice) AS nation_rev
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+          GROUP BY r.r_name, n.n_name
+        )
+        SELECT region, nation,
+               ROUND(nation_rev, 2) AS nation_rev,
+               ROUND(nation_rev / SUM(nation_rev) OVER (PARTITION BY region),
+                     6) AS pct_of_region,
+               ROUND(nation_rev / SUM(nation_rev) OVER (), 6) AS pct_of_total
+        FROM rev ORDER BY region, nation
+    """,
+    doc="Percent-of-parent OLAP shares: nation revenue as a share of "
+    "its region and of the world, in one pass — the drill-down "
+    "ratio every BI tool renders (and re-queries badly: the naive "
+    "formulation re-aggregates the fact table once per grain). Plan "
+    "shape: the corpus-sized work is ONE orders aggregate keyed by "
+    "the joined-in (region, nation) dims (all dimension joins "
+    "broadcast); both share denominators are window sums over the "
+    "|nations|-row summary, so the multi-grain ratios cost nothing "
+    "extra at 100 TB.",
+)
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    o = table_parallel(spark, sf, "orders")
+    c = table_parallel(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = table_parallel(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = table_parallel(spark, sf, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("nation_rev"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.round("nation_rev", 2).alias("nation_rev"),
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w_region), 6).alias(
+            "pct_of_region"
+        ),
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w_all), 6).alias(
+            "pct_of_total"
+        ),
+    ).orderBy("region", "nation")

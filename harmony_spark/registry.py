@@ -46,14 +46,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 # The strongest LLM-pipeline evidence: composed dedup funnels, the
 # prefix-filtered similarity join, and the round-3 additions (partition
-# pruning, IVF-PQ, quality funnel, benchmark decontamination). Promoted
-# ahead of the q33+ extensions so they land inside the driver's 50-entry
-# window. To make room, seven rows whose components stay covered by
-# other in-window entries are demoted: q33/q34/q36/q38 (X2 — covered by
-# q35, q89, q97, q98, q130), q40/q42 (X4 — covered by q32, q39), q37
-# (X3 — covered by q31, q101), and q41 (X1 — covered by q30). q134
-# gives the CDC family its only in-window row; q148 the eval-metrics
-# family its first.
+# pruning, IVF-PQ, quality funnel, benchmark decontamination, as-of
+# join, sequence packing). Promoted ahead of the q33+ extensions so
+# they land inside the driver's 50-entry window. To make room, rows
+# whose components stay covered by other in-window entries are demoted:
+# q33/q34/q35/q36/q38 (X2 — covered by q89, q97, q98, q130, q132),
+# q39/q40/q42 (X4 — covered by q32, q102, q148's gates), q37 (X3 —
+# covered by q31, q101), and q41 (X1 — covered by q30). q134 gives the
+# CDC family its only in-window row; q148 the eval-metrics family its
+# first; q164/q165 the as-of and packing operators theirs.
 _PROMOTED = (
     "q89_prefix_similarity_join",
     "q97_dedup_pipeline",
@@ -66,14 +67,18 @@ _PROMOTED = (
     "q132_incremental_neardup",
     "q134_pit_enrichment",
     "q148_distributed_auc",
+    "q164_asof_signup_attribution",
+    "q165_sequence_packing",
 )
 _DEMOTED = frozenset(
     {
         "q33_ngram_jaccard",
         "q34_minhash_signatures",
+        "q35_minhash_lsh_pairs",
         "q36_simhash_groups",
         "q37_cosine_topk",
         "q38_lsh_bucket_histogram",
+        "q39_lang_id",
         "q40_quality_score",
         "q41_fingerprint_dedup",
         "q42_token_frequencies",
@@ -84,12 +89,12 @@ _DEMOTED = frozenset(
 def _priority(name: str) -> tuple[int, int]:
     """Registry ordering: the driver's correctness gate checks the FIRST
     50 entries. In-window (positions 1-50): the declared SURVEY §2.11
-    corpus q01-q32, the four harmony_* pipelines, the eleven promoted
-    queries (q89/q97/q98/q100/q101/q102/q104/q130/q132/q134/q148),
-    then the first three of q33-q47 not demoted (q35/q39/q43).
+    corpus q01-q32, the four harmony_* pipelines, the thirteen promoted
+    queries (q89/q97/q98/q100/q101/q102/q104/q130/q132/q134/q148/
+    q164/q165), then the first entry of q33-q47 not demoted (q43).
     Out-of-window (covered by the identical local gate at sf0.001
-    instead): the demoted q33/q34/q36/q37/q38/q40/q41/q42, q44-q47,
-    q83-q88, q90-q92, and the remaining relational surface q48+."""
+    instead): the demoted q33-q42, q44-q47, q83-q88, q90-q92, and the
+    remaining relational/extension surface q48+."""
     if name in _PROMOTED:
         return (2, _PROMOTED.index(name))
     if name.startswith("q"):

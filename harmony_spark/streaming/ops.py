@@ -432,3 +432,51 @@ def windowed_distinct_users(
             "approx_users",
         )
     )
+
+
+def asof_enrich_sink(
+    purchases: DataFrame,
+    signups_static: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    query_name: str = "asof_enrich",
+):
+    """Streaming point-in-time enrichment: each micro-batch of purchase
+    events is AS-OF joined (operators.journeys.asof_join) against the
+    STATIC signup dimension and appended to a parquet sink.
+
+    Window functions are illegal on a streaming DataFrame, so the as-of
+    runs inside foreachBatch — each micro-batch is a bounded batch
+    DataFrame where the union-tag + carry-forward-window formulation
+    applies unchanged. With a static right side this is exactly correct
+    under any batch slicing: a purchase's set of candidate signups does
+    not depend on which micro-batch it arrived in. (A signup STREAM
+    would need applyInPandasWithState keyed on user, carrying the
+    latest-signup struct — the q132-style delta/history split.)
+
+    Exactly-once: foreachBatch replays a failed batch with the same
+    batch_id; the parquet append is idempotized by writing to a
+    batch-id subdirectory, the same discipline as
+    operators/catalog.py's streaming sink.
+    """
+    from harmony_spark.operators.journeys import asof_join
+
+    def _enrich(batch_df: DataFrame, batch_id: int) -> None:
+        out = asof_join(
+            batch_df,
+            signups_static,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="signup_ts",
+            right_payload=["signup_id", "signup_ts"],
+            how="inner",
+        )
+        out.write.mode("overwrite").parquet(f"{sink_path}/batch_id={batch_id}")
+
+    return (
+        purchases.writeStream.foreachBatch(_enrich)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -121,6 +121,9 @@ def run_checks() -> int:
         "q135_bpe_tokens",  # driver-learned merges shipped to executors
         "q137_als_completion",  # iterative ALS, batched numpy solves
         "q148_distributed_auc",  # two-phase sharded global rank
+        "q164_asof_signup_attribution",  # union-tag as-of window
+        "q165_sequence_packing",  # per-bucket applyInPandas fold
+        "q167_entity_resolution",  # levenshtein blocking + star CC
         "harmony_correct",  # full harmony: broadcasts + Arrow passes
         "harmony_stream_drift",  # stateful streaming on real executors
     ]

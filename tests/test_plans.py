@@ -115,6 +115,9 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q150_corpus_health",  # cross join of two single-row aggregates
     "q151_ndcg_quantized",  # inequality joins vs 3 broadcast query vectors
     "q161_funnel_conversion",  # cross join of five single-row stage aggregates
+    "q176_vocab_coverage",  # rank<=k join vs the 3-row fixed head-size list
+    "q179_idle_high_balance",  # threshold join vs the 1-row balance average
+    "q181_supplier_part_concentration",  # threshold join vs the 1-row total
 }
 
 
@@ -467,3 +470,24 @@ def test_q148_rank_is_sharded_not_global(spark, sf_dir):
     assert "windowspecdefinition(shard#" in plan
     assert "windowspecdefinition(score#" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q164_asof_join_plans_without_join_operator(spark, sf_dir):
+    """The as-of enrichment's scale contract: the union-tag +
+    carry-forward-window formulation computes the point-in-time match
+    with NO join node at all — a Join (range or equi) in this plan
+    means the formulation regressed to the fan-out-prone variant."""
+    plan = plan_of(
+        load_all()["q164_asof_signup_attribution"], spark, sf_dir, mode="simple"
+    )
+    assert "Join" not in plan
+
+
+def test_q165_packing_is_bucket_grouped_pandas(spark, sf_dir):
+    """Sequence packing must run as ONE grouped Arrow stage keyed by
+    the hash bucket (the parallelism unit) — no joins, and exactly one
+    FlatMapGroupsInPandas node; anything else means the fold leaked
+    into a driver loop or a self-join."""
+    plan = plan_of(load_all()["q165_sequence_packing"], spark, sf_dir, mode="simple")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "Join" not in plan

@@ -661,3 +661,38 @@ def test_streaming_windowed_distinct_within_tolerance(spark, sf_dir):
     assert set(got) == set(exact)
     for k, n in exact.items():
         assert abs(got[k] - n) <= max(1, 0.02 * n), (k, got[k], n)
+
+
+def test_streaming_asof_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming as-of enrichment (foreachBatch + asof_join against
+    the static signup dim) must agree row-for-row with the batch q164
+    (which DuckDB's native ASOF JOIN oracle-checks) — the static right
+    side makes the result independent of micro-batch slicing."""
+    from pyspark.sql import functions as F
+
+    events = ops.stream_events(spark, sf_dir)
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    from harmony_spark.io import table
+
+    signups = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("ts").alias("signup_ts"))
+        .agg(F.max("event_id").alias("signup_id"))
+    )
+    sink = str(tmp_path / "asof_sink")
+    q = ops.asof_enrich_sink(
+        purchases, signups, sink, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["signup_id"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = {
+        (r["purchase_id"], r["signup_id"])
+        for r in load_all()["q164_asof_signup_attribution"].fn(spark, sf_dir).collect()
+    }
+    assert got == batch and len(got) > 0
