@@ -1416,3 +1416,223 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q191_ks_two_sample",
+    oracle=r"""
+        WITH s AS (
+          SELECT source,
+                 len(string_split_regex(lower(text), '\s+')) AS x
+          FROM documents WHERE source IN ('src0', 'src1')
+        ),
+        v AS (
+          SELECT x,
+                 SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c0,
+                 SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c1
+          FROM s GROUP BY x
+        ),
+        n AS (SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM v),
+        e AS (
+          SELECT SUM(c0) OVER (ORDER BY x) AS cum0,
+                 SUM(c1) OVER (ORDER BY x) AS cum1
+          FROM v
+        )
+        SELECT CAST(n.n0 AS BIGINT) AS n0,
+               CAST(n.n1 AS BIGINT) AS n1,
+               ROUND(MAX(ABS(CAST(cum0 AS DOUBLE) / n.n0
+                             - CAST(cum1 AS DOUBLE) / n.n1)), 6) AS ks_d
+        FROM e, n GROUP BY n.n0, n.n1
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic between the document-"
+    "length distributions of two sources: D = max |ECDF0 - ECDF1| "
+    "evaluated at every distinct length — the distribution-drift "
+    "detector that catches shape changes a mean/variance check "
+    "misses (the nonparametric companion to q111's KL drift, which "
+    "needs binning; KS does not). Exactness: cumulative counts are "
+    "exact integers, one double division per side per step. Plan "
+    "shape: the corpus collapses to one row per DISTINCT length in "
+    "a single aggregate; the ECDF windows and max run on that tiny "
+    "value table, so corpus cost is the census scan.",
+)
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    s = (
+        table_parallel(spark, sf, "documents")
+        .where(F.col("source").isin("src0", "src1"))
+        .select(
+            "source",
+            F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("x"),
+        )
+    )
+    v = s.groupBy("x").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("c1"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    e = v.select(
+        F.sum("c0").over(w).alias("cum0"),
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c0").over(w_all).alias("n0"),
+        F.sum("c1").over(w_all).alias("n1"),
+    )
+    return (
+        e.groupBy("n0", "n1")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum0").cast("double") / F.col("n0")
+                        - F.col("cum1").cast("double") / F.col("n1")
+                    )
+                ),
+                6,
+            ).alias("ks_d")
+        )
+        .select(
+            F.col("n0").cast("long").alias("n0"),
+            F.col("n1").cast("long").alias("n1"),
+            "ks_d",
+        )
+    )
+
+
+_WILSON_Z = 1.96  # 95% interval
+
+
+@register(
+    "q192_wilson_intervals",
+    oracle=f"""
+        WITH assign AS (
+          SELECT user_id,
+                 CASE WHEN (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) + 1.0) / 4294967297.0 < 0.5
+                      THEN 'A' ELSE 'B' END AS arm,
+                 CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) >= 14
+                      THEN 1 ELSE 0 END AS converted
+          FROM events GROUP BY user_id
+        ),
+        s AS (
+          SELECT arm, COUNT(*) AS n, SUM(converted) AS k FROM assign
+          GROUP BY arm
+        )
+        SELECT arm,
+               CAST(n AS BIGINT) AS n,
+               CAST(k AS BIGINT) AS k,
+               ROUND((CAST(k AS DOUBLE) / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                      - {_WILSON_Z} * SQRT((CAST(k AS DOUBLE) / n)
+                          * (1.0 - CAST(k AS DOUBLE) / n) / n
+                          + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                     / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_lo,
+               ROUND((CAST(k AS DOUBLE) / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                      + {_WILSON_Z} * SQRT((CAST(k AS DOUBLE) / n)
+                          * (1.0 - CAST(k AS DOUBLE) / n) / n
+                          + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                     / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_hi
+        FROM s ORDER BY arm
+    """,
+    doc="Wilson score 95% confidence intervals for each experiment "
+    "arm's conversion rate (same hash-assigned arms and >=14-purchase "
+    "conversion as q172): the interval that stays inside [0,1] and "
+    "behaves at small n and extreme rates, where the naive Wald "
+    "interval collapses — non-overlapping Wilson intervals are the "
+    "decision-maker's view of q172's z-score. All counts exact; the "
+    "interval is a closed-form double expression per arm. Plan "
+    "shape: one user-keyed aggregate, one 2-row census.",
+)
+def q192(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / 4294967297.0
+    assign = (
+        table_parallel(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+        .withColumn("arm", F.when(u < 0.5, "A").otherwise("B"))
+    )
+    s = assign.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("k")
+    )
+    z = _WILSON_Z
+    p = F.col("k").cast("double") / F.col("n")
+    center = p + z * z / (2 * F.col("n"))
+    half = z * F.sqrt(
+        p * (1.0 - p) / F.col("n") + z * z / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1.0 + z * z / F.col("n")
+    return s.select(
+        "arm",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("arm")
+
+
+_ZIPF_FMIN = 5  # Hill-estimator tail cutoff
+
+
+@register(
+    "q193_zipf_alpha",
+    oracle=rf"""
+        WITH freq AS (
+          SELECT w, COUNT(*) AS f FROM (
+            SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents) t
+          GROUP BY w
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tail_words,
+               CAST(SUM(f) AS BIGINT) AS tail_mass,
+               ROUND(1.0 + COUNT(*)
+                     / SUM(LN(CAST(f AS DOUBLE) / {_ZIPF_FMIN})), 6)
+                 AS alpha_hat
+        FROM freq WHERE f >= {_ZIPF_FMIN} * 2
+    """,
+    doc="Zipf tail exponent via the Hill estimator: alpha = 1 + "
+    "n/sum(ln(f/f_min)) over word frequencies in the tail (f >= "
+    "2*f_min, the standard guard that the cutoff sits inside the "
+    "power-law regime) — quantifies HOW heavy the q176 coverage "
+    "curve's tail is (alpha near 2 = classic Zipf; larger = thin "
+    "tail, a small tokenizer vocab suffices). Plan shape: one "
+    "exploded word census with map-side combine, then a single "
+    "reduction over the |tail vocab| rows; the ln-sum is the only "
+    "double accumulation and is round-6 stable.",
+)
+def q193(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    freq = (
+        table_parallel(spark, sf, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .where(F.col("f") >= _ZIPF_FMIN * 2)
+    )
+    return freq.agg(
+        F.count("*").cast("long").alias("n_tail_words"),
+        F.sum("f").cast("long").alias("tail_mass"),
+        F.round(
+            1.0
+            + F.count("*")
+            / F.sum(F.log(F.col("f").cast("double") / _ZIPF_FMIN)),
+            6,
+        ).alias("alpha_hat"),
+    )

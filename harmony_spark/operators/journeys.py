@@ -798,3 +798,215 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
             "total_minutes"
         ),
     )
+
+@register(
+    "q184_cohort_ltv",
+    oracle="""
+        WITH s AS (
+          SELECT user_id, MIN(ts) AS signup_ts
+          FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        p AS (
+          SELECT e.user_id,
+                 date_diff('day', DATE '2024-01-01', CAST(s.signup_ts AS DATE))
+                   // 7 AS cohort_week,
+                 date_diff('microsecond', s.signup_ts, e.ts)
+                   // (7 * 86400000000) AS weeks_since,
+                 CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+          FROM events e JOIN s USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        ),
+        wk AS (
+          SELECT cohort_week, weeks_since,
+                 SUM(cents) AS rev_cents
+          FROM p GROUP BY cohort_week, weeks_since
+        )
+        SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+               CAST(weeks_since AS BIGINT) AS weeks_since,
+               CAST(SUM(rev_cents) OVER (PARTITION BY cohort_week
+                                         ORDER BY weeks_since) AS BIGINT)
+                 AS cum_rev_cents
+        FROM wk ORDER BY cohort_week, weeks_since
+    """,
+    doc="Cohort lifetime-value curve: purchases attributed to the "
+    "user's signup-week cohort, revenue accumulated by "
+    "weeks-since-signup — the LTV payback matrix that prices "
+    "acquisition spend (read along a row: how fast a cohort's "
+    "cumulative revenue grows; down a column: whether newer cohorts "
+    "monetize faster). Money is exact integer cents so the "
+    "cumulative sums are bit-stable. Plan shape: one user-keyed "
+    "signup aggregate joined onto purchases (user-keyed equi join), "
+    "one (cohort, week) aggregate, and the running total is a "
+    "window over that |cohorts|x|weeks| summary.",
+)
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    ev = table_parallel(spark, sf, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    week_us = 7 * 86_400_000_000
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .select(
+            F.floor(
+                F.datediff(F.to_date("signup_ts"), F.lit("2024-01-01")) / 7
+            ).alias("cohort_week"),
+            F.floor(
+                (F.unix_micros("ts") - F.unix_micros("signup_ts")) / week_us
+            ).alias("weeks_since"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    wk = p.groupBy("cohort_week", "weeks_since").agg(
+        F.sum("cents").alias("rev_cents")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("weeks_since")
+    return wk.select(
+        F.col("cohort_week").cast("long").alias("cohort_week"),
+        F.col("weeks_since").cast("long").alias("weeks_since"),
+        F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
+    ).orderBy("cohort_week", "weeks_since")
+
+
+_RFM_OBS_END = "2024-01-31"
+
+
+@register(
+    "q185_rfm_segments",
+    oracle=f"""
+        WITH m AS (
+          SELECT user_id,
+                 date_diff('day', CAST(MAX(ts) AS DATE),
+                           DATE '{_RFM_OBS_END}') AS recency_days,
+                 COUNT(*) AS frequency,
+                 CAST(SUM(ROUND(value * 100)) AS BIGINT) AS monetary_cents
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        q AS (
+          SELECT NTILE(5) OVER (ORDER BY recency_days, user_id) AS r_q,
+                 NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+                 NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_q
+          FROM m
+        )
+        SELECT CAST(r_q AS BIGINT) AS r_q,
+               CAST(f_q AS BIGINT) AS f_q,
+               CAST(m_q AS BIGINT) AS m_q,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM q GROUP BY r_q, f_q, m_q
+        ORDER BY r_q, f_q, m_q
+    """,
+    doc="RFM segmentation census: every purchasing user scored into "
+    "recency/frequency/monetary quintiles (NTILE with a user_id "
+    "tiebreak so the cut is deterministic — quintile 1 = most "
+    "recent / most frequent / highest spend), then censused per "
+    "(R,F,M) cell — the classic CRM segmentation grid (at most 125 "
+    "cells; the '111' corner is the champions segment). Plan shape: "
+    "one user-keyed purchase aggregate; the three quintile windows "
+    "run on the |users|-row summary (at true scale swap NTILE for "
+    "q68's approx-percentile bucket path — same output contract); "
+    "the census is a bounded aggregate.",
+)
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    m = (
+        table_parallel(spark, sf, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.lit(_RFM_OBS_END).cast("date"), F.to_date(F.max("ts"))
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100)).cast("long").alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    q = m.select(
+        F.ntile(5).over(Window.orderBy("recency_days", "user_id")).alias("r_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), "user_id"))
+        .alias("f_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_cents"), "user_id"))
+        .alias("m_q"),
+    )
+    return (
+        q.groupBy(
+            F.col("r_q").cast("long").alias("r_q"),
+            F.col("f_q").cast("long").alias("f_q"),
+            F.col("m_q").cast("long").alias("m_q"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+@register(
+    "q186_repurchase_intervals",
+    oracle="""
+        WITH p AS (
+          SELECT user_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+          FROM events WHERE event_type = 'purchase'
+        ),
+        d AS (
+          SELECT date_diff('microsecond', prev_ts, ts) // 3600000000 AS gap_hours
+          FROM p WHERE prev_ts IS NOT NULL
+        )
+        SELECT LEAST(5, CAST(gap_hours // 24 AS INT)) AS gap_days_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(MIN(gap_hours) AS BIGINT) AS min_hours,
+               CAST(MAX(gap_hours) AS BIGINT) AS max_hours
+        FROM d GROUP BY gap_days_bucket ORDER BY gap_days_bucket
+    """,
+    doc="Repeat-purchase cadence: the distribution of gaps between a "
+    "user's CONSECUTIVE purchases (day buckets, 5+ capped) — the "
+    "replenishment-cycle histogram that sets reorder reminders and "
+    "churn alarm thresholds (a user 2x past their modal gap is "
+    "lapsing); the purchase-to-purchase companion of q157's "
+    "view-to-purchase delay. Plan shape: one user-keyed LAG window "
+    "over purchases only (events pre-filtered before the shuffle), "
+    "then a bounded histogram aggregate; gaps are exact integer "
+    "hours.",
+)
+def q186(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        table_parallel(spark, sf, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+    )
+    d = p.where(F.col("prev_ts").isNotNull()).select(
+        F.floor(
+            (F.unix_micros("ts") - F.unix_micros("prev_ts")) / 3_600_000_000
+        ).alias("gap_hours")
+    )
+    return (
+        d.groupBy(
+            F.least(F.lit(5), (F.col("gap_hours") / 24).cast("int")).alias(
+                "gap_days_bucket"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.min("gap_hours").cast("long").alias("min_hours"),
+            F.max("gap_hours").cast("long").alias("max_hours"),
+        )
+        .orderBy("gap_days_bucket")
+    )

@@ -1770,3 +1770,180 @@ def q181(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_partkey", "l_suppkey")
     )
+
+
+@register(
+    "q188_pareto_frontier",
+    oracle="""
+        SELECT p_partkey, p_brand, p_retailprice,
+               CAST(p_size AS BIGINT) AS p_size
+        FROM part a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part b
+          WHERE b.p_retailprice <= a.p_retailprice
+            AND b.p_size <= a.p_size
+            AND (b.p_retailprice < a.p_retailprice
+                 OR b.p_size < a.p_size)
+        )
+        ORDER BY p_partkey
+    """,
+    doc="2-D Pareto frontier (skyline): parts minimizing (price, size) "
+    "that no other part dominates on both axes — the multi-objective "
+    "shortlist shape (cheapest-for-its-size catalog, efficient "
+    "frontier screens). The oracle is the quadratic NOT EXISTS "
+    "dominance anti-join; the Spark plan is the SORT-SCAN skyline: "
+    "collapse to one row per DISTINCT price (min size at that "
+    "price), take a running min over strictly-cheaper prices with a "
+    "rows frame on that distinct-price table, and join the two "
+    "thresholds back — O(n log n) total, the formulation that "
+    "survives when the quadratic check cannot. (A rangeBetween(-1) "
+    "frame would NOT mean 'strictly cheaper': range offsets are "
+    "value-based, price minus 1.0.) Equal-(price, size) duplicates "
+    "are all kept — none dominates, the strictness clause fails.",
+)
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    # a row survives iff no strictly-cheaper row has size <= its own AND
+    # no equal-price row has strictly smaller size
+    p = table_parallel(spark, sf, "part").select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    )
+    price_lvl = p.groupBy("p_retailprice").agg(
+        F.min("p_size").alias("min_size_at_price")
+    )
+    w_prev_price = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    thresholds = price_lvl.withColumn(
+        "min_size_cheaper", F.min("min_size_at_price").over(w_prev_price)
+    )
+    out = p.join(thresholds, "p_retailprice").where(
+        (
+            F.col("min_size_cheaper").isNull()
+            | (F.col("p_size") < F.col("min_size_cheaper"))
+        )
+        & (F.col("p_size") == F.col("min_size_at_price"))
+    )
+    return out.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.col("p_size").cast("long").alias("p_size"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "q189_ordered_string_agg",
+    oracle="""
+        WITH top5 AS (
+          SELECT n.n_name AS nation, c.c_name, c.c_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                    ORDER BY c.c_acctbal DESC, c.c_custkey)
+                   AS r
+          FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        )
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n_top,
+               string_agg(c_name, ',' ORDER BY r) AS top_customers
+        FROM top5 WHERE r <= 5
+        GROUP BY nation ORDER BY nation
+    """,
+    doc="ORDERED string aggregation: each nation's top-5 customers by "
+    "balance concatenated IN RANK ORDER — the report-formatting "
+    "aggregate (DuckDB: string_agg ORDER BY; Spark has no ordered "
+    "agg, so the plan collects (rank, name) structs, sorts the "
+    "in-group array with array_sort, and projects the names — the "
+    "general recipe for ANY order-sensitive aggregate on an engine "
+    "with unordered aggregation). Plan shape: dim broadcast, one "
+    "nation-keyed rank window, and a bounded 5-element array per "
+    "group — never an unbounded collect.",
+)
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    c = table_parallel(spark, sf, "customer")
+    n = table_parallel(spark, sf, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("nation").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    top5 = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), "c_name", "c_acctbal", "c_custkey")
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 5)
+    )
+    return (
+        top5.groupBy("nation")
+        .agg(
+            F.count("*").cast("long").alias("n_top"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("r", "c_name"))
+                    ),
+                    lambda s: s["c_name"],
+                ),
+                ",",
+            ).alias("top_customers"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "q190_chisq_independence",
+    oracle="""
+        WITH o AS (
+          SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+                 COUNT(*) AS obs
+          FROM events GROUP BY event_type, dow
+        ),
+        m AS (
+          SELECT event_type, dow, obs,
+                 SUM(obs) OVER (PARTITION BY event_type) AS row_tot,
+                 SUM(obs) OVER (PARTITION BY dow) AS col_tot,
+                 SUM(obs) OVER () AS n
+          FROM o
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(MAX(n) AS BIGINT) AS n_events,
+               ROUND(SUM(POW(obs - CAST(row_tot AS DOUBLE) * col_tot / n, 2)
+                         / (CAST(row_tot AS DOUBLE) * col_tot / n)), 6)
+                 AS chi_sq
+        FROM m
+    """,
+    doc="Chi-square independence test of event type vs day-of-week: "
+    "the contingency-table statistic sum((O-E)^2/E) with expected "
+    "counts E = row*col/N — the seasonality detector behind 'is "
+    "error rate independent of weekday'. All counts are exact "
+    "integers; E is one double expression per cell, and the "
+    "statistic sums |types|x7 terms, so the round-6 output is "
+    "engine-stable. Plan shape: events collapse to the bounded "
+    "contingency table in ONE aggregate; the marginals are window "
+    "sums over that tiny table (the same decomposition as q11's "
+    "contingency + q12's expected counts, fused to the test "
+    "statistic).",
+)
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    o = (
+        table_parallel(spark, sf, "events")
+        .groupBy(
+            "event_type", F.dayofweek(F.to_date("ts")).alias("dow")
+        )
+        .agg(F.count("*").alias("obs"))
+    )
+    m = o.select(
+        "obs",
+        F.sum("obs").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    return m.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.max("n").cast("long").alias("n_events"),
+        F.round(F.sum(F.pow(F.col("obs") - e, 2) / e), 6).alias("chi_sq"),
+    )

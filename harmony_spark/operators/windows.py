@@ -611,3 +611,81 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
             "pct_of_total"
         ),
     ).orderBy("region", "nation")
+
+@register(
+    "q187_revenue_pareto",
+    oracle="""
+        WITH c AS (
+          SELECT o_custkey,
+                 CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS cents
+          FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT cents,
+                 ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS r,
+                 COUNT(*) OVER () AS n,
+                 SUM(cents) OVER () AS total,
+                 SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM c
+        ),
+        pcts AS (SELECT UNNEST([1, 5, 20]) AS pct)
+        SELECT CAST(pct AS BIGINT) AS top_pct,
+               CAST(MAX(r) AS BIGINT) AS n_customers,
+               ROUND(CAST(MAX(cum) AS DOUBLE) / MAX(total), 6)
+                 AS revenue_share
+        FROM ranked JOIN pcts
+          ON ranked.r <= CAST(CEIL(pct * ranked.n / 100.0) AS BIGINT)
+        GROUP BY pct ORDER BY top_pct
+    """,
+    doc="Revenue Pareto concentration: the share of total order value "
+    "captured by the top 1/5/20 percent of customers — the "
+    "whale-curve census behind account-tiering and risk-of-"
+    "concentration reviews (80/20 checks). Money is exact integer "
+    "cents; the cumulative and total sums are exact, with ONE double "
+    "division per output row, so shares are engine-stable at round "
+    "6. Plan shape: one custkey-keyed aggregate collapses orders to "
+    "|customers| rows; ranking + running sums are windows over that "
+    "summary; the head join is rank<=ceil(pct*n) vs the 3-row fixed "
+    "percentile list.",
+)
+def q187(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    c = (
+        table_parallel(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w_ord = Window.orderBy(F.desc("cents"), "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = c.select(
+        F.row_number().over(w_ord).alias("r"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("total"),
+        F.sum("cents")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    pcts = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(5), F.lit(20))).alias("pct")
+    )
+    return (
+        ranked.join(
+            pcts,
+            ranked["r"]
+            <= F.ceil(pcts["pct"] * ranked["n"] / 100.0).cast("long"),
+        )
+        .groupBy(F.col("pct").cast("long").alias("top_pct"))
+        .agg(
+            F.max("r").cast("long").alias("n_customers"),
+            F.round(
+                F.max("cum").cast("double") / F.max("total"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("top_pct")
+    )
