@@ -1010,3 +1010,138 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("gap_days_bucket")
     )
+
+
+
+@register(
+    "q194_value_imputation",
+    oracle="""
+        WITH nonerr AS (
+          SELECT user_id, quantile_cont(value, 0.5) AS user_med
+          FROM events WHERE event_type <> 'error' GROUP BY user_id
+        ),
+        gmed AS (
+          SELECT quantile_cont(value, 0.5) AS global_med
+          FROM events WHERE event_type <> 'error'
+        ),
+        imputed AS (
+          SELECT COALESCE(n.user_med, g.global_med) AS v
+          FROM events e
+          LEFT JOIN nonerr n USING (user_id), gmed g
+          WHERE e.event_type = 'error'
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_imputed,
+               CAST(SUM(CAST(ROUND(v * 10000) AS BIGINT)) AS BIGINT)
+                 AS imputed_sum_e4,
+               ROUND(MIN(v), 4) AS min_imputed,
+               ROUND(MAX(v), 4) AS max_imputed
+        FROM imputed
+    """,
+    doc="Group-statistic imputation: 'error' events' corrupt values "
+    "are repaired with the per-user MEDIAN of that user's clean "
+    "events, falling back to the global clean median for users with "
+    "no clean history — the data-cleaning primitive (median, not "
+    "mean: one corrupt whale value would poison a mean-based "
+    "repair). Plan shape: one user-keyed exact-percentile aggregate "
+    "(|users| rows) left-joined onto the error rows, the global "
+    "median a 1-row broadcast fallback; the census output pins the "
+    "imputed values (sum in exact integer ten-thousandths - a raw "
+    "double sum of interpolated medians straddles rounding "
+    "boundaries between engines), not just the count.",
+)
+def q194(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    ev = table_parallel(spark, sf, "events")
+    clean = ev.where(F.col("event_type") != "error")
+    nonerr = clean.groupBy("user_id").agg(
+        F.percentile("value", F.lit(0.5)).alias("user_med")
+    )
+    glob = clean.agg(F.percentile("value", F.lit(0.5)).alias("global_med"))
+    imputed = (
+        ev.where(F.col("event_type") == "error")
+        .join(nonerr, "user_id", "left")
+        .crossJoin(F.broadcast(glob))
+        .select(F.coalesce("user_med", "global_med").alias("v"))
+    )
+    return imputed.agg(
+        F.count("*").cast("long").alias("n_imputed"),
+        F.sum(F.round(F.col("v") * 10000).cast("long"))
+        .cast("long")
+        .alias("imputed_sum_e4"),
+        F.round(F.min("v"), 4).alias("min_imputed"),
+        F.round(F.max("v"), 4).alias("max_imputed"),
+    )
+
+
+@register(
+    "q195_cusum_changepoint",
+    oracle="""
+        WITH d AS (
+          SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS idx,
+                 SUM(value) AS x
+          FROM events GROUP BY idx
+        ),
+        c AS (
+          SELECT idx,
+                 SUM(x - (SELECT AVG(x) FROM d)) OVER (ORDER BY idx) AS cusum
+          FROM d
+        ),
+        r AS (
+          SELECT idx, cusum,
+                 ROW_NUMBER() OVER (ORDER BY ROUND(ABS(cusum), 6) DESC, idx)
+                   AS rk
+          FROM c
+        )
+        SELECT CAST(idx AS BIGINT) AS changepoint_day,
+               ROUND(ABS(cusum), 6) AS max_abs_cusum,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days
+        FROM r WHERE rk = 1
+    """,
+    doc="CUSUM change-point detection on the daily value series: the "
+    "cumulative sum of deviations from the series mean peaks (in "
+    "absolute value) at the most likely level-shift day — the "
+    "classic offline change-point locator behind 'when did the "
+    "metric actually move', sharper than eyeballing a rolling mean. "
+    "The argmax ranks on the ROUNDED |cusum| with a day tiebreak, so "
+    "a last-ulp difference between engines cannot flip the selected "
+    "day. "
+    "Plan shape: events collapse to one row per day in a single "
+    "aggregate; the mean, the running CUSUM, and the ranking all "
+    "operate on that |days|-row series, so corpus cost is the "
+    "day-keyed aggregate alone.",
+)
+def q195(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    d = (
+        table_parallel(spark, sf, "events")
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("idx")
+        )
+        .agg(F.sum("value").alias("x"))
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    with_mean = d.select(
+        "idx",
+        "x",
+        F.avg("x").over(w_all).alias("m"),
+        F.count("*").over(w_all).alias("n_days"),
+    )
+    c = with_mean.select(
+        "idx",
+        "n_days",
+        F.sum(F.col("x") - F.col("m")).over(w_cum).alias("cusum"),
+    )
+    r = c.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.desc(F.round(F.abs(F.col("cusum")), 6)), "idx")
+        ),
+    )
+    return r.where(F.col("rk") == 1).select(
+        F.col("idx").cast("long").alias("changepoint_day"),
+        F.round(F.abs(F.col("cusum")), 6).alias("max_abs_cusum"),
+        F.col("n_days").cast("long").alias("n_days"),
+    )

@@ -1947,3 +1947,63 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
         F.max("n").cast("long").alias("n_events"),
         F.round(F.sum(F.pow(F.col("obs") - e, 2) / e), 6).alias("chi_sq"),
     )
+
+
+@register(
+    "q196_benford_digits",
+    oracle="""
+        WITH digits AS (
+          SELECT CAST(FLOOR(o_totalprice
+                   / POW(10, FLOOR(LOG10(o_totalprice)))) AS BIGINT) AS d
+          FROM orders WHERE o_totalprice >= 1.0
+        ),
+        census AS (
+          SELECT d, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS total
+          FROM digits GROUP BY d
+        )
+        SELECT d AS leading_digit,
+               CAST(n AS BIGINT) AS n_orders,
+               ROUND(LOG10(1.0 + 1.0 / d), 6) AS benford_p,
+               ROUND(POW(n - total * LOG10(1.0 + 1.0 / d), 2)
+                     / (total * LOG10(1.0 + 1.0 / d)), 6) AS chisq_term
+        FROM census ORDER BY leading_digit
+    """,
+    doc="Benford's-law leading-digit census over order values: "
+    "observed first-digit counts vs the log10(1+1/d) expectation, "
+    "with the per-digit chi-square contribution — the forensic "
+    "screen for fabricated or capped monetary data (TPC-H's uniform "
+    "price generator fails Benford spectacularly, which is exactly "
+    "what the census should reveal; organic revenue passes). The "
+    "leading digit is extracted arithmetically (floor(x/10^floor("
+    "log10 x))), never via string formatting, so both engines agree "
+    "bit-for-bit away from exact powers of ten. Plan shape: one "
+    "projection + a 9-key aggregate.",
+)
+def q196(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    digits = (
+        table_parallel(spark, sf, "orders")
+        .where(F.col("o_totalprice") >= 1.0)
+        .select(
+            F.floor(
+                F.col("o_totalprice")
+                / F.pow(10.0, F.floor(F.log10("o_totalprice")))
+            )
+            .cast("long")
+            .alias("d")
+        )
+    )
+    census = digits.groupBy("d").agg(F.count("*").alias("n"))
+    census = census.withColumn(
+        "total", F.sum("n").over(Window.partitionBy())
+    )
+    p = F.log10(1.0 + 1.0 / F.col("d"))
+    return census.select(
+        F.col("d").alias("leading_digit"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(p, 6).alias("benford_p"),
+        F.round(
+            F.pow(F.col("n") - F.col("total") * p, 2) / (F.col("total") * p), 6
+        ).alias("chisq_term"),
+    ).orderBy("leading_digit")

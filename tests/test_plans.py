@@ -119,6 +119,7 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q179_idle_high_balance",  # threshold join vs the 1-row balance average
     "q181_supplier_part_concentration",  # threshold join vs the 1-row total
     "q187_revenue_pareto",  # rank<=head join vs the 3-row percentile list
+    "q194_value_imputation",  # fallback join vs the 1-row global median
 }
 
 
