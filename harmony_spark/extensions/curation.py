@@ -1636,3 +1636,162 @@ def q193(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("alpha_hat"),
     )
+
+
+@register(
+    "q197_quantile_normalization",
+    oracle=r"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(lower(text), '\s+')) AS x
+          FROM documents
+        ),
+        pooled AS (
+          SELECT x AS pooled_x,
+                 ROW_NUMBER() OVER (ORDER BY x, doc_id) AS idx,
+                 COUNT(*) OVER () AS n
+          FROM d
+        ),
+        ranked AS (
+          SELECT source, x,
+                 CAST(ROUND((PERCENT_RANK() OVER (PARTITION BY source
+                                                  ORDER BY x, doc_id))
+                            * ((SELECT MAX(n) FROM pooled) - 1)) AS BIGINT)
+                   + 1 AS target_idx
+          FROM d
+        )
+        SELECT r.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(p.pooled_x - r.x) AS BIGINT) AS total_shift,
+               CAST(MAX(ABS(p.pooled_x - r.x)) AS BIGINT) AS max_shift
+        FROM ranked r JOIN pooled p ON p.idx = r.target_idx
+        GROUP BY r.source ORDER BY r.source
+    """,
+    doc="Quantile normalization across sources: every document's "
+    "length is mapped to the POOLED distribution's value at the same "
+    "quantile rank (the microarray-normalization classic, here the "
+    "length-rebalancing transform for mixing corpora whose document-"
+    "size distributions differ) — the census reports how much each "
+    "source's mass must shift (exact integer token deltas). "
+    "Determinism: ranks use (value, doc_id) tiebreaks and the target "
+    "index is an exact integer round of percent_rank*(N-1), so the "
+    "rank join is an equi join on integers — no interpolation "
+    "ambiguity. Plan shape: one pooled ranking window and one "
+    "per-source ranking window over the |docs|-row length table, "
+    "then an integer-keyed join; at 100 TB replace the global "
+    "row_number with q68's approx-percentile bucket path (same "
+    "output contract, documented there).",
+)
+def q197(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    d = table_parallel(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("x"),
+    ).localCheckpoint(eager=False)
+    w_pool = Window.orderBy("x", "doc_id")
+    pooled = d.select(
+        F.col("x").alias("pooled_x"),
+        F.row_number().over(w_pool).alias("idx"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    n_total = pooled.agg(F.max("n")).first()[0]
+    w_src = Window.partitionBy("source").orderBy("x", "doc_id")
+    ranked = d.select(
+        "source",
+        "x",
+        (
+            F.round(F.percent_rank().over(w_src) * (n_total - 1)).cast("long")
+            + 1
+        ).alias("target_idx"),
+    )
+    return (
+        ranked.join(
+            pooled.select("idx", "pooled_x"),
+            ranked["target_idx"] == pooled["idx"],
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("pooled_x") - F.col("x")).cast("long").alias(
+                "total_shift"
+            ),
+            F.max(F.abs(F.col("pooled_x") - F.col("x")))
+            .cast("long")
+            .alias("max_shift"),
+        )
+        .orderBy("source")
+    )
+
+
+
+@register(
+    "q199_weighted_median",
+    oracle=r"""
+        WITH d AS (
+          SELECT source,
+                 len(string_split_regex(lower(text), '\s+')) AS x
+          FROM documents
+        ),
+        g AS (
+          SELECT source, x, COUNT(*) AS w FROM d GROUP BY source, x
+        ),
+        c AS (
+          SELECT source, x, w,
+                 SUM(w) OVER (PARTITION BY source ORDER BY x) AS cum,
+                 SUM(w) OVER (PARTITION BY source) AS total
+          FROM g
+        ),
+        m AS (
+          SELECT source, MIN(x) AS wmedian
+          FROM c WHERE cum * 2 >= total GROUP BY source
+        )
+        SELECT m.source,
+               CAST(m.wmedian AS BIGINT) AS token_weighted_median,
+               CAST(t.total AS BIGINT) AS n_docs
+        FROM m JOIN (SELECT source, MAX(total) AS total FROM c
+                     GROUP BY source) t ON t.source = m.source
+        ORDER BY m.source
+    """,
+    doc="Weighted median document length per source (weight = "
+    "multiplicity; the first value whose cumulative weight crosses "
+    "half the total) — the positional statistic that, unlike "
+    "quantile_cont interpolation, is ALWAYS one of the observed "
+    "values and therefore hash-stable across engines with no "
+    "rounding contract at all. Generalizes directly to any weight "
+    "column (token mass, mix weight). Plan shape: the corpus "
+    "collapses to (source, value, weight) in one aggregate; the "
+    "crossing scan is a cumulative window over that distinct-value "
+    "table — the same two-phase exact-selection discipline as "
+    "q156's global median, done per group in one pass.",
+)
+def q199(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    d = table_parallel(spark, sf, "documents").select(
+        "source",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("x"),
+    )
+    g = d.groupBy("source", "x").agg(F.count("*").alias("w"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.select(
+        "source",
+        "x",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(Window.partitionBy("source")).alias("total"),
+    )
+    return (
+        c.where(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("source")
+        .agg(
+            F.min("x").cast("long").alias("token_weighted_median"),
+            F.max("total").cast("long").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+

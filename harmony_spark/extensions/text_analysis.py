@@ -744,3 +744,109 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+_PMI_MIN_COUNT = 25  # collocation support threshold
+_PMI_TOP_K = 15
+
+
+@register(
+    "q200_bigram_pmi",
+    oracle=rf"""
+        WITH toks AS (
+          SELECT doc_id, w, i FROM (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(lower(text), '\s+')) AS w,
+                   generate_subscripts(string_split_regex(lower(text), '\s+'),
+                                       1) AS i
+            FROM documents) t
+        ),
+        uni AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY w),
+        n_uni AS (SELECT SUM(f) AS n FROM uni),
+        bi AS (
+          SELECT a.w AS w1, b.w AS w2, COUNT(*) AS f2
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND b.i = a.i + 1
+          GROUP BY a.w, b.w
+        ),
+        n_bi AS (SELECT SUM(f2) AS n2 FROM bi),
+        scored AS (
+          SELECT bi.w1, bi.w2, bi.f2,
+                 ROUND(LN((CAST(bi.f2 AS DOUBLE) / n_bi.n2)
+                          / ((CAST(u1.f AS DOUBLE) / n_uni.n)
+                             * (CAST(u2.f AS DOUBLE) / n_uni.n))), 6) AS pmi
+          FROM bi, n_bi, n_uni
+          JOIN uni u1 ON u1.w = bi.w1
+          JOIN uni u2 ON u2.w = bi.w2
+          WHERE bi.f2 >= {_PMI_MIN_COUNT}
+        )
+        SELECT w1, w2, CAST(f2 AS BIGINT) AS f2, pmi FROM scored
+        ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOP_K}
+    """,
+    doc="Collocation extraction by pointwise mutual information: "
+    "adjacent-token bigrams scored PMI = ln(p(ab)/(p(a)p(b))) with a "
+    "support threshold (PMI without one surfaces hapax noise), top-k "
+    "with a deterministic (pmi, w1, w2) cut — the phrase-mining "
+    "primitive behind tokenizer merge candidates and stopword-pair "
+    "detection; the statistical upgrade of a raw bigram count "
+    "ranking (counts find 'of the', PMI finds true collocations). "
+    "Plan shape: one exploded position table joined to itself "
+    "doc-locally at offset +1 (equi join on (doc, position) — never "
+    "cross-doc), two bounded censuses, and the probability algebra "
+    "on the |bigrams|-row summary.",
+)
+def q200(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    toks = (
+        table_parallel(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+                "i0", "w"
+            ),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "w")
+        .localCheckpoint(eager=False)
+    )
+    uni = toks.groupBy("w").agg(F.count("*").alias("f"))
+    n_uni = uni.agg(F.sum("f").alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    bi_all = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.i") == F.col("a.i") + 1),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count("*").alias("f2"))
+        .localCheckpoint(eager=False)
+    )
+    # normalize by the FULL bigram mass, then threshold: the support
+    # filter selects which pairs report, it must not change p(ab)
+    n_bi = bi_all.agg(F.sum("f2").alias("n2"))
+    bi = bi_all.where(F.col("f2") >= _PMI_MIN_COUNT)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("f").alias("f_1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("f").alias("f_2"))
+    scored = (
+        bi.crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("f2").cast("long").alias("f2"),
+            F.round(
+                F.log(
+                    (F.col("f2").cast("double") / F.col("n2"))
+                    / (
+                        (F.col("f_1").cast("double") / F.col("n"))
+                        * (F.col("f_2").cast("double") / F.col("n"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(_PMI_TOP_K)

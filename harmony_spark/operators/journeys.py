@@ -1145,3 +1145,235 @@ def q195(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.abs(F.col("cusum")), 6).alias("max_abs_cusum"),
         F.col("n_days").cast("long").alias("n_days"),
     )
+
+
+@register(
+    "q198_grouped_ols_trend",
+    oracle="""
+        WITH d AS (
+          SELECT event_type,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS idx,
+                 SUM(value) AS y
+          FROM events GROUP BY event_type, idx
+        ),
+        s AS (
+          SELECT event_type,
+                 COUNT(*) AS n,
+                 SUM(CAST(idx AS DOUBLE)) AS sx,
+                 SUM(y) AS sy,
+                 SUM(CAST(idx AS DOUBLE) * idx) AS sxx,
+                 SUM(CAST(idx AS DOUBLE) * y) AS sxy,
+                 SUM(y * y) AS syy
+          FROM d GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_days,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 6) AS intercept,
+               ROUND(POW(n * sxy - sx * sy, 2)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                 AS r_squared
+        FROM s ORDER BY event_type
+    """,
+    doc="Grouped OLS regression: slope, intercept, and R^2 of each "
+    "event type's daily value series from the five closed-form "
+    "moment sums (n, Sx, Sy, Sxx, Sxy, Syy) — the standard trend "
+    "line q173's Theil-Sen is the robust alternative to; reading "
+    "both together separates 'real trend' (both agree) from "
+    "'outlier-driven trend' (OLS steep, Theil-Sen flat). Plan "
+    "shape: the moments are ONE aggregate over the day-level "
+    "series — distributive sums with map-side combine, no second "
+    "pass, no collect; the regression algebra is a per-group scalar "
+    "expression.",
+)
+def q198(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    d = (
+        table_parallel(spark, sf, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("idx"),
+        )
+        .agg(F.sum("value").alias("y"))
+    )
+    x = F.col("idx").cast("double")
+    s = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r_squared"),
+    ).orderBy("event_type")
+
+
+
+@register(
+    "q201_psi_drift",
+    oracle="""
+        WITH half AS (
+          SELECT value,
+                 CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN 0 ELSE 1 END AS h
+          FROM events
+        ),
+        edges AS (
+          SELECT quantile_cont(value,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+          FROM half WHERE h = 0
+        ),
+        binned AS (
+          SELECT h,
+                 1 + CAST(e[1] < value AS INT) + CAST(e[2] < value AS INT)
+                   + CAST(e[3] < value AS INT) + CAST(e[4] < value AS INT)
+                   + CAST(e[5] < value AS INT) + CAST(e[6] < value AS INT)
+                   + CAST(e[7] < value AS INT) + CAST(e[8] < value AS INT)
+                   + CAST(e[9] < value AS INT) AS b
+          FROM half, edges
+        ),
+        shares AS (
+          SELECT b,
+                 SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS c0,
+                 SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS c1
+          FROM binned GROUP BY b
+        ),
+        tot AS (SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM shares)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+               ROUND(SUM((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                         * LN((CAST(c1 AS DOUBLE) / n1)
+                              / (CAST(c0 AS DOUBLE) / n0))), 6) AS psi
+        FROM shares, tot
+    """,
+    doc="Population Stability Index between the first and second half "
+    "of the observation window: decile bin edges learned on the "
+    "REFERENCE half (exact interpolated quantiles), both halves "
+    "binned on those fixed edges, PSI = sum((p1-p0)*ln(p1/p0)) — "
+    "the ML-monitoring drift score with the industry thresholds "
+    "(<0.1 stable, >0.25 investigate); the binned complement of "
+    "q191's KS (which needs no bins but gives no per-bin "
+    "attribution). Reference deciles guarantee every bin is "
+    "populated on the reference side; ln is guarded by "
+    "construction. Plan shape: one quantile aggregate on the "
+    "reference half (broadcast 9 edges), one binned census, and "
+    "the PSI algebra on 10 rows.",
+)
+def q201(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    half = table_parallel(spark, sf, "events").select(
+        "value",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("h"),
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    edges = half.where(F.col("h") == 0).agg(
+        F.percentile("value", F.array(*[F.lit(q) for q in qs])).alias("e")
+    )
+    b = F.lit(1)
+    for i in range(1, 10):
+        b = b + F.when(F.element_at("e", i) < F.col("value"), 1).otherwise(0)
+    shares = (
+        half.crossJoin(F.broadcast(edges))
+        .select(b.alias("b"), "h")
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("h") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).alias("c1"),
+        )
+    )
+    w_all = Window.partitionBy()
+    rated = shares.select(
+        (F.col("c1").cast("double") / F.sum("c1").over(w_all)).alias("p1"),
+        (F.col("c0").cast("double") / F.sum("c0").over(w_all)).alias("p0"),
+    )
+    return rated.agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.round(
+            F.sum((F.col("p1") - F.col("p0")) * F.log(F.col("p1") / F.col("p0"))),
+            6,
+        ).alias("psi"),
+    )
+
+
+@register(
+    "q202_winsorization",
+    oracle="""
+        WITH cuts AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.01) AS lo,
+                 quantile_cont(value, 0.99) AS hi
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN e.value < c.lo OR e.value > c.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+               ROUND(AVG(LEAST(GREATEST(e.value, c.lo), c.hi)), 6)
+                 AS winsorized_mean,
+               ROUND(AVG(e.value), 6) AS raw_mean
+        FROM events e JOIN cuts c USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    doc="Winsorization census per event type: values clamped to the "
+    "[P1, P99] band (exact interpolated percentiles), reporting "
+    "clip counts and the winsorized-vs-raw mean gap — the outlier "
+    "treatment that keeps every row (unlike trimming) and the "
+    "preprocessing step that decides whether a mean-based feature "
+    "is usable at all (a large gap = the raw mean is a tail "
+    "artifact). Plan shape: one percentile aggregate per type "
+    "(|types| rows, broadcast back), then a single clamped census "
+    "over the fact — two passes total, the minimum any exact-"
+    "percentile treatment needs.",
+)
+def q202(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    ev = table_parallel(spark, sf, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("lo"),
+        F.percentile("value", F.lit(0.99)).alias("hi"),
+    )
+    w = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo"))
+                    | (F.col("value") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+            F.round(F.avg(w), 6).alias("winsorized_mean"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+        )
+        .orderBy("event_type")
+    )

@@ -2007,3 +2007,71 @@ def q196(spark: SparkSession, sf: str) -> DataFrame:
             F.pow(F.col("n") - F.col("total") * p, 2) / (F.col("total") * p), 6
         ).alias("chisq_term"),
     ).orderBy("leading_digit")
+
+
+@register(
+    "q203_referential_audit",
+    oracle="""
+        SELECT 'orders_without_customer' AS relationship,
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+                    AS BIGINT) AS n_orphans,
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_total
+        UNION ALL
+        SELECT 'lineitems_without_order',
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT),
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+        UNION ALL
+        SELECT 'customers_without_nation',
+               CAST((SELECT COUNT(*) FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                       WHERE n.n_nationkey = c.c_nationkey))
+                    AS BIGINT),
+               CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+        ORDER BY relationship
+    """,
+    doc="Referential-integrity audit: orphan counts for the three "
+    "declared foreign-key relationships (orders->customer, "
+    "lineitem->orders, customer->nation) — the data-quality gate a "
+    "warehouse runs after every ingest, since parquet enforces no "
+    "constraints (zero orphans here is itself the assertion worth "
+    "recording; nonzero after an incremental load means the load "
+    "order broke). Plan shape: each check is one LEFT ANTI join "
+    "keyed on the FK — the dimension sides broadcast, the fact "
+    "side streams, and the three audits union into a single "
+    "3-row report.",
+)
+def q203(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    o = table_parallel(spark, sf, "orders")
+    li = table_parallel(spark, sf, "lineitem")
+    c = table_parallel(spark, sf, "customer")
+    n = table_parallel(spark, sf, "nation")
+
+    def audit(name, fact, dim, fk, pk):
+        orphans = fact.join(
+            F.broadcast(dim.select(F.col(pk).alias(fk))), fk, "left_anti"
+        ).agg(F.count("*").cast("long").alias("n_orphans"))
+        total = fact.agg(F.count("*").cast("long").alias("n_total"))
+        return (
+            orphans.crossJoin(total)
+            .select(
+                F.lit(name).alias("relationship"), "n_orphans", "n_total"
+            )
+        )
+
+    return (
+        audit("orders_without_customer", o, c, "o_custkey", "c_custkey")
+        .unionByName(
+            audit("lineitems_without_order", li, o, "l_orderkey", "o_orderkey")
+        )
+        .unionByName(
+            audit("customers_without_nation", c, n, "c_nationkey", "n_nationkey")
+        )
+        .orderBy("relationship")
+    )

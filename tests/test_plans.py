@@ -120,6 +120,9 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q181_supplier_part_concentration",  # threshold join vs the 1-row total
     "q187_revenue_pareto",  # rank<=head join vs the 3-row percentile list
     "q194_value_imputation",  # fallback join vs the 1-row global median
+    "q200_bigram_pmi",  # cross joins vs the two 1-row mass totals
+    "q201_psi_drift",  # bin join vs the 1-row broadcast decile edges
+    "q203_referential_audit",  # cross joins of single-row audit counts
 }
 
 
