@@ -850,3 +850,226 @@ def q200(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(_PMI_TOP_K)
+
+
+@register(
+    "q204_heaps_law",
+    oracle=r"""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS w
+          FROM documents
+        ),
+        firsts AS (
+          SELECT w, MIN(doc_id) AS first_doc FROM toks GROUP BY w
+        ),
+        per_doc AS (
+          SELECT t.doc_id,
+                 COUNT(*) AS n_tok,
+                 (SELECT COUNT(*) FROM firsts f WHERE f.first_doc = t.doc_id)
+                   AS n_new
+          FROM toks t GROUP BY t.doc_id
+        ),
+        curve AS (
+          SELECT SUM(n_tok) OVER (ORDER BY doc_id) AS cum_tok,
+                 SUM(n_new) OVER (ORDER BY doc_id) AS cum_vocab
+          FROM per_doc
+        ),
+        logs AS (
+          SELECT LN(CAST(cum_tok AS DOUBLE)) AS lx,
+                 LN(CAST(cum_vocab AS DOUBLE)) AS ly
+          FROM curve WHERE cum_vocab > 0
+        ),
+        s AS (
+          SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+                 SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+          FROM logs
+        )
+        SELECT CAST(n AS BIGINT) AS n_points,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                 AS heaps_beta,
+               ROUND(EXP((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                         / n), 6) AS heaps_k
+        FROM s
+    """,
+    doc="Heaps'-law fit: vocabulary growth V(n) = K * n^beta estimated "
+    "by OLS on the log-log cumulative (tokens seen, distinct words "
+    "seen) curve — beta near 0.5 is natural text, beta near 0 means "
+    "a closed vocabulary (this synthetic corpus), beta near 1 means "
+    "ids/noise masquerading as text: the third tokenizer-sizing "
+    "diagnostic next to q176 (coverage) and q193 (Zipf tail). The "
+    "cumulative-vocabulary curve needs no running set: each word "
+    "contributes at its FIRST document (min(doc_id) per word), so "
+    "new-word counts are an aggregate and the curve is a window "
+    "cumsum over the |docs|-row summary. Plan shape: two exploded "
+    "censuses + doc-level windows + one moment aggregate.",
+)
+def q204(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from harmony_spark.io import table_parallel
+
+    toks = (
+        table_parallel(spark, sf, "documents")
+        .select(
+            "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+        .localCheckpoint(eager=False)
+    )
+    firsts = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_new")
+    )
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"))
+        .join(new_per_doc, "doc_id", "left")
+        .select("doc_id", "n_tok", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+    )
+    w_cum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = per_doc.select(
+        F.sum("n_tok").over(w_cum).alias("cum_tok"),
+        F.sum("n_new").over(w_cum).alias("cum_vocab"),
+    )
+    logs = curve.where(F.col("cum_vocab") > 0).select(
+        F.log(F.col("cum_tok").cast("double")).alias("lx"),
+        F.log(F.col("cum_vocab").cast("double")).alias("ly"),
+    )
+    s = logs.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n")), 6
+        ).alias("heaps_k"),
+    )
+
+
+@register(
+    "q205_langid_prf1",
+    oracle=f"""
+        WITH pred AS (
+          SELECT lang,
+                 CASE GREATEST({_marker_count_sql(_LANG_MARKERS['en'])},
+                               {_marker_count_sql(_LANG_MARKERS['es'])},
+                               {_marker_count_sql(_LANG_MARKERS['fr'])},
+                               {_marker_count_sql(_LANG_MARKERS['de'])})
+                   WHEN {_marker_count_sql(_LANG_MARKERS['en'])} THEN 'en'
+                   WHEN {_marker_count_sql(_LANG_MARKERS['es'])} THEN 'es'
+                   WHEN {_marker_count_sql(_LANG_MARKERS['fr'])} THEN 'fr'
+                   ELSE 'de' END AS predicted
+          FROM documents
+        ),
+        classes AS (
+          SELECT lang AS cls FROM pred GROUP BY lang
+          UNION SELECT predicted FROM pred GROUP BY predicted
+        ),
+        m AS (
+          SELECT c.cls,
+                 (SELECT COUNT(*) FROM pred
+                  WHERE predicted = c.cls AND lang = c.cls) AS tp,
+                 (SELECT COUNT(*) FROM pred
+                  WHERE predicted = c.cls AND lang <> c.cls) AS fp,
+                 (SELECT COUNT(*) FROM pred
+                  WHERE predicted <> c.cls AND lang = c.cls) AS fn
+          FROM classes c
+        )
+        SELECT cls,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               ROUND(CAST(tp AS DOUBLE) / GREATEST(tp + fp, 1), 6)
+                 AS precision_,
+               ROUND(CAST(tp AS DOUBLE) / GREATEST(tp + fn, 1), 6)
+                 AS recall_,
+               ROUND(2.0 * tp / GREATEST(2 * tp + fp + fn, 1), 6) AS f1
+        FROM m ORDER BY cls
+    """,
+    doc="Per-class precision/recall/F1 of the q39 language-ID "
+    "heuristic against the stored labels — the full multi-class "
+    "eval report (q39 emits only the confusion summary; PRF1 is "
+    "what a model-selection loop actually thresholds on). Zero-"
+    "denominator classes report 0 via the GREATEST(...,1) guard, "
+    "the convention that keeps the report total and NULL-free; F1 "
+    "uses the 2tp/(2tp+fp+fn) form, which is exact integer algebra "
+    "until one final division. Plan shape: one projection computes "
+    "predictions (pure regexp_count codegen), one aggregate per "
+    "confusion cell class — the class list is bounded by the label "
+    "alphabet.",
+)
+def q205(spark: SparkSession, sf: str) -> DataFrame:
+    counts = {lg: _marker_count_spark(ws) for lg, ws in _LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    predicted = (
+        F.when(counts["en"] == best, F.lit("en"))
+        .when(counts["es"] == best, F.lit("es"))
+        .when(counts["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    pred = (
+        table(spark, sf, "documents")
+        .select("lang", predicted.alias("predicted"))
+        .localCheckpoint(eager=False)
+    )
+    classes = (
+        pred.select(F.col("lang").alias("cls"))
+        .union(pred.select(F.col("predicted").alias("cls")))
+        .distinct()
+    )
+    cells = (
+        pred.crossJoin(F.broadcast(classes))
+        .groupBy("cls")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("predicted") == F.col("cls"))
+                    & (F.col("lang") == F.col("cls")),
+                    1,
+                ).otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("predicted") == F.col("cls"))
+                    & (F.col("lang") != F.col("cls")),
+                    1,
+                ).otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("predicted") != F.col("cls"))
+                    & (F.col("lang") == F.col("cls")),
+                    1,
+                ).otherwise(0)
+            ).alias("fn"),
+        )
+    )
+    return cells.select(
+        "cls",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)),
+            6,
+        ).alias("precision_"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)),
+            6,
+        ).alias("recall_"),
+        F.round(
+            2.0
+            * F.col("tp")
+            / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)),
+            6,
+        ).alias("f1"),
+    ).orderBy("cls")

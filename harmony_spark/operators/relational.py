@@ -2075,3 +2075,45 @@ def q203(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("relationship")
     )
+
+
+@register(
+    "q206_argmax_aggregate",
+    oracle="""
+        SELECT n.n_name AS nation,
+               arg_max(c.c_name, CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                         * 10000000 + c.c_custkey) AS top_customer,
+               ROUND(MAX(c.c_acctbal), 2) AS top_balance,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name ORDER BY nation
+    """,
+    doc="Argmax AGGREGATE: each nation's richest customer via "
+    "max_by/arg_max — the single-aggregate top-1 path that replaces "
+    "a rank window + filter when only the winner is needed (one "
+    "map-side-combinable aggregate, no per-group sort, no window "
+    "state: the plan difference that matters when groups are "
+    "billions). Determinism: the comparison key packs (integer "
+    "cents, custkey) into one BIGINT, so exact balance ties cannot "
+    "be broken differently by different engines. Read against "
+    "q158/q180, the window formulations of the same question.",
+)
+def q206(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    c = table_parallel(spark, sf, "customer")
+    n = table_parallel(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max_by(
+                "c_name",
+                F.round(F.col("c_acctbal") * 100).cast("long") * 10_000_000
+                + F.col("c_custkey"),
+            ).alias("top_customer"),
+            F.round(F.max("c_acctbal"), 2).alias("top_balance"),
+            F.count("*").cast("long").alias("n_customers"),
+        )
+        .orderBy("nation")
+    )

@@ -123,6 +123,7 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q200_bigram_pmi",  # cross joins vs the two 1-row mass totals
     "q201_psi_drift",  # bin join vs the 1-row broadcast decile edges
     "q203_referential_audit",  # cross joins of single-row audit counts
+    "q205_langid_prf1",  # cross join vs the 4-5 row class alphabet
 }
 
 
