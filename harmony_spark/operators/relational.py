@@ -1772,6 +1772,35 @@ def q181(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def pareto_frontier_2d(points: DataFrame, x: str, y: str) -> DataFrame:
+    """2-D skyline (minimize both ``x`` and ``y``): keep every row not
+    dominated by another row that is <= on both axes and strictly < on
+    at least one. Sort-scan formulation: collapse to one row per
+    distinct x (min y at that x), take a running min over strictly
+    smaller x with a ROWS frame on that distinct-x table, and join the
+    thresholds back — O(n log n), no quadratic dominance join. A row
+    survives iff no strictly-smaller-x row has y <= its own AND no
+    equal-x row has strictly smaller y; equal-(x, y) duplicates all
+    survive (the strictness clause fails both ways)."""
+    lvl = points.groupBy(x).agg(F.min(y).alias("_min_y_at_x"))
+    w_prev = Window.orderBy(x).rowsBetween(Window.unboundedPreceding, -1)
+    thr = lvl.withColumn(
+        "_min_y_smaller_x", F.min("_min_y_at_x").over(w_prev)
+    )
+    return (
+        points.join(thr, x)
+        .where(
+            (
+                F.col("_min_y_smaller_x").isNull()
+                | (F.col(y) < F.col("_min_y_smaller_x"))
+            )
+            & (F.col(y) == F.col("_min_y_at_x"))
+        )
+        .drop("_min_y_at_x", "_min_y_smaller_x")
+    )
+
+
+
 @register(
     "q188_pareto_frontier",
     oracle="""
@@ -1804,27 +1833,10 @@ def q181(spark: SparkSession, sf: str) -> DataFrame:
 def q188(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.io import table_parallel
 
-    # a row survives iff no strictly-cheaper row has size <= its own AND
-    # no equal-price row has strictly smaller size
     p = table_parallel(spark, sf, "part").select(
         "p_partkey", "p_brand", "p_retailprice", "p_size"
     )
-    price_lvl = p.groupBy("p_retailprice").agg(
-        F.min("p_size").alias("min_size_at_price")
-    )
-    w_prev_price = Window.orderBy("p_retailprice").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    thresholds = price_lvl.withColumn(
-        "min_size_cheaper", F.min("min_size_at_price").over(w_prev_price)
-    )
-    out = p.join(thresholds, "p_retailprice").where(
-        (
-            F.col("min_size_cheaper").isNull()
-            | (F.col("p_size") < F.col("min_size_cheaper"))
-        )
-        & (F.col("p_size") == F.col("min_size_at_price"))
-    )
+    out = pareto_frontier_2d(p, x="p_retailprice", y="p_size")
     return out.select(
         "p_partkey",
         "p_brand",
