@@ -127,46 +127,14 @@ def commit_snapshot(
     if mode == "append" and before is not None:
         prev_files = _load_manifest(table, before)["files"]
 
-    version = (before if before is not None else -1) + 1
-    manifest = {
-        "version": version,
-        "base_version": base_version,
-        "mode": mode,
-        "committed_at": time.time(),
-        "schema": df.schema.jsonValue(),
-        "files": prev_files + _file_stats(staged, stat_cols or []),
-    }
-    if meta:
-        manifest["meta"] = meta
-    tmp = _manifest_path(table, version) + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-
-    # fast-path staleness check (cheap, catches most conflicts early)
-    if current_version(table) != base_version:
-        os.remove(tmp)
-        raise CommitConflict(
-            f"table moved to v{current_version(table)} (commit based on "
-            f"{base_version}); re-read and retry"
-        )
-    # the REAL mutual exclusion: publish the version manifest with an
-    # EXCLUSIVE hard-link — rename would silently overwrite a racing
-    # winner's manifest for the same version; link raises instead.
-    # This is the POSIX form of the conditional-put an object store
-    # needs (Delta's LogStore contract: "create if not exists").
-    try:
-        os.link(tmp, _manifest_path(table, version))
-    except FileExistsError:
-        os.remove(tmp)
-        raise CommitConflict(
-            f"another writer published v{version} first; re-read and retry"
-        ) from None
-    os.remove(tmp)
-    ptr_tmp = _latest_path(table) + f".tmp-{uuid.uuid4().hex}"
-    with open(ptr_tmp, "w") as f:
-        f.write(str(version))
-    os.rename(ptr_tmp, _latest_path(table))
-    return version
+    return _publish(
+        table,
+        base_version=base_version,
+        mode=mode,
+        schema_json=df.schema.jsonValue(),
+        file_entries=prev_files + _file_stats(staged, stat_cols or []),
+        meta=meta,
+    )
 
 
 def read_snapshot(
@@ -264,8 +232,17 @@ def diff_files(table: str, v_from: int, v_to: int | None = None) -> list[str]:
     manifest)."""
     v_to = current_version(table) if v_to is None else v_to
     old = {e["path"] for e in _load_manifest(table, v_from)["files"]}
+    # files introduced by data_change=False commits (compaction) are
+    # storage reorganizations, not new data: incremental readers skip
+    # them (requires the manifests in (v_from, v_to] to be retained)
+    skip: set[str] = set()
+    for w in range(v_from + 1, v_to + 1):
+        m = _load_manifest(table, w)
+        if not m.get("data_change", True):
+            prev = {e["path"] for e in _load_manifest(table, w - 1)["files"]}
+            skip |= {e["path"] for e in m["files"]} - prev
     new = [e["path"] for e in _load_manifest(table, v_to)["files"]]
-    return [p for p in new if p not in old]
+    return [p for p in new if p not in old and p not in skip]
 
 
 def read_increment(spark: SparkSession, table: str, v_from: int, v_to: int | None = None) -> DataFrame:
@@ -311,3 +288,158 @@ def vacuum(table: str, keep_last: int = 2) -> tuple[int, int]:
             os.remove(f)
             removed += 1
     return len(doomed), removed
+
+def _publish(
+    table: str,
+    base_version: int | None,
+    mode: str,
+    schema_json: dict,
+    file_entries: list[dict],
+    meta: dict | None = None,
+    data_change: bool = True,
+) -> int:
+    """Publish a manifest naming ``file_entries`` as the next version:
+    the concurrency-critical tail shared by every committing operation
+    (staleness fast-path, EXCLUSIVE hard-link publish, pointer swap).
+    ``data_change=False`` marks commits that reorganize storage without
+    changing table contents (compaction) so incremental readers can
+    skip them — the same flag Delta attaches to OPTIMIZE's actions."""
+    os.makedirs(os.path.join(table, "_manifests"), exist_ok=True)
+    before = current_version(table)
+    version = (before if before is not None else -1) + 1
+    manifest = {
+        "version": version,
+        "base_version": base_version,
+        "mode": mode,
+        "committed_at": time.time(),
+        "schema": schema_json,
+        "files": file_entries,
+        "data_change": data_change,
+    }
+    if meta:
+        manifest["meta"] = meta
+    tmp = _manifest_path(table, version) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    if current_version(table) != base_version:
+        os.remove(tmp)
+        raise CommitConflict(
+            f"table moved to v{current_version(table)} (commit based on "
+            f"{base_version}); re-read and retry"
+        )
+    try:
+        os.link(tmp, _manifest_path(table, version))
+    except FileExistsError:
+        os.remove(tmp)
+        raise CommitConflict(
+            f"another writer published v{version} first; re-read and retry"
+        ) from None
+    os.remove(tmp)
+    ptr_tmp = _latest_path(table) + f".tmp-{uuid.uuid4().hex}"
+    with open(ptr_tmp, "w") as f:
+        f.write(str(version))
+    os.rename(ptr_tmp, _latest_path(table))
+    return version
+
+
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    column: str,
+    lo,
+    hi,
+    stat_cols: list[str] | None = None,
+) -> tuple[int, dict]:
+    """Targeted delete (the right-to-be-forgotten / bad-batch retraction
+    path): remove every row with ``column`` in [lo, hi] by REWRITING
+    ONLY the files whose manifest [min, max] stats can contain such
+    rows — untouched files carry over into the new manifest by
+    reference, their bytes never read or moved. Returns (new_version,
+    report). Old versions still see the deleted rows (time travel is
+    the audit trail); ``vacuum`` is the actual erasure step that
+    retires the pre-delete manifests and their orphaned files — run it
+    to complete a compliance delete.
+
+    Scale shape: the manifest stats decide file touch-set on the
+    driver in O(#files); the rewrite reads and writes only the touched
+    bytes. A delete keyed off a clustered/Z-ordered column
+    (operators/layout.py) touches O(matching) files; a delete on an
+    unclustered column degrades to a full rewrite — the layout choice
+    IS the delete cost."""
+    v = current_version(table)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot at {table}")
+    m = _load_manifest(table, v)
+    touched, untouched = [], []
+    for e in m["files"]:
+        mn, mx = e.get(f"min_{column}"), e.get(f"max_{column}")
+        if mn is None or mx is None or (mx >= lo and mn <= hi):
+            touched.append(e)
+        else:
+            untouched.append(e)
+    new_entries = list(untouched)
+    rows_deleted = 0
+    if touched:
+        import glob
+
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(*[e["path"] for e in touched])
+        kept = df.where(~F.col(column).between(lo, hi))
+        rows_before = sum(e["rows"] for e in touched)
+        staging = os.path.join(table, "data", uuid.uuid4().hex)
+        kept.write.parquet(staging)
+        staged = sorted(glob.glob(os.path.join(staging, "*.parquet")))
+        entries = _file_stats(staged, stat_cols or [])
+        rows_deleted = rows_before - sum(e["rows"] for e in entries)
+        new_entries += entries
+    version = _publish(
+        table,
+        base_version=v,
+        mode="overwrite",
+        schema_json=m["schema"],
+        file_entries=new_entries,
+        meta={"delete_where": {"column": column, "lo": lo, "hi": hi}},
+    )
+    return version, {
+        "files_rewritten": len(touched),
+        "files_untouched": len(untouched),
+        "rows_deleted": rows_deleted,
+    }
+
+
+def compact_files(
+    spark: SparkSession,
+    table: str,
+    target_files: int = 1,
+    stat_cols: list[str] | None = None,
+) -> tuple[int, dict]:
+    """OPTIMIZE-style compaction: coalesce the current snapshot into
+    ``target_files`` files as a NEW version. Contents are unchanged, so
+    the manifest carries ``data_change=False`` and incremental readers
+    (:func:`read_increment`) skip the rewritten files instead of
+    reprocessing the whole table as 'new' — the flag that makes
+    storage maintenance invisible to downstream pipelines. History is
+    preserved: readers pinned to old versions keep their file lists
+    until ``vacuum`` retires them."""
+    import glob
+
+    v = current_version(table)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot at {table}")
+    m = _load_manifest(table, v)
+    n_before = len(m["files"])
+    df = read_snapshot(spark, table, v).coalesce(max(1, target_files))
+    staging = os.path.join(table, "data", uuid.uuid4().hex)
+    df.write.parquet(staging)
+    staged = sorted(glob.glob(os.path.join(staging, "*.parquet")))
+    version = _publish(
+        table,
+        base_version=v,
+        mode="overwrite",
+        schema_json=m["schema"],
+        file_entries=_file_stats(staged, stat_cols or []),
+        meta={"compaction": True},
+        data_change=False,
+    )
+    return version, {"files_before": n_before, "files_after": len(staged)}

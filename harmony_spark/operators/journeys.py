@@ -1377,3 +1377,99 @@ def q202(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q209_linear_interpolation",
+    oracle="""
+        WITH obs AS (
+          SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS idx,
+                 SUM(value) AS x
+          FROM events WHERE event_type = 'signup' AND user_id = 3
+          GROUP BY idx
+        ),
+        cal AS (
+          SELECT UNNEST(generate_series(
+                   (SELECT MIN(idx) FROM obs),
+                   (SELECT MAX(idx) FROM obs))) AS idx
+        ),
+        joined AS (
+          SELECT cal.idx, obs.x FROM cal LEFT JOIN obs USING (idx)
+        ),
+        bracketed AS (
+          SELECT idx, x,
+                 LAST_VALUE(x IGNORE NULLS) OVER (ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                 LAST_VALUE(CASE WHEN x IS NOT NULL THEN idx END IGNORE NULLS)
+                   OVER (ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+                 FIRST_VALUE(x IGNORE NULLS) OVER (ORDER BY idx
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                 FIRST_VALUE(CASE WHEN x IS NOT NULL THEN idx END IGNORE NULLS)
+                   OVER (ORDER BY idx
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+          FROM joined
+        )
+        SELECT CAST(idx AS BIGINT) AS idx,
+               ROUND(CASE WHEN x IS NOT NULL THEN x
+                          ELSE pv + (nv - pv) * (idx - pi) / (ni - pi)
+                     END, 6) AS filled,
+               CAST(CASE WHEN x IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                 AS interpolated
+        FROM bracketed ORDER BY idx
+    """,
+    doc="Linear interpolation of missing days in a sparse daily series "
+    "(one user's signup value by day): the calendar spine is "
+    "generated, observed days join on, and each gap day is bracketed "
+    "by carry-forward (last observed) and carry-backward (next "
+    "observed) windows, then filled on the straight line between "
+    "them — the resample-and-interpolate step time-series feature "
+    "pipelines need where q74's forward fill would flatten trends. "
+    "Bracketing windows run in ONE sort each direction with "
+    "IGNORE NULLS carries; edges inside [first, last] are always "
+    "bracketed by construction. Plan shape: the corpus collapses to "
+    "the day-level series first; everything else is spine-sized.",
+)
+def q209(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    obs = (
+        table_parallel(spark, sf, "events")
+        .where((F.col("event_type") == "signup") & (F.col("user_id") == 3))
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("idx")
+        )
+        .agg(F.sum("value").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = obs.agg(
+        F.min("idx").alias("lo"), F.max("idx").alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("idx")
+    )
+    joined = cal.join(obs, "idx", "left")
+    w_fwd = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    w_bwd = Window.orderBy("idx").rowsBetween(0, Window.unboundedFollowing)
+    obs_idx = F.when(F.col("x").isNotNull(), F.col("idx"))
+    bracketed = joined.select(
+        "idx",
+        "x",
+        F.last("x", ignorenulls=True).over(w_fwd).alias("pv"),
+        F.last(obs_idx, ignorenulls=True).over(w_fwd).alias("pi"),
+        F.first("x", ignorenulls=True).over(w_bwd).alias("nv"),
+        F.first(obs_idx, ignorenulls=True).over(w_bwd).alias("ni"),
+    )
+    filled = F.when(F.col("x").isNotNull(), F.col("x")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.col("idx") - F.col("pi"))
+        / (F.col("ni") - F.col("pi"))
+    )
+    return bracketed.select(
+        F.col("idx").cast("long").alias("idx"),
+        F.round(filled, 6).alias("filled"),
+        F.when(F.col("x").isNull(), 1).otherwise(0).cast("long").alias(
+            "interpolated"
+        ),
+    ).orderBy("idx")

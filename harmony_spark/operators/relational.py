@@ -2129,3 +2129,130 @@ def q206(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "q207_min_cost_supplier",
+    oracle="""
+        WITH costs AS (
+          SELECT l.l_partkey, l.l_suppkey,
+                 ROUND(AVG(l.l_extendedprice / l.l_quantity), 4) AS unit_cost
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+          WHERE r.r_name = 'EUROPE'
+          GROUP BY l.l_partkey, l.l_suppkey
+        ),
+        best AS (
+          SELECT l_partkey, MIN(unit_cost) AS min_cost
+          FROM costs GROUP BY l_partkey
+        )
+        SELECT c.l_partkey AS p_partkey, c.l_suppkey AS s_suppkey,
+               c.unit_cost
+        FROM costs c
+        JOIN best b ON b.l_partkey = c.l_partkey
+                   AND c.unit_cost = b.min_cost
+        JOIN part p ON p.p_partkey = c.l_partkey
+        WHERE p.p_size < 10
+        ORDER BY p_partkey, s_suppkey
+    """,
+    doc="TPC-H Q2 shape: for each small part, the cheapest EUROPEAN "
+    "supplier — a correlated MIN subquery over a region-filtered "
+    "4-table join, decorrelated into a per-part minimum joined back "
+    "on equality (ties all kept, deterministic because the unit cost "
+    "is ROUNDED before the min/equality — raw double averages would "
+    "make the tie set engine-dependent). Plan shape: the region "
+    "filter reaches the supplier side through two broadcast dim "
+    "joins BEFORE the per-(part, supplier) aggregate; the min table "
+    "and the part filter are |parts|-sized and broadcast onto the "
+    "join-back.",
+)
+def q207(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    li = table_parallel(spark, sf, "lineitem")
+    s = table_parallel(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = table_parallel(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    r = table_parallel(spark, sf, "region").where(
+        F.col("r_name") == "EUROPE"
+    ).select("r_regionkey")
+    costs = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4
+            ).alias("unit_cost")
+        )
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    p = table_parallel(spark, sf, "part").where(F.col("p_size") < 10).select(
+        "p_partkey"
+    )
+    return (
+        costs.join(F.broadcast(best), "l_partkey")
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), costs["l_partkey"] == p["p_partkey"])
+        .select(
+            "p_partkey",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "unit_cost",
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@register(
+    "q208_multiset_ops",
+    oracle="""
+        WITH r AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+        a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+        ea AS (SELECT l_partkey FROM r EXCEPT ALL SELECT l_partkey FROM a),
+        ia AS (SELECT l_partkey FROM r INTERSECT ALL SELECT l_partkey FROM a),
+        ed AS (SELECT l_partkey FROM r EXCEPT SELECT l_partkey FROM a)
+        SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(l_partkey), 0) AS BIGINT) AS key_checksum
+        FROM ea
+        UNION ALL
+        SELECT 'intersect_all', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(l_partkey), 0) AS BIGINT) FROM ia
+        UNION ALL
+        SELECT 'except_distinct', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(l_partkey), 0) AS BIGINT) FROM ed
+        ORDER BY op
+    """,
+    doc="MULTISET set operations: EXCEPT ALL / INTERSECT ALL preserve "
+    "per-key multiplicities (bag semantics: a key appearing 5 times "
+    "in R and 2 in A survives EXCEPT ALL 3 times), against the "
+    "distinct EXCEPT for contrast — the SQL surface q19/q24's "
+    "set-semantics operators do not cover, and the one that answers "
+    "'how many ROWS, not keys, differ between two loads'. Plan "
+    "shape: Spark plans multiset ops as a count-per-key aggregate + "
+    "generate (replicate min/difference counts), never a row-by-row "
+    "anti join; checksums pin the exact multiset, not just sizes.",
+)
+def q208(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    li = table_parallel(spark, sf, "lineitem")
+    r = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.where(F.col("l_returnflag") == "A").select("l_partkey")
+
+    def census(name, df):
+        return df.agg(
+            F.lit(name).alias("op"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.coalesce(F.sum("l_partkey"), F.lit(0))
+            .cast("long")
+            .alias("key_checksum"),
+        )
+
+    return (
+        census("except_all", r.exceptAll(a))
+        .unionByName(census("intersect_all", r.intersectAll(a)))
+        .unionByName(census("except_distinct", r.subtract(a)))
+        .orderBy("op")
+    )

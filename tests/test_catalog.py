@@ -237,3 +237,81 @@ def test_vacuum_rejects_keep_zero(spark, orders, tmp_path):
     with pytest.raises(ValueError):
         catalog.vacuum(t, keep_last=0)
     assert catalog.read_snapshot(spark, t).count() == 5  # untouched
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    """GDPR-style targeted delete: files whose stats exclude the key
+    range carry over BY REFERENCE (identical paths — their bytes were
+    never read); only overlapping files rewrite; time travel still
+    shows the pre-delete rows until vacuum erases them."""
+    from harmony_spark.operators import catalog as C
+
+    t = str(tmp_path / "tbl")
+    lo = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    hi = spark.range(1000, 1100).selectExpr("id", "id * 2 AS v")
+    C.commit_snapshot(spark, t, lo, mode="overwrite", stat_cols=["id"])
+    v_before = C.commit_snapshot(spark, t, hi, mode="append", stat_cols=["id"])
+    files_before = {e["path"] for e in C._load_manifest(t, v_before)["files"]}
+    lo_files = {
+        e["path"]
+        for e in C._load_manifest(t, v_before)["files"]
+        if e["max_id"] < 1000
+    }
+
+    v_after, report = C.delete_where(spark, t, "id", 1000, 1049, stat_cols=["id"])
+    after = C._load_manifest(t, v_after)["files"]
+    # untouched low-range files carried over with identical paths
+    assert lo_files <= {e["path"] for e in after}
+    # every low-range file is untouched; hi-range files whose stats
+    # exclude [1000, 1049] are untouched too (stats prune better than
+    # a whole-commit split)
+    assert report["files_untouched"] >= len(lo_files)
+    assert report["files_rewritten"] >= 1
+    assert report["files_untouched"] + report["files_rewritten"] == len(
+        files_before
+    )
+    assert report["rows_deleted"] == 50
+    # current read: deleted keys gone, everything else intact
+    cur = C.read_snapshot(spark, t)
+    assert cur.where("id BETWEEN 1000 AND 1049").count() == 0
+    assert cur.count() == 150
+    # time travel still sees the deleted rows (audit trail)
+    old = C.read_snapshot(spark, t, v_before)
+    assert old.where("id BETWEEN 1000 AND 1049").count() == 50
+    # vacuum completes the erasure: pre-delete manifests + orphans gone
+    C.vacuum(t, keep_last=1)
+    import glob
+    import os
+
+    live = {e["path"] for e in C._load_manifest(t, v_after)["files"]}
+    on_disk = set(glob.glob(os.path.join(t, "data", "*", "*.parquet")))
+    assert on_disk == live
+    assert files_before - live  # some pre-delete files were erased
+
+
+def test_compact_files_preserves_contents_and_hides_from_increments(
+    spark, tmp_path
+):
+    """OPTIMIZE-style compaction: contents identical, file count drops
+    to the target, and read_increment across the compaction sees NO new
+    data (data_change=False) — downstream incremental pipelines don't
+    reprocess a storage reorganization."""
+    from harmony_spark.operators import catalog as C
+
+    t = str(tmp_path / "tbl")
+    C.commit_snapshot(spark, t, spark.range(0, 50), mode="overwrite")
+    C.commit_snapshot(spark, t, spark.range(50, 100), mode="append")
+    v_pre = C.commit_snapshot(spark, t, spark.range(100, 150), mode="append")
+    pre_rows = sorted(r["id"] for r in C.read_snapshot(spark, t).collect())
+
+    v_c, report = C.compact_files(spark, t, target_files=1)
+    assert report["files_after"] == 1
+    assert report["files_before"] >= 3
+    post_rows = sorted(r["id"] for r in C.read_snapshot(spark, t).collect())
+    assert post_rows == pre_rows
+    # incremental readers skip the compaction commit entirely
+    assert C.diff_files(t, v_pre, v_c) == []
+    assert C.read_increment(spark, t, v_pre, v_c).count() == 0
+    # but a real append AFTER the compaction is still visible
+    v_n = C.commit_snapshot(spark, t, spark.range(150, 160), mode="append")
+    inc = C.read_increment(spark, t, v_pre, v_n)
+    assert sorted(r["id"] for r in inc.collect()) == list(range(150, 160))
