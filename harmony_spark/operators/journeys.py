@@ -1473,3 +1473,99 @@ def q209(spark: SparkSession, sf: str) -> DataFrame:
             "interpolated"
         ),
     ).orderBy("idx")
+
+@register(
+    "q210_decile_lift",
+    oracle="""
+        WITH u AS (
+          SELECT user_id,
+                 SUM(value) AS score,
+                 CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) >= 14
+                      THEN 1 ELSE 0 END AS label
+          FROM events GROUP BY user_id
+        ),
+        d AS (
+          SELECT label,
+                 NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+          FROM u
+        ),
+        g AS (
+          SELECT decile,
+                 COUNT(*) AS n_users,
+                 SUM(label) AS n_pos
+          FROM d GROUP BY decile
+        ),
+        t AS (SELECT SUM(n_users) AS n, SUM(n_pos) AS pos FROM g)
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(n_users AS BIGINT) AS n_users,
+               CAST(n_pos AS BIGINT) AS n_pos,
+               ROUND((CAST(n_pos AS DOUBLE) / n_users)
+                     / (CAST(t.pos AS DOUBLE) / t.n), 6) AS lift,
+               ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+                     / t.pos, 6) AS cum_gain
+        FROM g, t ORDER BY decile
+    """,
+    doc="Decile lift/gains table: users ranked by a score (total event "
+    "value) into deterministic NTILE deciles, each reporting its "
+    "positive rate relative to the base rate (LIFT) and the "
+    "cumulative share of all positives captured so far (GAINS) — "
+    "the campaign-targeting readout that complements q148's AUC "
+    "(rank quality as one number) and q149's calibration "
+    "(probability quality): lift says WHERE in the ranking the "
+    "model earns its keep, the first thing a marketing or triage "
+    "consumer asks. Counts exact; one double division per cell. "
+    "Plan shape: one user-keyed aggregate, a ranking window over "
+    "the |users|-row summary (swap in q68's approx-percentile "
+    "bucketing at true scale), a 10-row census.",
+)
+def q210(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    u = (
+        table_parallel(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum("value").alias("score"),
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("label"),
+        )
+    )
+    d = u.select(
+        "label",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score"), "user_id"))
+        .alias("decile"),
+    )
+    g = d.groupBy("decile").agg(
+        F.count("*").alias("n_users"), F.sum("label").alias("n_pos")
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return g.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(
+            (F.col("n_pos").cast("double") / F.col("n_users"))
+            / (
+                F.sum("n_pos").over(w_all).cast("double")
+                / F.sum("n_users").over(w_all)
+            ),
+            6,
+        ).alias("lift"),
+        F.round(
+            F.sum("n_pos").over(w_cum).cast("double")
+            / F.sum("n_pos").over(w_all),
+            6,
+        ).alias("cum_gain"),
+    ).orderBy("decile")
