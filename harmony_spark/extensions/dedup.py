@@ -1285,3 +1285,84 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("clustering_coeff"),
     )
+
+
+@register(
+    "q224_cluster_representatives",
+    oracle=f"""
+        WITH RECURSIVE sig AS ({_minhash_sig_sql()}),
+        bands AS (
+          SELECT doc_id, b, band FROM (
+            SELECT doc_id,
+                   UNNEST([0, 1, 2, 3]) AS b,
+                   UNNEST([md5(mh_0 || mh_1), md5(mh_2 || mh_3),
+                           md5(mh_4 || mh_5), md5(mh_6 || mh_7)]) AS band
+            FROM sig) x),
+        e AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id),
+        bi AS (SELECT da AS a, db AS b FROM e
+               UNION ALL SELECT db AS a, da AS b FROM e),
+        reach(a, b) AS (
+          SELECT a, b FROM bi
+          UNION
+          SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a),
+        cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+               FROM reach GROUP BY a),
+        members AS (
+          SELECT cc.cluster_id, cc.doc_id, d.n_chars
+          FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+        )
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(ARG_MAX(doc_id, n_chars * 10000000 - doc_id) AS BIGINT)
+                 AS keeper_doc_id,
+               CAST(MAX(n_chars) AS BIGINT) AS keeper_chars
+        FROM members
+        GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    doc="Near-dup cluster REPRESENTATIVE selection: after LSH + "
+    "connected components groups near-duplicates, each cluster "
+    "keeps its best document (longest n_chars, ties to the "
+    "smallest doc_id) — the keeper policy step between q97's "
+    "cluster census and an actual emitted training corpus (q97 "
+    "counts clusters; this decides WHICH document survives each "
+    "one). Determinism: the keeper is an argmax on the packed "
+    "integer key n_chars*1e7 − doc_id, so equal-length ties cannot "
+    "be broken differently by different engines (the rounded-key-"
+    "argmax rule). Plan shape: the per-cluster choice is one "
+    "map-side-combinable max_by over the (doc_id, component) "
+    "labels joined to a 2-column projection of documents — no "
+    "window, no per-cluster sort, and document TEXT never joins "
+    "in; at 100 TB the shuffle carries (cluster_id, doc_id, "
+    "n_chars) triples only. Oracle replays LSH + a recursive-CTE "
+    "closure + ARG_MAX on the identical packed key.",
+)
+def q224(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.operators.graph import connected_components
+
+    docs = table_parallel(spark, sf, "documents")
+    e = _lsh_pairs_of(docs.select("doc_id", "text"))
+    cc = connected_components(
+        e.select(F.col("da").alias("src"), F.col("db").alias("dst"))
+    )
+    members = cc.join(
+        docs.select("doc_id", "n_chars"),
+        cc["node"] == F.col("doc_id"),
+    )
+    return (
+        members.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("long").alias("cluster_size"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max_by(
+                "doc_id", F.col("n_chars") * 10_000_000 - F.col("doc_id")
+            )
+            .cast("long")
+            .alias("keeper_doc_id"),
+            F.max("n_chars").cast("long").alias("keeper_chars"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1,0 +1,281 @@
+"""Graph ranking and time-series diagnostics q225-q227.
+
+q225 adds PageRank — the canonical iterative graph ranking the
+engine's graph family (q73/q75 connected components, q115 degree
+centrality, q139 triangles) was missing; q226/q227 add the two
+classical time-series diagnostics (autocorrelation, day-of-week
+seasonality) over the daily revenue census that q163's EWMA and
+q195's CUSUM read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from harmony_spark.registry import register
+
+__all__ = ["q225", "q226", "q227"]
+
+_PR_ITERS = 10
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled synchronous power iteration (pr0..prN CTEs): portable
+    SQL — aggregation inside a recursive CTE member is not."""
+    steps = []
+    for k in range(_PR_ITERS):
+        steps.append(
+            f"""pr{k + 1} AS (
+          SELECT e.v AS node,
+                 (1 - {_PR_DAMP}) / MAX(nn.n)
+                   + {_PR_DAMP} * SUM(p.rank / d.outdeg) AS rank
+          FROM pr{k} p
+          JOIN edges e ON e.u = p.node
+          JOIN deg d ON d.u = p.node
+          CROSS JOIN nn
+          GROUP BY e.v
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        edges AS (
+          SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+        ),
+        deg AS (SELECT u, COUNT(*) AS outdeg FROM edges GROUP BY u),
+        nn AS (SELECT COUNT(*) AS n FROM deg),
+        pr0 AS (SELECT d.u AS node, 1.0 / nn.n AS rank FROM deg d, nn),
+        {chain}
+        SELECT CAST(node AS BIGINT) AS part,
+               ROUND(rank, 6) AS pagerank
+        FROM pr{_PR_ITERS}
+        ORDER BY ROUND(rank, 6) DESC, part
+        LIMIT 25
+    """
+
+
+@register(
+    "q225_pagerank",
+    oracle=_pagerank_oracle(),
+    doc=f"PageRank over the part CO-PURCHASE graph (parts sharing an "
+    "order are linked; the undirected graph is the symmetric edge "
+    f"list): {_PR_ITERS} synchronous power iterations at damping "
+    f"{_PR_DAMP} from the uniform vector, top-25 parts by rounded "
+    "rank with part-id tiebreak. Every node in a symmetric edge "
+    "list has outdegree >= 1, so there is no dangling-mass term. "
+    "The iteration is operators/graph.py:pagerank — the q115 "
+    "operator reused on a graph five orders denser than q115's LSH "
+    "doc graph (one edge-join + one dst-keyed aggregate per round, "
+    "per-round lineage truncation). Pair generation is order-local "
+    "(self-join within orderkey), never a global parts cross join. "
+    "The oracle replays the identical synchronous iteration as "
+    "UNROLLED pr0..prN CTEs (aggregation inside a recursive CTE "
+    "member is not portable SQL). Determinism: output ranks on the "
+    "ROUNDED 6-dp score with part-id tiebreak.",
+)
+def q225(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+    from harmony_spark.operators.graph import pagerank
+
+    li = table_parallel(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        pagerank(edges, n_iter=_PR_ITERS, damping=_PR_DAMP)
+        .select(
+            F.col("node").cast("long").alias("part"),
+            F.round("rank", 6).alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), "part")
+        .limit(25)
+    )
+
+
+@register(
+    "q226_autocorrelation",
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders GROUP BY day
+        ),
+        idx AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, cents FROM daily
+        ),
+        m AS (SELECT AVG(1.0 * cents) AS mu, COUNT(*) AS n FROM idx),
+        s AS (SELECT SUM((i.cents - m.mu) * (i.cents - m.mu)) AS ss
+              FROM idx i, m),
+        lagged AS (
+          SELECT l.lag, a.cents AS ca, b.cents AS cb
+          FROM (SELECT UNNEST([1, 2, 3, 4, 5, 6, 7]) AS lag) l
+          JOIN idx a ON TRUE
+          JOIN idx b ON b.i = a.i + l.lag
+        )
+        SELECT lg.lag AS lag,
+               CAST(m.n AS BIGINT) AS n_days,
+               ROUND(SUM((lg.ca - m.mu) * (lg.cb - m.mu)) / MAX(s.ss), 6)
+                 AS acf
+        FROM lagged lg CROSS JOIN m CROSS JOIN s
+        GROUP BY lg.lag, m.n
+        ORDER BY lag
+    """,
+    doc="Autocorrelation function of daily order revenue at lags 1-7 "
+    "— the standard biased-normalization ACF (lag-k cross products "
+    "over the FULL-series sum of squares, both centered on the "
+    "full-series mean), the seasonality/persistence diagnostic "
+    "read before q163's EWMA smoothing or q195's CUSUM alarms are "
+    "trusted. Lag alignment is by observed-day ROW index over the "
+    "daily census (documented: calendar gaps collapse; q209's "
+    "calendar spine is the resample step when true calendar lags "
+    "matter). Plan shape: |days|-sized census, the 7 lags exploded "
+    "per census row, one EXPRESSION equi-join (b.i = a.i + lag — "
+    "hash-joinable, no nested loop) — the lag work stays on "
+    "census-sized data (the q220 aggregate-first rule). Exact "
+    "integer cents feed every moment; mean and sum-of-squares are "
+    "the two shared doubles.",
+)
+def q226(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    daily = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    wall = Window.partitionBy()
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"), "cents"
+    )
+    m = idx.select(
+        "i",
+        "cents",
+        F.avg(1.0 * F.col("cents")).over(wall).alias("mu"),
+        F.count("*").over(wall).alias("n"),
+    ).select(
+        "i",
+        "cents",
+        "mu",
+        "n",
+        F.sum((F.col("cents") - F.col("mu")) * (F.col("cents") - F.col("mu")))
+        .over(wall)
+        .alias("ss"),
+    )
+    a = m.select(
+        F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("lag"),
+        F.col("i").alias("ia"),
+        F.col("cents").alias("ca"),
+        "mu",
+        "n",
+        "ss",
+    )
+    b = m.select(F.col("i").alias("ib"), F.col("cents").alias("cb"))
+    return (
+        a.join(b, F.col("ib") == F.col("ia") + F.col("lag"))
+        .groupBy("lag", F.col("n").alias("_n"))
+        .agg(
+            F.round(
+                F.sum((F.col("ca") - F.col("mu")) * (F.col("cb") - F.col("mu")))
+                / F.max("ss"),
+                6,
+            ).alias("acf")
+        )
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("_n").cast("long").alias("n_days"),
+            "acf",
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "q227_dow_seasonality",
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders GROUP BY day
+        ),
+        tagged AS (
+          SELECT dayofweek(day) AS dow, cents FROM daily
+        ),
+        tot AS (SELECT AVG(1.0 * cents) AS overall FROM tagged)
+        SELECT CAST(t.dow AS BIGINT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(t.cents) AS BIGINT) AS cents,
+               ROUND(AVG(1.0 * t.cents) / MAX(tot.overall), 6)
+                 AS seasonal_index
+        FROM tagged t CROSS JOIN tot
+        GROUP BY t.dow ORDER BY dow
+    """,
+    doc="Day-of-week seasonality indices of daily order revenue: each "
+    "weekday's average daily take as a ratio to the overall "
+    "average daily take (index > 1 = above-trend weekday) — the "
+    "multiplicative seasonal profile that q226's lag-7 "
+    "autocorrelation detects but does not localize, and the "
+    "deseasonalization divisor a forecasting pipeline applies "
+    "before trend fitting. DuckDB's dayofweek is 0-based Sunday; "
+    "Spark's is 1-based, so the Spark side emits dayofweek - 1. "
+    "Exact integer cents; the overall mean is the one shared "
+    "double. Plan: daily census, 7-group aggregate, 1-row "
+    "broadcast of the overall mean.",
+)
+def q227(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    daily = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    tagged = daily.select((F.dayofweek("day") - 1).alias("dow"), "cents")
+    tot = tagged.agg(F.avg(1.0 * F.col("cents")).alias("overall"))
+    return (
+        tagged.crossJoin(F.broadcast(tot))
+        .groupBy("dow")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.round(F.avg(1.0 * F.col("cents")) / F.max("overall"), 6).alias(
+                "seasonal_index"
+            ),
+        )
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            "n_days",
+            "cents",
+            "seasonal_index",
+        )
+        .orderBy("dow")
+    )

@@ -124,6 +124,10 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q201_psi_drift",  # bin join vs the 1-row broadcast decile edges
     "q203_referential_audit",  # cross joins of single-row audit counts
     "q205_langid_prf1",  # cross join vs the 4-5 row class alphabet
+    "q220_kendall_tau",  # inequality pair join on the 25-row nation census
+    "q221_mann_whitney",  # cross join of two single-row aggregates
+    "q227_dow_seasonality",  # cross join vs the 1-row overall daily mean
+    "q228_isotonic_calibration",  # interval joins on the 10-row bin census
 }
 
 
