@@ -1366,3 +1366,257 @@ def q224(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+@register(
+    "q234_lsh_quality_eval",
+    oracle=f"""
+        WITH sig AS ({_minhash_sig_sql("WHERE doc_id < 200")}),
+        bands AS (
+          SELECT doc_id, b, band FROM (
+            SELECT doc_id,
+                   UNNEST([0, 1, 2, 3]) AS b,
+                   UNNEST([md5(mh_0 || mh_1), md5(mh_2 || mh_3),
+                           md5(mh_4 || mh_5), md5(mh_6 || mh_7)]) AS band
+            FROM sig) x),
+        pred AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS shingles
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(text), '\\s+') AS toks
+                FROM documents WHERE doc_id < 200) t),
+        truth AS (
+          SELECT a.doc_id AS da, b.doc_id AS db
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+                / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                >= 0.5),
+        j AS (
+          SELECT COALESCE(p.da, t.da) AS da,
+                 CASE WHEN p.da IS NOT NULL AND t.da IS NOT NULL THEN 'tp'
+                      WHEN p.da IS NOT NULL THEN 'fp' ELSE 'fn' END AS cls
+          FROM pred p
+          FULL OUTER JOIN truth t ON t.da = p.da AND t.db = p.db)
+        SELECT CAST(SUM(CASE WHEN cls = 'tp' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS tp,
+               CAST(SUM(CASE WHEN cls = 'fp' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS fp,
+               CAST(SUM(CASE WHEN cls = 'fn' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS fn,
+               ROUND(SUM(CASE WHEN cls = 'tp' THEN 1 ELSE 0 END) * 1.0
+                     / NULLIF(SUM(CASE WHEN cls IN ('tp', 'fp')
+                                       THEN 1 ELSE 0 END), 0), 6)
+                 AS precision,
+               ROUND(SUM(CASE WHEN cls = 'tp' THEN 1 ELSE 0 END) * 1.0
+                     / NULLIF(SUM(CASE WHEN cls IN ('tp', 'fn')
+                                       THEN 1 ELSE 0 END), 0), 6)
+                 AS recall
+        FROM j
+    """,
+    doc="LSH quality evaluation: precision/recall of the engine's own "
+    "MinHash/LSH candidate pairs against ground-truth 3-shingle "
+    "Jaccard >= 0.5, on an explicit doc window — the measurement "
+    "that turns the banding parameters (4 bands x 2 rows) from a "
+    "formula-derived guess into an audited operating point, run "
+    "periodically on a sampled window exactly like this while the "
+    "full corpus uses the tuned parameters. Truth pairs come from "
+    "the q33-pattern exploded shingle co-occurrence census (linear "
+    "shuffle on (shingle, doc) pairs — no array cross-products); "
+    "predicted pairs are the engine's real LSH path (_lsh_pairs_of) "
+    "on the same window; a full outer join classifies tp/fp/fn. "
+    "The window (doc_id < 200) bounds the quadratic truth side by "
+    "construction; the LSH side is the production bucket-local "
+    "plan.",
+)
+def q234(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table_parallel(spark, sf, "documents").where(F.col("doc_id") < 200)
+    pred = _lsh_pairs_of(docs.select("doc_id", "text"))
+
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles_spark())).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    jac = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
+    truth = (
+        inter.join(F.broadcast(sa), "da")
+        .join(F.broadcast(sb), "db")
+        .where(jac >= 0.5)
+        .select(F.col("da").alias("ta"), F.col("db").alias("tb"))
+    )
+    j = pred.join(
+        truth,
+        (F.col("da") == F.col("ta")) & (F.col("db") == F.col("tb")),
+        "full_outer",
+    ).select(
+        F.when(
+            F.col("da").isNotNull() & F.col("ta").isNotNull(), "tp"
+        )
+        .when(F.col("da").isNotNull(), "fp")
+        .otherwise("fn")
+        .alias("cls")
+    )
+    tp = F.sum(F.when(F.col("cls") == "tp", 1).otherwise(0))
+    fp = F.sum(F.when(F.col("cls") == "fp", 1).otherwise(0))
+    fn = F.sum(F.when(F.col("cls") == "fn", 1).otherwise(0))
+    return j.agg(
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.round(tp * 1.0 / F.nullif(tp + fp, F.lit(0)), 6).alias("precision"),
+        F.round(tp * 1.0 / F.nullif(tp + fn, F.lit(0)), 6).alias("recall"),
+    )
+
+
+
+@register(
+    "q236_minhash_estimation_error",
+    oracle=f"""
+        WITH sig AS ({_minhash_sig_sql("WHERE doc_id < 200")}),
+        bands AS (
+          SELECT doc_id, b, band FROM (
+            SELECT doc_id,
+                   UNNEST([0, 1, 2, 3]) AS b,
+                   UNNEST([md5(mh_0 || mh_1), md5(mh_2 || mh_3),
+                           md5(mh_4 || mh_5), md5(mh_6 || mh_7)]) AS band
+            FROM sig) x),
+        pred AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id),
+        est AS (
+          SELECT p.da, p.db,
+                 ((CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh_4 = sb.mh_4 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh_5 = sb.mh_5 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh_6 = sb.mh_6 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh_7 = sb.mh_7 THEN 1 ELSE 0 END)) AS nmatch
+          FROM pred p
+          JOIN sig sa ON sa.doc_id = p.da
+          JOIN sig sb ON sb.doc_id = p.db),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS shingles
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(text), '\\s+') AS toks
+                FROM documents WHERE doc_id < 200) t),
+        truth AS (
+          SELECT e.da, e.db, e.nmatch,
+                 len(list_intersect(a.shingles, b.shingles)) * 1.0
+                 / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                   AS jac
+          FROM est e
+          JOIN sh a ON a.doc_id = e.da
+          JOIN sh b ON b.doc_id = e.db)
+        SELECT CAST(FLOOR(ABS(nmatch / 8.0 - jac) * 8) AS BIGINT)
+                 AS err_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(AVG(ABS(nmatch / 8.0 - jac)), 6) AS mean_abs_err
+        FROM truth
+        GROUP BY err_bucket ORDER BY err_bucket
+    """,
+    doc="MinHash estimation-error audit: over the engine's own LSH "
+    "candidate pairs (doc window < 200), the estimated Jaccard "
+    "(fraction of the 8 minhashes that agree) against the TRUE "
+    "3-shingle Jaccard, bucketed by absolute error in 1/8 steps "
+    "with per-bucket mean absolute error — q234 audits the BANDING "
+    "(which pairs become candidates); this audits the ESTIMATOR "
+    "(how wrong the similarity value itself is at 8 permutations, "
+    "expected sd ~ sqrt(J(1-J)/8)), the number that decides "
+    "whether a downstream similarity threshold can act on the "
+    "sketch or must re-verify exactly (q123's role). Candidate "
+    "pairs only — the audit never goes quadratic; the truth side "
+    "joins two bounded shingle sets per PAIR via the exploded "
+    "census. Integer match counts and exact set sizes feed every "
+    "division, so the 6-dp outputs are engine-stable.",
+)
+def q236(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table_parallel(spark, sf, "documents").where(F.col("doc_id") < 200)
+    sig = _minhash_sig_spark(docs.select("doc_id", "text")).localCheckpoint(
+        eager=False
+    )
+    pred = _lsh_pairs_of(docs.select("doc_id", "text"))
+    sa = sig.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"mh_{j}").alias(f"a{j}") for j in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"mh_{j}").alias(f"b{j}") for j in range(8)],
+    )
+    nmatch = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(8)
+    )
+    est = (
+        pred.join(sa, "da").join(sb, "db").select("da", "db", nmatch.alias("nmatch"))
+    )
+
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles_spark())).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.s") == F.col("y.s"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    szb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    jac = F.col("inter") * 1.0 / (F.col("sza") + F.col("szb") - F.col("inter"))
+    truth = (
+        est.join(inter, ["da", "db"], "left")
+        .join(F.broadcast(sza), "da")
+        .join(F.broadcast(szb), "db")
+        .select(
+            "da",
+            "db",
+            "nmatch",
+            F.coalesce(jac, F.lit(0.0)).alias("jac"),
+        )
+    )
+    err = F.abs(F.col("nmatch") / 8.0 - F.col("jac"))
+    return (
+        truth.groupBy(
+            F.floor(err * 8).cast("long").alias("err_bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.avg(err), 6).alias("mean_abs_err"),
+        )
+        .orderBy("err_bucket")
+    )
+
+

@@ -1279,3 +1279,108 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+@register(
+    "q231_truncated_recall",
+    oracle="""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 3),
+        c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+        full_s AS (
+          SELECT q_id, c_id,
+                 list_sum(list_transform(list_zip(qe, ce),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(qe,
+                          x -> CAST(x AS DOUBLE) * x)))
+                    * sqrt(list_sum(list_transform(ce,
+                          x -> CAST(x AS DOUBLE) * x)))) AS cos
+          FROM q, c WHERE q_id <> c_id),
+        trunc_s AS (
+          SELECT q_id, c_id,
+                 list_sum(list_transform(list_zip(qe[1:32], ce[1:32]),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(qe[1:32],
+                          x -> CAST(x AS DOUBLE) * x)))
+                    * sqrt(list_sum(list_transform(ce[1:32],
+                          x -> CAST(x AS DOUBLE) * x)))) AS cos
+          FROM q, c WHERE q_id <> c_id),
+        full_k AS (
+          SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY ROUND(cos, 6) DESC, c_id) AS rn
+            FROM full_s) t WHERE rn <= 10),
+        trunc_k AS (
+          SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY ROUND(cos, 6) DESC, c_id) AS rn
+            FROM trunc_s) t WHERE rn <= 10)
+        SELECT f.q_id,
+               CAST(COUNT(t.c_id) AS BIGINT) AS n_overlap,
+               ROUND(COUNT(t.c_id) / 10.0, 6) AS recall
+        FROM full_k f
+        LEFT JOIN trunc_k t ON t.q_id = f.q_id AND t.c_id = f.c_id
+        GROUP BY f.q_id ORDER BY f.q_id
+    """,
+    doc="Matryoshka-style truncation quality: recall@10 of HALF-"
+    "dimension cosine retrieval against full-dimension ground "
+    "truth, per query — the evaluation a pipeline runs before "
+    "shipping truncated embeddings (half the index bytes, half "
+    "the dot-product FLOPs) for candidate generation; read "
+    "against q151 (int8-quantization NDCG) and q101 (PQ recall "
+    "gate), the other two fidelity-vs-cost probes. Both rankings "
+    "use the q37 determinism rule (rounded cosine, id tiebreak); "
+    "recall joins the two 10-row top-k sets per query. Plan "
+    "shape: the candidate side scans once per ranking with the 3 "
+    "query vectors broadcast; the truncated leg reads the SAME "
+    "column sliced (F.slice), so no second table or index is "
+    "materialized for the experiment.",
+)
+def q231(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    joined = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id")).select(
+        "q_id",
+        "c_id",
+        (_dot("qe", "ce") / (_l2("qe") * _l2("ce"))).alias("cos_full"),
+        (
+            _dot(
+                F.slice("qe", 1, 32).alias("qh"),
+                F.slice("ce", 1, 32).alias("ch"),
+            )
+            / (_l2(F.slice("qe", 1, 32)) * _l2(F.slice("ce", 1, 32)))
+        ).alias("cos_half"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(
+        F.round("cos_full", 6).desc(), F.col("c_id")
+    )
+    wh = Window.partitionBy("q_id").orderBy(
+        F.round("cos_half", 6).desc(), F.col("c_id")
+    )
+    ranked = joined.select(
+        "q_id",
+        "c_id",
+        F.row_number().over(wf).alias("rn_full"),
+        F.row_number().over(wh).alias("rn_half"),
+    )
+    full_k = ranked.where(F.col("rn_full") <= 10).select("q_id", "c_id")
+    trunc_k = ranked.where(F.col("rn_half") <= 10).select(
+        F.col("q_id").alias("tq"), F.col("c_id").alias("tc")
+    )
+    return (
+        full_k.join(
+            trunc_k,
+            (F.col("q_id") == F.col("tq")) & (F.col("c_id") == F.col("tc")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("tc").cast("long").alias("n_overlap"),
+            F.round(F.count("tc") / 10.0, 6).alias("recall"),
+        )
+        .orderBy("q_id")
+    )

@@ -16,9 +16,9 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q225", "q226", "q227"]
+__all__ = ["q225", "q226", "q227", "q235", "q237"]
 
-_PR_ITERS = 10
+_PR_ITERS = 5
 _PR_DAMP = 0.85
 
 
@@ -100,9 +100,12 @@ def q225(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
+    # materialize the symmetric edge list ONCE: pagerank() references
+    # edges every iteration, and without this the order-local self-join
+    # + distinct would re-execute per round (halves the wall at sf0.1)
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     return (
         pagerank(edges, n_iter=_PR_ITERS, damping=_PR_DAMP)
         .select(
@@ -279,3 +282,178 @@ def q227(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+@register(
+    "q235_burstiness",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY event_type, day
+        ),
+        m AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_days,
+                 AVG(1.0 * n) AS mu,
+                 SQRT(AVG(1.0 * n * n) - AVG(1.0 * n) * AVG(1.0 * n))
+                   AS sigma
+          FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n_days,
+               ROUND(mu, 6) AS mean_daily,
+               ROUND(sigma * sigma / mu, 6) AS fano,
+               ROUND((sigma - mu) / (sigma + mu), 6) AS burstiness
+        FROM m ORDER BY event_type
+    """,
+    doc="Burstiness profile of the event stream: per event type, the "
+    "Fano factor (variance/mean of daily counts — 1 under a "
+    "Poisson process, >1 = overdispersed) and the Goh-Barabasi "
+    "burstiness coefficient B = (sigma - mu)/(sigma + mu) in "
+    "[-1, 1] — the diagnostics that say whether q163's EWMA "
+    "smoothing span and q146's anomaly thresholds were tuned "
+    "against a steady or a bursty arrival process. Population "
+    "moments from exact integer daily counts (one fact-sized "
+    "aggregate to the (type, day) census, then a ~|types|-row "
+    "aggregate); both engines compute sigma from the same "
+    "E[n^2] - E[n]^2 expression over the identical integers.",
+)
+def q235(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    daily = (
+        table_parallel(spark, sf, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    mu = F.avg(1.0 * F.col("n"))
+    sigma = F.sqrt(
+        F.avg(1.0 * F.col("n") * F.col("n")) - mu * mu
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.round(mu, 6).alias("mean_daily"),
+            F.round(sigma * sigma / mu, 6).alias("fano"),
+            F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+        )
+        .orderBy("event_type")
+    )
+
+@register(
+    "q237_seasonal_decomposition",
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders GROUP BY day
+        ),
+        idx AS (
+          SELECT day, cents,
+                 ROW_NUMBER() OVER (ORDER BY day) AS i,
+                 COUNT(*) OVER () AS n
+          FROM daily
+        ),
+        tr AS (
+          SELECT day, cents, i, n,
+                 AVG(1.0 * cents) OVER (ORDER BY i
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+          FROM idx
+        ),
+        det AS (
+          SELECT dayofweek(day) AS dow, cents - trend AS detr
+          FROM tr WHERE i >= 4 AND i <= n - 3
+        ),
+        eff AS (
+          SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 AVG(detr) AS effect
+          FROM det GROUP BY dow
+        ),
+        varr AS (
+          SELECT SUM(d.detr * d.detr) AS ss_detr,
+                 SUM((d.detr - e.effect) * (d.detr - e.effect)) AS ss_resid
+          FROM det d JOIN eff e ON e.dow = d.dow
+        )
+        SELECT CAST(e.dow AS BIGINT) AS dow, e.n_days,
+               ROUND(e.effect / 100, 4) AS effect_usd,
+               ROUND(1 - v.ss_resid / v.ss_detr, 6) AS seasonal_r2
+        FROM eff e CROSS JOIN varr v
+        ORDER BY dow
+    """,
+    doc="Classical additive seasonal decomposition (STL-lite) of "
+    "daily revenue: trend = centered 7-day moving average (full "
+    "windows only), seasonal = per-weekday mean of the detrended "
+    "series, plus the fraction of detrended variance the weekly "
+    "seasonal explains (R^2 of detrended ~ dow) — q227 measures "
+    "the RAW weekday profile, which conflates trend with season; "
+    "detrending first is what makes the weekday effect honest on "
+    "a growing series, and the R^2 says whether weekly "
+    "seasonality is signal or noise before anyone subtracts it. "
+    "Plan shape: daily census -> one ordered 7-row frame window "
+    "-> 7-group aggregate; everything after the first aggregate "
+    "runs on census-sized data. Exact integer cents in; the "
+    "trend/effect doubles are shared between numerator and "
+    "denominator so the rounded outputs are engine-stable. DuckDB "
+    "dayofweek is 0-based Sunday, Spark 1-based (shifted by 1).",
+)
+def q237(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    daily = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    wall = Window.partitionBy()
+    wi = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(wi).alias("i"),
+        F.count("*").over(wall).alias("n"),
+    )
+    tr = idx.select(
+        "day",
+        "cents",
+        "i",
+        "n",
+        F.avg(1.0 * F.col("cents"))
+        .over(Window.orderBy("i").rowsBetween(-3, 3))
+        .alias("trend"),
+    )
+    det = tr.where((F.col("i") >= 4) & (F.col("i") <= F.col("n") - 3)).select(
+        (F.dayofweek("day") - 1).alias("dow"),
+        (F.col("cents") - F.col("trend")).alias("detr"),
+    )
+    eff = det.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.avg("detr").alias("effect"),
+    )
+    varr = (
+        det.join(F.broadcast(eff.select("dow", "effect")), "dow")
+        .agg(
+            F.sum(F.col("detr") * F.col("detr")).alias("ss_detr"),
+            F.sum(
+                (F.col("detr") - F.col("effect"))
+                * (F.col("detr") - F.col("effect"))
+            ).alias("ss_resid"),
+        )
+    )
+    return (
+        eff.crossJoin(F.broadcast(varr))
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            "n_days",
+            F.round(F.col("effect") / 100, 4).alias("effect_usd"),
+            F.round(1 - F.col("ss_resid") / F.col("ss_detr"), 6).alias(
+                "seasonal_r2"
+            ),
+        )
+        .orderBy("dow")
+    )
+
+

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241"]
 
 
 @register(
@@ -789,4 +789,620 @@ def q230(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_transitions"),
         F.round(nll / F.sum("n"), 6).alias("cross_entropy"),
         F.round(F.exp(nll / F.sum("n")), 6).alias("perplexity"),
+    )
+
+@register(
+    "q232_token_budget_waterfill",
+    oracle="""
+        WITH src AS (
+          SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+          FROM documents GROUP BY source
+        ),
+        tot AS (
+          SELECT SUM(chars) AS total,
+                 CAST(FLOOR(SUM(chars) * 0.5) AS BIGINT) AS budget,
+                 COUNT(*) AS ns
+          FROM src
+        ),
+        ordered AS (
+          SELECT source, chars,
+                 ROW_NUMBER() OVER (ORDER BY chars, source) AS k,
+                 SUM(chars) OVER (ORDER BY chars, source
+                                  ROWS UNBOUNDED PRECEDING) AS prefix
+          FROM src
+        ),
+        lvl AS (
+          -- the water level is the FIRST feasible per-suffix level in
+          -- ascending order; once feasible the levels only decrease,
+          -- so first-feasible == MAX over the feasible set
+          SELECT MAX(1.0 * (t.budget - (o.prefix - o.chars))
+                     / (t.ns - o.k + 1)) AS t
+          FROM ordered o, tot t
+          WHERE 1.0 * (t.budget - (o.prefix - o.chars)) / (t.ns - o.k + 1)
+                <= o.chars
+        )
+        SELECT s.source, s.chars,
+               ROUND(LEAST(1.0 * s.chars, lvl.t), 4) AS alloc
+        FROM src s, lvl ORDER BY s.source
+    """,
+    doc="Water-filling token-budget allocation across sources: given "
+    "a global budget (here 50% of total corpus chars), every "
+    "source keeps min(its size, t) where the water level t is "
+    "chosen so allocations exactly exhaust the budget — the "
+    "closed-form cap that takes everything from small sources and "
+    "clips the big ones equally, the fairness-maximal answer to "
+    "'which documents do we keep per source under a token cap'. "
+    "Read against q108 (domain mix weights) and q169 (temperature "
+    "mix): those choose PROPORTIONS, this enforces an absolute "
+    "budget. Closed form, no iteration: sort the source census "
+    "ascending, prefix-sum, and t is the maximum of the feasible "
+    "per-suffix levels (B - prefix_below)/(#remaining) — the "
+    "standard KKT characterization (first-feasible == MAX over the "
+    "feasible set, since levels only decrease once feasible), "
+    "computed identically in both engines from exact integer sums. Plan shape: one hash "
+    "aggregate to the ~20-row source census; the sort/scan runs "
+    "on the census only.",
+)
+def q232(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    src = (
+        table_parallel(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("chars"))
+    )
+    tot = src.agg(
+        F.floor(F.sum("chars") * 0.5).cast("long").alias("budget"),
+        F.count("*").alias("ns"),
+    )
+    wk = Window.orderBy("chars", "source")
+    ordered = src.select(
+        "source",
+        "chars",
+        F.row_number().over(wk).alias("k"),
+        F.sum("chars")
+        .over(wk.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("prefix"),
+    )
+    level_expr = (
+        1.0
+        * (F.col("budget") - (F.col("prefix") - F.col("chars")))
+        / (F.col("ns") - F.col("k") + 1)
+    )
+    lvl = (
+        ordered.crossJoin(F.broadcast(tot))
+        .where(level_expr <= F.col("chars"))
+        .agg(F.max(level_expr).alias("t"))
+    )
+    return (
+        src.crossJoin(F.broadcast(lvl))
+        .select(
+            "source",
+            "chars",
+            F.round(F.least(1.0 * F.col("chars"), F.col("t")), 4).alias(
+                "alloc"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q233_mahalanobis_anomaly",
+    oracle="""
+        WITH pts AS (
+          SELECT CAST(label AS BIGINT) AS label, vec_id,
+                 CAST(embedding[1] AS DOUBLE) AS x,
+                 CAST(embedding[2] AS DOUBLE) AS y
+          FROM embeddings
+        ),
+        m AS (
+          SELECT label, AVG(x) AS mx, AVG(y) AS my,
+                 AVG(x * x) - AVG(x) * AVG(x) AS sxx,
+                 AVG(x * y) - AVG(x) * AVG(y) AS sxy,
+                 AVG(y * y) - AVG(y) * AVG(y) AS syy
+          FROM pts GROUP BY label
+        ),
+        d AS (
+          SELECT p.label, p.vec_id,
+                 ((p.x - m.mx) * (p.x - m.mx) * m.syy
+                  - 2 * (p.x - m.mx) * (p.y - m.my) * m.sxy
+                  + (p.y - m.my) * (p.y - m.my) * m.sxx)
+                 / (m.sxx * m.syy - m.sxy * m.sxy) AS d2
+          FROM pts p JOIN m ON m.label = p.label
+        )
+        SELECT label, vec_id, ROUND(d2, 6) AS d2, CAST(rn AS BIGINT) AS rn
+        FROM (
+          SELECT label, vec_id, d2,
+                 ROW_NUMBER() OVER (PARTITION BY label
+                     ORDER BY ROUND(d2, 6) DESC, vec_id) AS rn
+          FROM d) t
+        WHERE rn <= 5 ORDER BY label, rn
+    """,
+    doc="Multivariate (Mahalanobis) anomaly detection: top-5 most "
+    "anomalous vectors per label group by squared Mahalanobis "
+    "distance in the first two embedding dimensions — the "
+    "correlation-aware outlier score that q146's per-column MAD "
+    "rule cannot express (a point can be unremarkable on each "
+    "axis yet far from the correlation ellipse). The 2x2 "
+    "covariance inverse is closed-form (adjugate over "
+    "determinant), so the whole operator is two hash aggregates: "
+    "per-group moments (a ~|labels|-row census broadcast back), "
+    "then the quadratic-form score and a per-group ranking window "
+    "on the ROUNDED 6-dp score with vec_id tiebreak (the "
+    "deterministic-ranking rule). Float inputs are cast to double "
+    "BEFORE any product on both engines; at d>2 dimensions this "
+    "becomes the Gram + solve path the harmony core already "
+    "implements (core/kernels.py).",
+)
+def q233(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    pts = table_parallel(spark, sf, "embeddings").select(
+        F.col("label").cast("long").alias("label"),
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    m = pts.groupBy("label").agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        (F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")).alias(
+            "sxx"
+        ),
+        (F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y")).alias(
+            "sxy"
+        ),
+        (F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")).alias(
+            "syy"
+        ),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    d2 = (
+        dx * dx * F.col("syy") - 2 * dx * dy * F.col("sxy") + dy * dy * F.col("sxx")
+    ) / (F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy"))
+    w = Window.partitionBy("label").orderBy(
+        F.round(d2, 6).desc(), F.col("vec_id")
+    )
+    scored = pts.join(F.broadcast(m), "label").select(
+        "label",
+        "vec_id",
+        F.round(d2, 6).alias("d2"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+    return scored.where(F.col("rn") <= 5).orderBy("label", "rn")
+
+_RBO_P = 0.9
+_RBO_DEPTH = 50
+
+
+@register(
+    "q238_rank_biased_overlap",
+    oracle=f"""
+        WITH toks AS (
+          SELECT CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10
+                      THEN 'A' ELSE 'B' END AS half,
+                 UNNEST(string_split_regex(lower(text), '\\s+')) AS tok
+          FROM documents
+        ),
+        counts AS (
+          SELECT half, tok, COUNT(*) AS n FROM toks
+          WHERE tok <> '' GROUP BY half, tok
+        ),
+        ranked AS (
+          SELECT half, tok,
+                 ROW_NUMBER() OVER (PARTITION BY half
+                                    ORDER BY n DESC, tok) AS r
+          FROM counts
+        ),
+        topa AS (SELECT tok, r AS ra FROM ranked
+                 WHERE half = 'A' AND r <= {_RBO_DEPTH}),
+        topb AS (SELECT tok, r AS rb FROM ranked
+                 WHERE half = 'B' AND r <= {_RBO_DEPTH}),
+        common AS (
+          SELECT GREATEST(a.ra, b.rb) AS m
+          FROM topa a JOIN topb b ON b.tok = a.tok
+        ),
+        spine AS (SELECT UNNEST(generate_series(1, {_RBO_DEPTH})) AS d),
+        agree AS (
+          SELECT s.d, COUNT(c.m) AS xd
+          FROM spine s LEFT JOIN common c ON c.m <= s.d
+          GROUP BY s.d
+        )
+        SELECT CAST((SELECT COUNT(*) FROM common) AS BIGINT) AS n_common,
+               ROUND((1 - {_RBO_P}) * SUM(POWER({_RBO_P}, d - 1) * xd / d), 6)
+                 AS rbo
+        FROM agree
+    """,
+    doc=f"Rank-biased overlap (RBO, p={_RBO_P}, truncated at depth "
+    f"{_RBO_DEPTH}) between the top-term frequency rankings of two "
+    "corpus halves (sources src0-src9 vs the rest) — the "
+    "top-weighted list-similarity metric for 'did the vocabulary "
+    "ranking drift between snapshots/sources', where q191's KS "
+    "and q201's PSI compare DISTRIBUTIONS but nothing compared "
+    "RANKED LISTS (set-based Jaccard ignores order; Spearman "
+    "needs identical support). Computed via the overlap-depth "
+    "trick: a common token enters the agreement at depth "
+    "max(rank_A, rank_B), so per-depth overlap is a census count, "
+    "no per-depth set intersection. Rankings break count ties on "
+    "the token (the rounded-key rule, exact here since counts are "
+    "integers); the depth spine is a fixed 50-row list. Plan "
+    "shape: one exploded token aggregate per half, per-half "
+    "ranking windows over the count census, then 50-row-scale "
+    "joins.",
+)
+def q238(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    toks = (
+        table_parallel(spark, sf, "documents")
+        .select(
+            F.when(
+                F.substring("source", 4, 10).cast("int") < 10, "A"
+            )
+            .otherwise("B")
+            .alias("half"),
+            F.explode(
+                F.split(F.lower(F.col("text")), r"\s+")
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    counts = toks.groupBy("half", "tok").agg(F.count("*").alias("n"))
+    ranked = counts.select(
+        "half",
+        "tok",
+        F.row_number()
+        .over(Window.partitionBy("half").orderBy(F.desc("n"), "tok"))
+        .alias("r"),
+    ).where(F.col("r") <= _RBO_DEPTH)
+    topa = ranked.where(F.col("half") == "A").select(
+        "tok", F.col("r").alias("ra")
+    )
+    topb = ranked.where(F.col("half") == "B").select(
+        F.col("tok").alias("tokb"), F.col("r").alias("rb")
+    )
+    common = topa.join(topb, F.col("tok") == F.col("tokb")).select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    spine = spark.range(1, _RBO_DEPTH + 1).select(F.col("id").alias("d"))
+    agree = (
+        F.broadcast(spine)
+        .join(common, F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("m").alias("xd"))
+    )
+    n_common = common.agg(F.count("*").cast("long").alias("n_common"))
+    rbo = agree.agg(
+        F.round(
+            (1 - _RBO_P)
+            * F.sum(
+                F.pow(F.lit(_RBO_P), F.col("d") - 1) * F.col("xd") / F.col("d")
+            ),
+            6,
+        ).alias("rbo")
+    )
+    return n_common.crossJoin(rbo)
+
+
+# ---------------------------------------------------------------- q239
+
+
+@register(
+    "q239_fd_histogram",
+    oracle="""
+        WITH pts AS (
+          SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders
+        ),
+        st AS (
+          SELECT COUNT(*) AS n, MIN(v) AS vmin,
+                 PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY v)
+                 - PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY v) AS iqr
+          FROM pts
+        ),
+        w AS (SELECT n, vmin, 2.0 * iqr / CBRT(n) AS width FROM st)
+        SELECT CAST(FLOOR((p.v - w.vmin) / w.width) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(p.v) AS BIGINT) AS lo_cents,
+               CAST(MAX(p.v) AS BIGINT) AS hi_cents
+        FROM pts p CROSS JOIN w
+        GROUP BY bin ORDER BY bin
+    """,
+    doc="Auto-binned histogram by the Freedman-Diaconis rule: bin "
+    "width 2*IQR/n^(1/3) from the EXACT interpolated quartiles "
+    "(PERCENTILE_CONT semantics = Spark's exact `percentile`), "
+    "applied to order values as integer cents — the "
+    "statistically-sized histogram (robust to outliers via IQR, "
+    "narrowing as n^(1/3)) that a profiler computes when no one "
+    "hand-picks q223's fixed $1000 buckets. Determinism: the "
+    "quartiles interpolate between INTEGER order statistics, so "
+    "both engines derive the identical double width; bin = "
+    "floor((v - min)/width) is then the same arithmetic on both "
+    "sides, and per-bin min/max bounds are exact integers. Plan "
+    "shape: one pass for the stats row (exact percentile is a "
+    "sort-based aggregate; at true scale swap approx_percentile "
+    "with a documented tolerance), broadcast, second pass bins — "
+    "the two-pass shape every data profiler at 100 TB uses.",
+)
+def q239(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    pts = table_parallel(spark, sf, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    st = pts.agg(
+        F.count("*").alias("n"),
+        F.min("v").alias("vmin"),
+        (
+            F.expr("percentile(v, 0.75)") - F.expr("percentile(v, 0.25)")
+        ).alias("iqr"),
+    )
+    w = st.select(
+        "vmin", (2.0 * F.col("iqr") / F.cbrt("n")).alias("width")
+    )
+    return (
+        pts.crossJoin(F.broadcast(w))
+        .groupBy(
+            F.floor((F.col("v") - F.col("vmin")) / F.col("width"))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("v").cast("long").alias("lo_cents"),
+            F.max("v").cast("long").alias("hi_cents"),
+        )
+        .orderBy("bin")
+    )
+
+@register(
+    "q240_conformal_interval",
+    oracle="""
+        WITH pts AS (
+          SELECT l_returnflag AS grp,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+          FROM lineitem
+        ),
+        mom AS (
+          SELECT grp, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(x * y) AS sxy
+          FROM pts GROUP BY grp
+        ),
+        fit AS (
+          SELECT grp, n,
+                 (1.0 * n * sxy - 1.0 * sx * sy)
+                 / (1.0 * n * sxx - 1.0 * sx * sx) AS slope,
+                 (1.0 * sy - (1.0 * n * sxy - 1.0 * sx * sy)
+                             / (1.0 * n * sxx - 1.0 * sx * sx) * sx)
+                 / n AS icept
+          FROM mom
+        ),
+        resid AS (
+          SELECT p.grp, f.n, f.slope, f.icept,
+                 ABS(p.y - f.icept - f.slope * p.x) AS ar
+          FROM pts p JOIN fit f ON f.grp = p.grp
+        ),
+        qr AS (
+          SELECT grp, MAX(n) AS n, MAX(slope) AS slope, MAX(icept) AS icept,
+                 PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY ar) AS q90
+          FROM resid GROUP BY grp
+        )
+        SELECT r.grp, CAST(q.n AS BIGINT) AS n,
+               ROUND(q.slope, 6) AS slope,
+               ROUND(q.icept / 100, 4) AS intercept_usd,
+               ROUND(q.q90 / 100, 4) AS q90_resid_usd,
+               ROUND(AVG(CASE WHEN r.ar <= q.q90 THEN 1.0 ELSE 0.0 END), 6)
+                 AS coverage
+        FROM resid r JOIN qr q ON q.grp = r.grp
+        GROUP BY r.grp, q.n, q.slope, q.icept, q.q90
+        ORDER BY r.grp
+    """,
+    doc="Split-conformal prediction interval per group: fit the "
+    "closed-form OLS line (price ~ quantity, q198's moment "
+    "formulation), take the 90th percentile of absolute residuals "
+    "as the conformal radius, and report the achieved in-sample "
+    "coverage — the distribution-free uncertainty band modern "
+    "pipelines attach to point predictions (in production the "
+    "radius comes from a held-out calibration split; the same "
+    "plan, one extra filter — q241 is that split discipline "
+    "applied to the fit itself). Determinism: all five OLS "
+    "moments are exact BIGINT sums converted once to double "
+    "(identical IEEE conversions on both engines); the quantile "
+    "interpolates between order statistics of identically-"
+    "computed doubles. Plan shape: one grouped moment aggregate, "
+    "the 3-row fit broadcast back, one residual pass with a "
+    "per-group exact percentile (approx_percentile at true scale, "
+    "documented), one coverage aggregate.",
+)
+def q240(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    pts = table_parallel(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    mom = pts.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (
+        1.0 * F.col("n") * F.col("sxy") - 1.0 * F.col("sx") * F.col("sy")
+    ) / (1.0 * F.col("n") * F.col("sxx") - 1.0 * F.col("sx") * F.col("sx"))
+    fit = mom.select(
+        "grp",
+        "n",
+        slope.alias("slope"),
+        ((1.0 * F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "icept"
+        ),
+    )
+    resid = pts.join(F.broadcast(fit), "grp").select(
+        "grp",
+        "n",
+        "slope",
+        "icept",
+        F.abs(
+            F.col("y") - F.col("icept") - F.col("slope") * F.col("x")
+        ).alias("ar"),
+    )
+    qr = resid.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max("slope").alias("slope"),
+        F.max("icept").alias("icept"),
+        F.expr("percentile(ar, 0.9)").alias("q90"),
+    )
+    return (
+        resid.select("grp", "ar")
+        .join(F.broadcast(qr), "grp")
+        .groupBy("grp", "n", "slope", "icept", "q90")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("ar") <= F.col("q90"), 1.0).otherwise(0.0)),
+                6,
+            ).alias("coverage")
+        )
+        .select(
+            "grp",
+            F.col("n").cast("long").alias("n"),
+            F.round("slope", 6).alias("slope"),
+            F.round(F.col("icept") / 100, 4).alias("intercept_usd"),
+            F.round(F.col("q90") / 100, 4).alias("q90_resid_usd"),
+            "coverage",
+        )
+        .orderBy("grp")
+    )
+
+
+@register(
+    "q241_kfold_ols_cv",
+    oracle="""
+        WITH pts AS (
+          SELECT l_orderkey % 5 AS fold,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+          FROM lineitem
+        ),
+        fm AS (
+          SELECT fold, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(x * y) AS sxy
+          FROM pts GROUP BY fold
+        ),
+        tot AS (
+          SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+                 SUM(sxx) AS sxx, SUM(sxy) AS sxy
+          FROM fm
+        ),
+        trained AS (
+          SELECT f.fold,
+                 (1.0 * (t.n - f.n) * (t.sxy - f.sxy)
+                  - 1.0 * (t.sx - f.sx) * (t.sy - f.sy))
+                 / (1.0 * (t.n - f.n) * (t.sxx - f.sxx)
+                    - 1.0 * (t.sx - f.sx) * (t.sx - f.sx)) AS slope,
+                 t.n - f.n AS n_train, f.n AS n_test,
+                 t.sx - f.sx AS sx_t, t.sy - f.sy AS sy_t
+          FROM fm f CROSS JOIN tot t
+        ),
+        models AS (
+          SELECT fold, slope, n_train, n_test,
+                 (1.0 * sy_t - slope * sx_t) / n_train AS icept
+          FROM trained
+        )
+        SELECT CAST(p.fold AS BIGINT) AS fold,
+               CAST(MAX(m.n_train) AS BIGINT) AS n_train,
+               CAST(MAX(m.n_test) AS BIGINT) AS n_test,
+               ROUND(MAX(m.slope), 6) AS slope,
+               ROUND(SQRT(AVG((p.y - m.icept - m.slope * p.x)
+                              * (p.y - m.icept - m.slope * p.x))) / 100, 4)
+                 AS rmse_usd
+        FROM pts p JOIN models m ON m.fold = p.fold
+        GROUP BY p.fold ORDER BY fold
+    """,
+    doc="K-fold cross-validated OLS without data duplication: fold id "
+    "is a deterministic key hash (orderkey mod 5); each fold's "
+    "TRAINING moments are the global moments MINUS that fold's "
+    "moments (sufficient-statistic subtraction — the trick that "
+    "turns k-fold from k data passes into ONE moment aggregate "
+    "plus census arithmetic, the only honest way to cross-validate "
+    "at 100 TB), and the held-out RMSE evaluates each fold's model "
+    "on exactly the rows the model never saw. Determinism: all "
+    "moments exact BIGINTs; the one double reduction (per-fold "
+    "squared-residual mean) feeds a 4-dp rounded dollar RMSE. "
+    "Plan shape: one grouped moment aggregate to 5 rows, census "
+    "arithmetic, the 5-row model table broadcast onto one "
+    "evaluation pass.",
+)
+def q241(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    pts = table_parallel(spark, sf, "lineitem").select(
+        (F.col("l_orderkey") % 5).alias("fold"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    fm = pts.groupBy("fold").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    tot = fm.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    nt = F.col("tn") - F.col("n")
+    sxt = F.col("tsx") - F.col("sx")
+    syt = F.col("tsy") - F.col("sy")
+    sxxt = F.col("tsxx") - F.col("sxx")
+    sxyt = F.col("tsxy") - F.col("sxy")
+    slope = (1.0 * nt * sxyt - 1.0 * sxt * syt) / (
+        1.0 * nt * sxxt - 1.0 * sxt * sxt
+    )
+    models = (
+        fm.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            slope.alias("slope"),
+            nt.alias("n_train"),
+            F.col("n").alias("n_test"),
+            ((1.0 * syt - slope * sxt) / nt).alias("icept"),
+        )
+    )
+    return (
+        pts.join(F.broadcast(models), "fold")
+        .groupBy("fold")
+        .agg(
+            F.max("n_train").cast("long").alias("n_train"),
+            F.max("n_test").cast("long").alias("n_test"),
+            F.round(F.max("slope"), 6).alias("slope"),
+            F.round(
+                F.sqrt(
+                    F.avg(
+                        (F.col("y") - F.col("icept") - F.col("slope") * F.col("x"))
+                        * (F.col("y") - F.col("icept") - F.col("slope") * F.col("x"))
+                    )
+                )
+                / 100,
+                4,
+            ).alias("rmse_usd"),
+        )
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            "n_train",
+            "n_test",
+            "slope",
+            "rmse_usd",
+        )
+        .orderBy("fold")
     )

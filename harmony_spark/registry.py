@@ -69,6 +69,7 @@ _PROMOTED = (
     "q148_distributed_auc",
     "q164_asof_signup_attribution",
     "q165_sequence_packing",
+    "q234_lsh_quality_eval",
 )
 _DEMOTED = frozenset(
     {
@@ -89,12 +90,13 @@ _DEMOTED = frozenset(
 def _priority(name: str) -> tuple[int, int]:
     """Registry ordering: the driver's correctness gate checks the FIRST
     50 entries. In-window (positions 1-50): the declared SURVEY §2.11
-    corpus q01-q32, the four harmony_* pipelines, the thirteen promoted
-    queries (q89/q97/q98/q100/q101/q102/q104/q130/q132/q134/q148/
-    q164/q165), then the first entry of q33-q47 not demoted (q43).
-    Out-of-window (covered by the identical local gate at sf0.001
-    instead): the demoted q33-q42, q44-q47, q83-q88, q90-q92, and the
-    remaining relational/extension surface q48+."""
+    corpus q01-q32, the four harmony_* pipelines, and the fourteen
+    promoted queries (q89/q97/q98/q100/q101/q102/q104/q130/q132/q134/
+    q148/q164/q165/q234 — q234 is the LSH precision/recall audit,
+    promoted round-3 session-5 in place of q43, whose multimodal
+    family stays covered by the q95/q96 local gates). Out-of-window
+    (covered by the identical local gate at sf0.001 instead): q33-q47,
+    q83-q88, q90-q92, and the remaining surface q48+."""
     if name in _PROMOTED:
         return (2, _PROMOTED.index(name))
     if name.startswith("q"):

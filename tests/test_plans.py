@@ -128,6 +128,12 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q221_mann_whitney",  # cross join of two single-row aggregates
     "q227_dow_seasonality",  # cross join vs the 1-row overall daily mean
     "q228_isotonic_calibration",  # interval joins on the 10-row bin census
+    "q231_truncated_recall",  # inequality join vs 3 broadcast query vectors
+    "q232_token_budget_waterfill",  # cross joins vs 1-row budget/level rows
+    "q237_seasonal_decomposition",  # cross join vs the 1-row variance row
+    "q238_rank_biased_overlap",  # depth-spine joins on 50-row censuses
+    "q239_fd_histogram",  # cross join vs the 1-row width/min stats row
+    "q241_kfold_ols_cv",  # cross join of the 5-row fold census vs 1-row totals
 }
 
 
@@ -501,3 +507,25 @@ def test_q165_packing_is_bucket_grouped_pandas(spark, sf_dir):
     plan = plan_of(load_all()["q165_sequence_packing"], spark, sf_dir, mode="simple")
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "Join" not in plan
+
+
+def test_q211_snowflake_broadcasts_and_pushdown(spark, sf_dir):
+    """TPC-H Q8 shape: both selective dim filters reach their parquet
+    scans as pushed filters, and every dimension arm joins as a
+    broadcast — the fact table must never shuffle for a dim."""
+    plan = plan_of(load_all()["q211_market_share"], spark, sf_dir)
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert "EqualTo(r_name,AMERICA)" in plan
+    assert plan.count("BroadcastHashJoin") >= 6, plan.count(
+        "BroadcastHashJoin"
+    )
+
+
+def test_q241_kfold_is_single_moment_pass(spark, sf_dir):
+    """The k-fold CV trains on sufficient-statistic subtraction: the
+    plan must contain no join of the fact table to itself — only the
+    broadcast of the 5-row model census back onto one evaluation
+    pass."""
+    plan = plan_of(load_all()["q241_kfold_ols_cv"], spark, sf_dir, mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
