@@ -1384,3 +1384,119 @@ def q231(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+@register(
+    "q246_embedding_separation",
+    oracle="""
+        WITH flat AS (
+          SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT label AS clabel, dim, AVG(v) AS c
+          FROM flat GROUP BY clabel, dim
+        ),
+        cnorm AS (
+          SELECT clabel, SQRT(SUM(c * c)) AS cn FROM cent GROUP BY clabel
+        ),
+        mnorm AS (
+          SELECT vec_id, SQRT(SUM(v * v)) AS mn FROM flat GROUP BY vec_id
+        ),
+        dots AS (
+          SELECT f.vec_id, f.label, ct.clabel, SUM(f.v * ct.c) AS dot
+          FROM flat f JOIN cent ct ON ct.dim = f.dim
+          GROUP BY f.vec_id, f.label, ct.clabel
+        ),
+        cosines AS (
+          SELECT d.vec_id, d.label, d.clabel,
+                 d.dot / (m.mn * cn.cn) AS cos
+          FROM dots d
+          JOIN mnorm m ON m.vec_id = d.vec_id
+          JOIN cnorm cn ON cn.clabel = d.clabel
+        ),
+        per_member AS (
+          SELECT vec_id, label,
+                 MAX(CASE WHEN clabel = label THEN cos END) AS own,
+                 MAX(CASE WHEN clabel <> label THEN cos END) AS best_other
+          FROM cosines GROUP BY vec_id, label
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               ROUND(AVG(own), 6) AS cohesion,
+               ROUND(AVG(best_other), 6) AS separation,
+               ROUND(AVG(own) - AVG(best_other), 6) AS margin
+        FROM per_member GROUP BY label ORDER BY label
+    """,
+    doc="Silhouette-lite label separation in embedding space: per "
+    "label, the mean cosine of members to their OWN centroid "
+    "(cohesion) vs the mean cosine to each member's best-matching "
+    "OTHER centroid (separation), and the margin — the per-member "
+    "evaluation q175's centroid-pair matrix cannot see (two label "
+    "centroids can sit far apart while half of one label's members "
+    "still lie closer to the other's centroid; margin < 0 flags "
+    "exactly those label-noise cases before training). Plan shape: "
+    "N vectors collapse to |labels|*d centroid cells in one "
+    "posexplode aggregate; member-centroid dots are a dim-keyed "
+    "join of the exploded members against the TINY centroid table "
+    "grouped back per (member, centroid) — O(N*d*|labels|) work, "
+    "no member-member pair ever materializes (the full silhouette "
+    "is O(N^2); this is its scalable stand-in). The best-other "
+    "choice takes MAX of identically-computed doubles — no "
+    "rounding-dependent ranking.",
+)
+def q246(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    flat = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "v0"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    cent = flat.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.avg("v").alias("c")
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+    )
+    mnorm = flat.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("mn")
+    )
+    dots = (
+        flat.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.col("v") * F.col("c")).alias("dot"))
+    )
+    cosines = (
+        dots.join(mnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            (F.col("dot") / (F.col("mn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    per_member = cosines.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("cos"))
+        ).alias("own"),
+        F.max(
+            F.when(F.col("clabel") != F.col("label"), F.col("cos"))
+        ).alias("best_other"),
+    )
+    return (
+        per_member.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.round(F.avg("own"), 6).alias("cohesion"),
+            F.round(F.avg("best_other"), 6).alias("separation"),
+            F.round(F.avg("own") - F.avg("best_other"), 6).alias("margin"),
+        )
+        .orderBy("label")
+    )

@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q225", "q226", "q227", "q235", "q237"]
+__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243"]
 
 _PR_ITERS = 5
 _PR_DAMP = 0.85
@@ -457,3 +457,170 @@ def q237(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+@register(
+    "q242_mase_forecast_error",
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders GROUP BY day
+        ),
+        idx AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, cents FROM daily
+        ),
+        err AS (
+          SELECT a.i,
+                 ABS(a.cents - n1.cents) AS e_naive,
+                 ABS(a.cents - n7.cents) AS e_seasonal
+          FROM idx a
+          JOIN idx n1 ON n1.i = a.i - 1
+          JOIN idx n7 ON n7.i = a.i - 7
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+               ROUND(AVG(1.0 * e_naive) / 100, 4) AS mae_naive_usd,
+               ROUND(AVG(1.0 * e_seasonal) / 100, 4) AS mae_seasonal_usd,
+               ROUND(AVG(1.0 * e_seasonal) / AVG(1.0 * e_naive), 6) AS mase
+        FROM err
+    """,
+    doc="Forecast-accuracy baseline scoring: mean absolute error of "
+    "the SEASONAL-naive forecast (today = same value 7 days ago) "
+    "against the naive forecast (today = yesterday), and their "
+    "ratio — the MASE convention (scaled by the naive error) that "
+    "makes forecast error comparable across series of different "
+    "scale, and the go/no-go gate every forecasting pipeline "
+    "computes FIRST: a model that cannot beat mase<1 against "
+    "these two free baselines has no business shipping. Both "
+    "error columns come from one row-indexed census self-joined "
+    "at offsets 1 and 7 (expression equi-joins, census-sized, "
+    "the q226 recipe); days are observed-day indexed (q226's "
+    "documented gap-collapse convention). Exact integer cents in; "
+    "the two means share no rounding surface until the final "
+    "4/6-dp outputs.",
+)
+def q242(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    daily = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"), "cents"
+    )
+    n1 = idx.select(F.col("i").alias("i1"), F.col("cents").alias("c1"))
+    n7 = idx.select(F.col("i").alias("i7"), F.col("cents").alias("c7"))
+    err = (
+        idx.join(n1, F.col("i1") == F.col("i") - 1)
+        .join(n7, F.col("i7") == F.col("i") - 7)
+        .select(
+            F.abs(F.col("cents") - F.col("c1")).alias("e_naive"),
+            F.abs(F.col("cents") - F.col("c7")).alias("e_seasonal"),
+        )
+    )
+    return err.agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.round(F.avg(1.0 * F.col("e_naive")) / 100, 4).alias(
+            "mae_naive_usd"
+        ),
+        F.round(F.avg(1.0 * F.col("e_seasonal")) / 100, 4).alias(
+            "mae_seasonal_usd"
+        ),
+        F.round(
+            F.avg(1.0 * F.col("e_seasonal")) / F.avg(1.0 * F.col("e_naive")),
+            6,
+        ).alias("mase"),
+    )
+
+
+@register(
+    "q243_negative_binomial_fit",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY event_type, day
+        ),
+        m AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_days,
+                 AVG(1.0 * n) AS mu,
+                 AVG(1.0 * n * n) - AVG(1.0 * n) * AVG(1.0 * n) AS varr
+          FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n_days,
+               ROUND(mu, 6) AS mean_daily,
+               ROUND(varr, 6) AS var_daily,
+               CAST(CASE WHEN varr > mu THEN 1 ELSE 0 END AS BIGINT)
+                 AS overdispersed,
+               CASE WHEN varr > mu
+                    THEN ROUND(mu * mu / (varr - mu), 6)
+                    ELSE -1.0 END AS nb_r,
+               CASE WHEN varr > mu
+                    THEN ROUND(mu / varr, 6) ELSE -1.0 END AS nb_p
+        FROM m ORDER BY event_type
+    """,
+    doc="Negative-binomial overdispersion fit per event type "
+    "(method of moments on daily counts: r = mu^2/(var - mu), "
+    "p = mu/var) — the parametric follow-up to q235's burstiness "
+    "DIAGNOSIS: once the Fano factor says the arrivals are "
+    "overdispersed, these are the parameters a simulator, "
+    "capacity planner, or anomaly threshold actually consumes "
+    "(NB quantiles instead of the Poisson ones that underestimate "
+    "tails). When var <= mu the NB moment fit is undefined "
+    "(Poisson suffices): overdispersed=0 and the -1.0 sentinel — "
+    "not NULL, which the driver's canonicalizer cannot hash in a "
+    "numeric column (the no-null-numerics output rule). Same "
+    "single-census plan as q235; population moments from exact "
+    "integer counts.",
+)
+def q243(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    daily = (
+        table_parallel(spark, sf, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    mu = F.avg(1.0 * F.col("n"))
+    varr = F.avg(1.0 * F.col("n") * F.col("n")) - mu * mu
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            mu.alias("_mu"),
+            varr.alias("_var"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.col("_mu"), 6).alias("mean_daily"),
+            F.round(F.col("_var"), 6).alias("var_daily"),
+            F.when(F.col("_var") > F.col("_mu"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("overdispersed"),
+            F.when(
+                F.col("_var") > F.col("_mu"),
+                F.round(
+                    F.col("_mu") * F.col("_mu")
+                    / (F.col("_var") - F.col("_mu")),
+                    6,
+                ),
+            )
+            .otherwise(-1.0)
+            .alias("nb_r"),
+            F.when(
+                F.col("_var") > F.col("_mu"),
+                F.round(F.col("_mu") / F.col("_var"), 6),
+            )
+            .otherwise(-1.0)
+            .alias("nb_p"),
+        )
+        .orderBy("event_type")
+    )

@@ -2256,3 +2256,166 @@ def q208(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(census("except_distinct", r.subtract(a)))
         .orderBy("op")
     )
+
+
+@register(
+    "q244_period_movers",
+    oracle="""
+        WITH a AS (
+          SELECT p.p_brand AS brand,
+                 SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000) AS BIGINT)) AS rev
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY brand
+        ),
+        b AS (
+          SELECT p.p_brand AS brand,
+                 SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000) AS BIGINT)) AS rev
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+            AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+          GROUP BY brand
+        )
+        SELECT COALESCE(a.brand, b.brand) AS brand,
+               CAST(COALESCE(a.rev, 0) AS BIGINT) AS rev_1997_e4,
+               CAST(COALESCE(b.rev, 0) AS BIGINT) AS rev_1998_e4,
+               CAST(COALESCE(b.rev, 0) - COALESCE(a.rev, 0) AS BIGINT)
+                 AS delta_e4,
+               CASE WHEN a.brand IS NULL THEN 'new'
+                    WHEN b.brand IS NULL THEN 'gone'
+                    WHEN b.rev > a.rev THEN 'up' ELSE 'down' END AS status
+        FROM a FULL OUTER JOIN b ON b.brand = a.brand
+        ORDER BY delta_e4, brand
+    """,
+    doc="Period-over-period movers report: per-brand revenue for two "
+    "adjacent years aligned by FULL OUTER join, with the exact "
+    "integer delta and a new/gone/up/down status — the 'biggest "
+    "movers' readout every BI consumer asks for after any rollup, "
+    "and the query shape (two filtered aggregates of the SAME fact "
+    "table full-outer-joined on the group key) that q120's "
+    "snapshot diff applies to table versions, here applied to time "
+    "slices. Absent periods are exact-integer 0 with an explicit "
+    "status, not NULL (the no-null-numerics output rule) and not a "
+    "ratio (a percent change against a 0 base is undefined — "
+    "downstream consumers rank on the exact delta instead). Plan "
+    "shape: the two year-sliced aggregates scan with pushed "
+    "shipdate range filters; the full outer join runs on two "
+    "~|brands|-row censuses.",
+)
+def q244(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    li = table_parallel(spark, sf, "lineitem")
+    p = table_parallel(spark, sf, "part").select("p_partkey", "p_brand")
+    rev = F.sum(
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        ).cast("long")
+    )
+
+    def year_census(lo: str, hi: str, out: str):
+        return (
+            li.where(
+                (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+            )
+            .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .groupBy(F.col("p_brand").alias(out))
+            .agg(rev.alias(out + "_rev"))
+        )
+
+    a = year_census("1997-01-01", "1998-01-01", "ba")
+    b = year_census("1998-01-01", "1999-01-01", "bb")
+    joined = a.join(b, F.col("ba") == F.col("bb"), "full_outer")
+    ra = F.coalesce(F.col("ba_rev"), F.lit(0))
+    rb = F.coalesce(F.col("bb_rev"), F.lit(0))
+    return joined.select(
+        F.coalesce(F.col("ba"), F.col("bb")).alias("brand"),
+        ra.cast("long").alias("rev_1997_e4"),
+        rb.cast("long").alias("rev_1998_e4"),
+        (rb - ra).cast("long").alias("delta_e4"),
+        F.when(F.col("ba").isNull(), "new")
+        .when(F.col("bb").isNull(), "gone")
+        .when(rb > ra, "up")
+        .otherwise("down")
+        .alias("status"),
+    ).orderBy("delta_e4", "brand")
+
+
+@register(
+    "q245_triple_itemsets",
+    oracle="""
+        WITH baskets AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        triples AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+                 COUNT(*) AS support
+          FROM baskets a
+          JOIN baskets b ON b.l_orderkey = a.l_orderkey
+                        AND b.l_partkey > a.l_partkey
+          JOIN baskets c ON c.l_orderkey = a.l_orderkey
+                        AND c.l_partkey > b.l_partkey
+          GROUP BY p1, p2, p3
+        )
+        SELECT p1, p2, p3, CAST(support AS BIGINT) AS support
+        FROM (
+          SELECT p1, p2, p3, support,
+                 ROW_NUMBER() OVER (ORDER BY support DESC, p1, p2, p3)
+                   AS rn
+          FROM triples) t
+        WHERE rn <= 25
+        ORDER BY support DESC, p1, p2, p3
+    """,
+    doc="Frequent 3-itemset mining: the top-25 part TRIPLES most "
+    "often bought together in one order — the next association "
+    "order above q159's pair lift (bundle design and 'customers "
+    "also bought' need triples once pairs saturate). Candidate "
+    "generation is ORDER-LOCAL: the double self-join runs inside "
+    "each orderkey with p1 < p2 < p3 canonical ordering, so the "
+    "work per order is C(lines, 3) — bounded by the basket size, "
+    "never |parts|^3 (the q220 rule applied to joins: go "
+    "combinatorial only within a key group). The DISTINCT "
+    "de-dupes re-ordered parts so a part twice in one order "
+    "cannot inflate support. Ranking breaks support ties on the "
+    "triple itself — exact integers end to end.",
+)
+def q245(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    baskets = (
+        table_parallel(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    c = baskets.alias("c")
+    triples = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("c.l_partkey") > F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+            F.col("c.l_partkey").alias("p3"),
+        )
+        .agg(F.count("*").alias("support"))
+    )
+    w = Window.orderBy(F.desc("support"), "p1", "p2", "p3")
+    return (
+        triples.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .select("p1", "p2", "p3", F.col("support").cast("long").alias("support"))
+        .orderBy(F.desc("support"), "p1", "p2", "p3")
+    )

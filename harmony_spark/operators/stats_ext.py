@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249"]
 
 
 @register(
@@ -1405,4 +1405,248 @@ def q241(spark: SparkSession, sf: str) -> DataFrame:
             "rmse_usd",
         )
         .orderBy("fold")
+    )
+
+@register(
+    "q247_woe_iv",
+    oracle="""
+        WITH u AS (
+          SELECT user_id, SUM(value) AS score,
+                 CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) >= 14
+                      THEN 1 ELSE 0 END AS good
+          FROM events GROUP BY user_id
+        ),
+        d AS (
+          SELECT good,
+                 NTILE(10) OVER (ORDER BY score DESC, user_id) AS bin
+          FROM u
+        ),
+        g AS (
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(good) AS BIGINT) AS n_good,
+                 CAST(COUNT(*) - SUM(good) AS BIGINT) AS n_bad
+          FROM d GROUP BY bin
+        ),
+        t AS (SELECT SUM(n_good) AS tg, SUM(n_bad) AS tb,
+                     COUNT(*) AS nb FROM g),
+        w AS (
+          SELECT g.bin, g.n, g.n_good, g.n_bad,
+                 (g.n_good + 0.5) / (t.tg + 0.5 * t.nb) AS pg,
+                 (g.n_bad + 0.5) / (t.tb + 0.5 * t.nb) AS pb
+          FROM g CROSS JOIN t
+        )
+        SELECT bin, n, n_good, n_bad,
+               ROUND(LN(pg / pb), 6) AS woe,
+               ROUND(SUM((pg - pb) * LN(pg / pb)) OVER (), 6) AS iv
+        FROM w ORDER BY bin
+    """,
+    doc="Weight-of-evidence / information-value table: users binned "
+    "into deterministic score deciles (q210's NTILE + id-tiebreak "
+    "convention), each bin scored WoE = ln(%good / %bad) with "
+    "Laplace +0.5 smoothing on every cell (so empty cells yield a "
+    "finite WoE instead of ±inf — the smoothing constant is part "
+    "of the contract), and the feature's total IV = sum((%g - %b) "
+    "* WoE) — the credit-scoring feature-strength convention "
+    "(IV < 0.02 useless, > 0.5 suspicious) that complements "
+    "q210's lift (business yield per decile) with a "
+    "feature-selection number. Integer counts in; the smoothed "
+    "proportions are identical rationals on both engines. Plan "
+    "shape: one user aggregate, one |users|-row ranking window, a "
+    "10-row census with window totals.",
+)
+def q247(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    u = (
+        table_parallel(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum("value").alias("score"),
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("good"),
+        )
+    )
+    d = u.select(
+        "good",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score"), "user_id"))
+        .alias("bin"),
+    )
+    g = d.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("good").cast("long").alias("n_good"),
+        (F.count("*") - F.sum("good")).cast("long").alias("n_bad"),
+    )
+    wall = Window.partitionBy()
+    tg = F.sum("n_good").over(wall)
+    tb = F.sum("n_bad").over(wall)
+    nb = F.count("*").over(wall)
+    w = g.select(
+        "bin",
+        "n",
+        "n_good",
+        "n_bad",
+        ((F.col("n_good") + 0.5) / (tg + 0.5 * nb)).alias("pg"),
+        ((F.col("n_bad") + 0.5) / (tb + 0.5 * nb)).alias("pb"),
+    )
+    woe = F.log(F.col("pg") / F.col("pb"))
+    return w.select(
+        "bin",
+        "n",
+        "n_good",
+        "n_bad",
+        F.round(woe, 6).alias("woe"),
+        F.round(
+            F.sum((F.col("pg") - F.col("pb")) * woe).over(wall), 6
+        ).alias("iv"),
+    ).orderBy("bin")
+
+
+@register(
+    "q248_shuffle_skew_profile",
+    oracle="""
+        WITH kc AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY user_id
+        ),
+        t AS (SELECT SUM(c) AS rows_total, COUNT(*) AS n_keys FROM kc)
+        SELECT CAST(t.n_keys AS BIGINT) AS n_keys,
+               CAST(t.rows_total AS BIGINT) AS rows_total,
+               CAST(MEDIAN(kc.c) AS DOUBLE) AS p50,
+               CAST(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY kc.c)
+                    AS DOUBLE) AS p99,
+               CAST(MAX(kc.c) AS BIGINT) AS max_key_rows,
+               ROUND(MAX(kc.c) * 1.0 / t.rows_total, 6) AS top1_share,
+               ROUND(SUM((kc.c * 1.0 / t.rows_total)
+                         * (kc.c * 1.0 / t.rows_total)), 6) AS hhi,
+               ROUND(MAX(kc.c) * t.n_keys * 1.0 / t.rows_total, 6)
+                 AS skew_factor
+        FROM kc CROSS JOIN t
+        GROUP BY t.n_keys, t.rows_total
+    """,
+    doc="Shuffle-key skew profile for events.user_id — the "
+    "pre-flight diagnostic run BEFORE keying a 100 TB shuffle on a "
+    "column: key count, median/p99/max per-key row counts, the "
+    "hottest key's share, the Herfindahl concentration index, and "
+    "skew_factor = max/mean (the straggler multiplier: one reducer "
+    "gets skew_factor times the average partition, so a "
+    "skew_factor of 50 means AQE skew splitting or q76-style "
+    "salting is mandatory). This operationalizes the skew "
+    "handling the dedup family already implements "
+    "(extensions/dedup.py:744 adaptive banding) as a reusable "
+    "measurement. Exact integer counts; the two interpolated "
+    "percentiles follow the PERCENTILE_CONT = Spark `percentile` "
+    "equivalence (q239). Plan: one key census, one census "
+    "aggregate.",
+)
+def q248(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    kc = (
+        table_parallel(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wall = Window.partitionBy()
+    t = kc.select(
+        "c",
+        F.sum("c").over(wall).alias("rows_total"),
+        F.count("*").over(wall).alias("n_keys"),
+    )
+    share = F.col("c") * 1.0 / F.col("rows_total")
+    return (
+        t.groupBy("n_keys", "rows_total")
+        .agg(
+            F.expr("percentile(c, 0.5)").alias("p50"),
+            F.expr("percentile(c, 0.99)").alias("p99"),
+            F.max("c").cast("long").alias("max_key_rows"),
+            F.round(F.max("c") * 1.0 / F.max("rows_total"), 6).alias(
+                "top1_share"
+            ),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+            F.round(
+                F.max("c") * F.max("n_keys") * 1.0 / F.max("rows_total"), 6
+            ).alias("skew_factor"),
+        )
+        .select(
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("rows_total").cast("long").alias("rows_total"),
+            "p50",
+            "p99",
+            "max_key_rows",
+            "top1_share",
+            "hhi",
+            "skew_factor",
+        )
+    )
+
+
+@register(
+    "q249_user_burst_rate",
+    oracle="""
+        WITH e AS (
+          SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events
+        ),
+        burst AS (
+          SELECT user_id,
+                 COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+                   AS in_hour
+          FROM e
+        ),
+        per_user AS (
+          SELECT user_id, CAST(MAX(in_hour) AS BIGINT) AS max_burst,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM burst GROUP BY user_id
+        )
+        SELECT user_id, max_burst, n_events
+        FROM (
+          SELECT user_id, max_burst, n_events,
+                 ROW_NUMBER() OVER (ORDER BY max_burst DESC, user_id) AS rn
+          FROM per_user) t
+        WHERE rn <= 20
+        ORDER BY max_burst DESC, user_id
+    """,
+    doc="Per-user burst-rate detection: the maximum number of events "
+    "any user fired inside ANY rolling 60-minute window (a "
+    "TIME-range frame over epoch seconds, sliding per event — not "
+    "q27's fixed tumbling buckets, which split a burst straddling "
+    "a boundary, and not q61's value-range frame), top-20 users by "
+    "(burst, id) — the rate-limiter / abuse-detection readout, and "
+    "the batch replica of what a streaming sliding-window count "
+    "(streaming/ops.sliding_counts) maintains online. Plan shape: "
+    "one user-keyed window sort (the data shuffles onto its "
+    "entity key once), a per-user max, a 20-row ranked census. "
+    "Integer second arithmetic end to end.",
+)
+def q249(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    e = table_parallel(spark, sf, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    burst = e.select("user_id", F.count("*").over(wr).alias("in_hour"))
+    per_user = burst.groupBy("user_id").agg(
+        F.max("in_hour").cast("long").alias("max_burst"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    wrank = Window.orderBy(F.desc("max_burst"), "user_id")
+    return (
+        per_user.withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") <= 20)
+        .select("user_id", "max_burst", "n_events")
+        .orderBy(F.desc("max_burst"), "user_id")
     )
