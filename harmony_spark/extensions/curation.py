@@ -1795,3 +1795,108 @@ def q199(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("source")
     )
 
+
+
+_DSIR_BUCKETS = 256
+_DSIR_K = 20
+
+
+@register(
+    "q252_dsir_selection",
+    oracle=rf"""
+        WITH tok0 AS (
+          SELECT doc_id, lang,
+                 unnest(string_split_regex(lower(text), '\s+')) AS t
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT)
+                   % {_DSIR_BUCKETS} AS b
+          FROM tok0
+        ),
+        tc AS (SELECT b, COUNT(*) AS c FROM tok WHERE lang = 'en' GROUP BY b),
+        rc AS (SELECT b, COUNT(*) AS c FROM tok GROUP BY b),
+        tt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tc),
+        rt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM rc),
+        wt AS (
+          SELECT rc.b,
+                 ln((COALESCE(tc.c, 0) + 1.0) / (tt.n + {_DSIR_BUCKETS}))
+                   - ln((rc.c + 1.0) / (rt.n + {_DSIR_BUCKETS})) AS w
+          FROM rc LEFT JOIN tc ON tc.b = rc.b
+          CROSS JOIN tt CROSS JOIN rt
+        ),
+        sc AS (
+          SELECT t.doc_id, AVG(w.w) AS s
+          FROM tok t JOIN wt w ON w.b = t.b
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id, d.source, d.lang, ROUND(s.s, 4) AS dsir_score
+        FROM sc s JOIN documents d ON d.doc_id = s.doc_id
+        ORDER BY ROUND(s.s, 4) DESC, d.doc_id
+        LIMIT {_DSIR_K}
+    """,
+    doc="Data Selection via Importance Resampling (DSIR, Xie et al. "
+    "2023) with hashed unigram features: every token hashes into one "
+    f"of {_DSIR_BUCKETS} md5 buckets, the TARGET distribution is fit "
+    "on the lang='en' slice and the RAW distribution on the whole "
+    "corpus (both add-1 smoothed), each bucket carries the log "
+    "importance ratio ln(p_target/p_raw), and a document's score is "
+    "its mean per-token ratio — the top-k documents are the ones a "
+    "target-matched pretraining mix admits first. The practical "
+    "selection step between q108's fixed mix weights and q140's "
+    "weighted sampler. Scale shape: the feature space is CLOSED at "
+    f"{_DSIR_BUCKETS} buckets regardless of vocabulary, so both "
+    "distribution fits are map-side-combinable counts, the weight "
+    "table broadcasts back onto the exploded corpus, and per-doc "
+    "scoring is one (doc_id)-keyed average — no vocabulary-sized "
+    "state anywhere, the property that makes DSIR run where a full "
+    "LM-perplexity filter cannot. Determinism: ranking on the "
+    "ROUNDED 4-dp score with doc_id tiebreak.",
+)
+def q252(spark: SparkSession, sf: str) -> DataFrame:
+    tok = table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("t"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    tc = tok.where(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").alias("tc")
+    )
+    rc = tok.groupBy("b").agg(F.count("*").alias("rc"))
+    tt = tc.agg(F.sum("tc").alias("tn"))
+    rt = rc.agg(F.sum("rc").alias("rn"))
+    wt = (
+        rc.join(tc, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("tc", F.lit(0)) + 1.0)
+                    / (F.col("tn") + _DSIR_BUCKETS)
+                )
+                - F.log((F.col("rc") + 1.0) / (F.col("rn") + _DSIR_BUCKETS))
+            ).alias("w"),
+        )
+    )
+    sc = (
+        tok.join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("w"), 4).alias("dsir_score"))
+    )
+    docs = table(spark, sf, "documents").select("doc_id", "source", "lang")
+    return (
+        sc.join(docs, "doc_id")
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(_DSIR_K)
+        .select("doc_id", "source", "lang", "dsir_score")
+    )

@@ -174,3 +174,42 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return r.select("node", "rank")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any source node,
+    bounded at ``n_iter`` hops.
+
+    ``sources`` must have a single ``node`` column. Returns
+    (node, dist) for every node reached within ``n_iter`` hops —
+    synchronous frontier relaxation: dist' = min(dist, min over
+    in-neighbors dist+1). Per round ONE equi-join of the O(#reached)
+    distance vector against the edge set and ONE min-aggregate keyed
+    on the destination — the CC/pagerank shuffle shape, linear in |E|.
+    Lineage is truncated per round (localCheckpoint) so the plan stays
+    flat at any hop bound. Unlike frontier-only BFS this relaxation is
+    idempotent (min semiring), so stragglers re-relaxed in later
+    rounds cannot change the result — the property that makes the
+    unrolled-SQL oracle replay it exactly.
+    """
+    dist = sources.select("node", F.lit(0).alias("dist")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(n_iter):
+        relaxed = dist.join(
+            edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")),
+            "node",
+        ).select(F.col("nbr").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

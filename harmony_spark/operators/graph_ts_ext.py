@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243"]
+__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243", "q254"]
 
 _PR_ITERS = 5
 _PR_DAMP = 0.85
@@ -623,4 +623,104 @@ def q243(spark: SparkSession, sf: str) -> DataFrame:
             .alias("nb_p"),
         )
         .orderBy("event_type")
+    )
+
+
+_BFS_ITERS = 3
+
+
+def _bfs_oracle() -> str:
+    """Unrolled synchronous min-relaxation (d0..dN CTEs) — the same
+    unroll-instead-of-recurse portability choice as _pagerank_oracle."""
+    steps = []
+    for k in range(_BFS_ITERS):
+        steps.append(
+            f"""d{k + 1} AS (
+          SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{k}
+            UNION ALL
+            SELECT e.v AS node, p.dist + 1 AS dist
+            FROM d{k} p JOIN edges e ON e.u = p.node
+          ) r{k} GROUP BY node
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        edges AS (
+          SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT u AS node FROM edges),
+        d0 AS (
+          SELECT n.node, 0 AS dist
+          FROM nodes n JOIN part p ON p.p_partkey = n.node
+          WHERE p.p_size = 50
+        ),
+        {chain}
+        SELECT CAST(hop AS BIGINT) AS hop,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM (
+          SELECT n.node, COALESCE(d.dist, -1) AS hop
+          FROM nodes n LEFT JOIN d{_BFS_ITERS} d ON d.node = n.node
+        ) h
+        GROUP BY hop ORDER BY hop
+    """
+
+
+@register(
+    "q254_bfs_reachability",
+    oracle=_bfs_oracle(),
+    doc=f"Multi-source BFS hop histogram over the part co-purchase "
+    "graph: distance-from-nearest-size-50-part, bounded at "
+    f"{_BFS_ITERS} hops, with -1 for parts unreached within the "
+    "bound — the substitutability-radius diagnostic (how many hops "
+    "of shared-basket affinity separate the catalog from a seed "
+    "assortment), and the engine's frontier-iteration primitive "
+    "next to pagerank (q225) and connected components (q73/q75). "
+    "operators/graph.py:bfs_hops — synchronous min-semiring "
+    "relaxation, per round one edge-join + one dst-keyed MIN "
+    "aggregate, per-round lineage truncation; the min semiring "
+    "makes rounds idempotent, so the oracle can replay the "
+    "identical relaxation as UNROLLED d0..dN CTEs. Pair generation "
+    "is order-local (q225's plan); the histogram is exact-integer.",
+)
+def q254(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+    from harmony_spark.operators.graph import bfs_hops
+
+    li = table_parallel(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    part = table_parallel(spark, sf, "part").where(F.col("p_size") == 50)
+    sources = nodes.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("node"))), "node"
+    )
+    dist = bfs_hops(edges, sources, n_iter=_BFS_ITERS)
+    return (
+        nodes.join(dist, "node", "left")
+        .select(F.coalesce("dist", F.lit(-1)).cast("long").alias("hop"))
+        .groupBy("hop")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .orderBy("hop")
     )

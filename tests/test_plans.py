@@ -134,6 +134,8 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q238_rank_biased_overlap",  # depth-spine joins on 50-row censuses
     "q239_fd_histogram",  # cross join vs the 1-row width/min stats row
     "q241_kfold_ols_cv",  # cross join of the 5-row fold census vs 1-row totals
+    "q252_dsir_selection",  # cross joins vs the two 1-row token totals
+    "q255_net_drawdown",  # cross join of four single-row aggregates
 }
 
 
