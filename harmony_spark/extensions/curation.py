@@ -1900,3 +1900,167 @@ def q252(spark: SparkSession, sf: str) -> DataFrame:
         .limit(_DSIR_K)
         .select("doc_id", "source", "lang", "dsir_score")
     )
+
+
+@register(
+    "q257_k_anonymity",
+    oracle="""
+        WITH qi AS (
+          SELECT c_nationkey AS nk, c_mktsegment AS seg,
+                 CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
+          FROM customer
+        ),
+        cls AS (
+          SELECT nk, seg, band, COUNT(*) AS sz FROM qi GROUP BY nk, seg, band
+        )
+        SELECT CAST(SUM(sz) AS BIGINT) AS n_customers,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS BIGINT)
+                 AS n_below2,
+               CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+                 AS n_below5,
+               CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+                 AS n_below10,
+               ROUND(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 1.0
+                     / SUM(sz), 6) AS risk5_share
+        FROM cls
+    """,
+    doc="k-anonymity census over the quasi-identifier tuple "
+    "(nationality, market segment, $1000 balance band): equivalence-"
+    "class sizes and the number/share of records in classes below "
+    "k = 2/5/10 — the re-identification risk audit a privacy review "
+    "runs BEFORE a dataset ships, and the governance complement to "
+    "q155's direct-identifier PII census (a record can be clean of "
+    "direct PII and still unique on its quasi-identifiers, which is "
+    "what actually re-identifies people in released data). The "
+    "generalization ladder is explicit: widen a band or drop a "
+    "column until the below-k mass hits policy. Scale shape: one "
+    "map-side-combinable hash aggregate to the class census, then a "
+    "single-row reduction over the census — no per-record state "
+    "survives the first aggregate. Determinism: all-integer with "
+    "one final share division; the balance banding uses FLOOR on "
+    "the identical IEEE doubles both engines read from parquet.",
+)
+def q257(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    qi = table_parallel(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+    )
+    cls = qi.groupBy("nk", "seg", "band").agg(F.count("*").alias("sz"))
+    below = lambda k: F.sum(  # noqa: E731
+        F.when(F.col("sz") < k, F.col("sz")).otherwise(0)
+    )
+    return cls.agg(
+        F.sum("sz").cast("long").alias("n_customers"),
+        F.count("*").cast("long").alias("n_classes"),
+        below(2).cast("long").alias("n_below2"),
+        below(5).cast("long").alias("n_below5"),
+        below(10).cast("long").alias("n_below10"),
+        F.round(below(5) / F.sum("sz"), 6).alias("risk5_share"),
+    )
+
+
+_NEY_BUDGET = 200
+
+
+@register(
+    "q266_neyman_allocation",
+    oracle=f"""
+        WITH mom AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(n_chars) AS BIGINT) AS s1,
+                 CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+          FROM documents GROUP BY source
+        ),
+        w AS (
+          SELECT source, n,
+                 SQRT((n * s2 - s1 * s1) * 1.0) / n AS sd,
+                 n * (SQRT((n * s2 - s1 * s1) * 1.0) / n) AS wgt
+          FROM mom
+        ),
+        tot AS (SELECT SUM(wgt) AS tw FROM w),
+        alloc0 AS (
+          SELECT source, n, sd,
+                 CAST(FLOOR(wgt * {_NEY_BUDGET} / tw) AS BIGINT) AS base,
+                 wgt * {_NEY_BUDGET} / tw
+                   - FLOOR(wgt * {_NEY_BUDGET} / tw) AS rem
+          FROM w CROSS JOIN tot
+        ),
+        lk AS (
+          SELECT source, n, sd, base, rem,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr,
+                 SUM(base) OVER () AS sbase
+          FROM alloc0
+        )
+        SELECT source, CAST(n AS BIGINT) AS n_docs, ROUND(sd, 6) AS sd_chars,
+               CAST(base + CASE WHEN rr <= {_NEY_BUDGET} - sbase
+                                THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM lk ORDER BY source
+    """,
+    doc=f"Neyman-optimal stratified sample allocation: a {_NEY_BUDGET}-"
+    "item annotation/eval budget split across sources proportional "
+    "to N_h * sd_h (stratum size times within-stratum length "
+    "spread) — the survey-sampling answer to 'which domains deserve "
+    "labeling budget', where proportional allocation (q108/q169) "
+    "over-samples big uniform strata and under-samples small "
+    "variable ones. Integerized by largest-remainder rounding so "
+    "the allocations sum EXACTLY to the budget. Scale shape: one "
+    "map-side-combinable moment aggregate (n, sum, sum-of-squares "
+    "as exact BIGINTs) to the stratum census; everything after is "
+    "census-sized. Cross-engine determinism is arithmetic-only: sd "
+    "comes from integer moments through sqrt and division (both "
+    "IEEE correctly-rounded — no libm transcendentals), so floors "
+    "and remainder ranks agree bit-for-bit.",
+)
+def q266(spark: SparkSession, sf: str) -> DataFrame:
+    mom = (
+        table(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("s1"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+        )
+    )
+    w = mom.select(
+        "source",
+        "n",
+        (
+            F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) * 1.0)
+            / F.col("n")
+        ).alias("sd"),
+    ).withColumn("wgt", F.col("n") * F.col("sd"))
+    tot = w.agg(F.sum("wgt").alias("tw"))
+    alloc0 = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "sd",
+        F.floor(F.col("wgt") * _NEY_BUDGET / F.col("tw")).alias("base"),
+        (
+            F.col("wgt") * _NEY_BUDGET / F.col("tw")
+            - F.floor(F.col("wgt") * _NEY_BUDGET / F.col("tw"))
+        ).alias("rem"),
+    )
+    lk = alloc0.select(
+        "source",
+        "n",
+        "sd",
+        "base",
+        F.row_number().over(Window.orderBy(F.desc("rem"), "source")).alias("rr"),
+        F.sum("base").over(Window.partitionBy()).alias("sbase"),
+    )
+    return lk.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round("sd", 6).alias("sd_chars"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= _NEY_BUDGET - F.col("sbase"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    ).orderBy("source")

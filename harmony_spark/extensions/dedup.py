@@ -1620,3 +1620,103 @@ def q236(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+_CT_SH = 5  # containment shingle width in tokens
+_CT_DF = 20  # rare-shingle document-frequency cap
+_CT_MIN = 0.6
+
+
+@register(
+    "q264_containment_quotes",
+    oracle=rf"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+          FROM documents
+        ),
+        sh0 AS (
+          SELECT doc_id,
+                 array_to_string(ts[i : i + {_CT_SH} - 1], ' ') AS sh
+          FROM toks, unnest(generate_series(1, len(ts) - {_CT_SH} + 1)) AS g(i)
+        ),
+        sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+        rare AS (
+          SELECT s.doc_id, s.sh FROM sh s JOIN df d ON d.sh = s.sh
+          WHERE d.df <= {_CT_DF}
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS nsh FROM rare GROUP BY doc_id),
+        com AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+          FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT c.a_id, c.b_id,
+               CAST(c.common AS BIGINT) AS common,
+               ROUND(c.common * 1.0 / LEAST(sa.nsh, sb.nsh), 6) AS containment
+        FROM com c
+        JOIN sz sa ON sa.doc_id = c.a_id
+        JOIN sz sb ON sb.doc_id = c.b_id
+        WHERE c.common * 1.0 / LEAST(sa.nsh, sb.nsh) >= {_CT_MIN}
+        ORDER BY containment DESC, a_id, b_id
+    """,
+    doc=f"CONTAINMENT detection (quotation / near-subset pairs): "
+    f"{_CT_SH}-token shingle sets, pair overlap counted only over "
+    f"RARE shingles (document frequency <= {_CT_DF}), scored as "
+    "|A∩B| / min(|A|,|B|) >= {_CT_MIN}. The asymmetric complement "
+    "of the Jaccard dedup family (q33/q86): a short document quoted "
+    "inside a long one has near-total containment but low Jaccard, "
+    "so symmetric dedup keeps BOTH copies and the training set "
+    "still memorizes the quoted text. Scale shape: the pair "
+    "generator is the exploded-shingle EQUI-join — and the rare-"
+    "shingle filter is what bounds it: a shingle with df <= c "
+    "contributes <= c^2 candidate rows, so boilerplate shingles "
+    "shared by thousands of documents (the quadratic hot keys) are "
+    "excluded BEFORE the self-join, exactly the skew cure the "
+    "banded-LSH path gets from adaptive banding. Everything is "
+    "integer counts; the one containment division is replayed "
+    "identically by the oracle, ranked rounded with id tiebreaks.",
+)
+def q264(spark: SparkSession, sf: str) -> DataFrame:
+    toks = table(spark, sf, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("ts")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(ts) - {_CT_SH} + 1, 0)),"
+                f" i -> array_join(slice(ts, i, {_CT_SH}), ' '))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    df = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    rare = sh.join(df.where(F.col("df") <= _CT_DF), "sh").select("doc_id", "sh")
+    sz = rare.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    a = rare.select(F.col("doc_id").alias("a_id"), "sh")
+    b = rare.select(F.col("doc_id").alias("b_id"), "sh")
+    com = (
+        a.join(b, "sh")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        com.join(
+            sz.select(F.col("doc_id").alias("a_id"), F.col("nsh").alias("na")),
+            "a_id",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("b_id"), F.col("nsh").alias("nb")),
+            "b_id",
+        )
+        .withColumn("containment", F.col("common") / F.least("na", "nb"))
+        .where(F.col("containment") >= _CT_MIN)
+        .select(
+            "a_id",
+            "b_id",
+            F.col("common").cast("long").alias("common"),
+            F.round("containment", 6).alias("containment"),
+        )
+        .orderBy(F.desc("containment"), "a_id", "b_id")
+    )

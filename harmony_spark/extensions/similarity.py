@@ -1500,3 +1500,138 @@ def q246(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q267_mutual_nearest_neighbors",
+    oracle="""
+        WITH fa AS (
+          SELECT vec_id AS a_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings WHERE label = 0
+        ),
+        fb AS (
+          SELECT vec_id AS b_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings WHERE label = 1
+        ),
+        na AS (SELECT a_id, SQRT(SUM(v * v)) AS nrm FROM fa GROUP BY a_id),
+        nb AS (SELECT b_id, SQRT(SUM(v * v)) AS nrm FROM fb GROUP BY b_id),
+        dots AS (
+          SELECT fa.a_id, fb.b_id, SUM(fa.v * fb.v) AS dot
+          FROM fa JOIN fb ON fb.dim = fa.dim
+          GROUP BY fa.a_id, fb.b_id
+        ),
+        cosm AS (
+          SELECT d.a_id, d.b_id,
+                 ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos6
+          FROM dots d
+          JOIN na ON na.a_id = d.a_id
+          JOIN nb ON nb.b_id = d.b_id
+        ),
+        besta AS (
+          SELECT a_id, b_id, cos6 FROM (
+            SELECT a_id, b_id, cos6,
+                   ROW_NUMBER() OVER (PARTITION BY a_id
+                                      ORDER BY cos6 DESC, b_id) AS r
+            FROM cosm
+          ) t WHERE r = 1
+        ),
+        bestb AS (
+          SELECT a_id, b_id FROM (
+            SELECT a_id, b_id,
+                   ROW_NUMBER() OVER (PARTITION BY b_id
+                                      ORDER BY cos6 DESC, a_id) AS r
+            FROM cosm
+          ) t WHERE r = 1
+        )
+        SELECT a.a_id, a.b_id, a.cos6 AS cosine
+        FROM besta a JOIN bestb b ON b.a_id = a.a_id AND b.b_id = a.b_id
+        ORDER BY a.a_id
+    """,
+    doc="Mutual nearest neighbors between two embedding groups "
+    "(label 0 vs label 1): pairs where each vector is the other's "
+    "cosine top-1 — the MNN anchor criterion batch-integration "
+    "methods (MNN correct, Seurat anchors; the same problem family "
+    "as the harmony core) use to identify corresponding cells "
+    "across batches, and in LLM-data terms the cross-source "
+    "alignment seed for parallel-corpus mining. One-directional "
+    "top-1 is noise-prone (a hub vector is 'nearest' to everything); "
+    "mutuality is the classic hubness filter. Plan shape: both "
+    "groups explode to (dim, value) rows, the cross-group dot "
+    "matrix is ONE dim-keyed equi-join + (a,b)-keyed aggregate, "
+    "norms precompute per side, and both argmax directions rank the "
+    "SAME rounded cosine with id tiebreaks, so the mutual join is "
+    "exact set algebra. At 100 TB the group-by-group matrix is the "
+    "all-pairs step — the scale path swaps the dim-join for the SRP "
+    "bucketed candidate generation (adaptive_srp_table) with "
+    "mutuality checked on candidates only. Determinism: argmax on "
+    "ROUNDED 6-dp cosine, id tiebreaks.",
+)
+def q267(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+
+    def flat(lbl: int, idc: str) -> DataFrame:
+        return (
+            e.where(F.col("label") == lbl)
+            .select(
+                F.col("vec_id").alias(idc),
+                F.posexplode("embedding").alias("dim0", "v0"),
+            )
+            .select(
+                idc,
+                (F.col("dim0") + 1).alias("dim"),
+                F.col("v0").cast("double").alias("v"),
+            )
+        )
+
+    fa, fb = flat(0, "a_id"), flat(1, "b_id")
+    na = fa.groupBy("a_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("na")
+    )
+    nb = fb.groupBy("b_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nb")
+    )
+    dots = (
+        fa.join(fb.withColumnRenamed("v", "bv"), "dim")
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("v") * F.col("bv")).alias("dot"))
+    )
+    cosm = (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cos6"
+            ),
+        )
+    )
+    besta = (
+        cosm.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("a_id").orderBy(F.desc("cos6"), "b_id")
+            ),
+        )
+        .where(F.col("r") == 1)
+        .select("a_id", "b_id", "cos6")
+    )
+    bestb = (
+        cosm.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("b_id").orderBy(F.desc("cos6"), "a_id")
+            ),
+        )
+        .where(F.col("r") == 1)
+        .select(F.col("a_id").alias("a2"), F.col("b_id").alias("b2"))
+    )
+    return (
+        besta.join(
+            bestb, (besta.a_id == bestb.a2) & (besta.b_id == bestb.b2)
+        )
+        .select("a_id", "b_id", F.col("cos6").alias("cosine"))
+        .orderBy("a_id")
+    )

@@ -1073,3 +1073,102 @@ def q205(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("f1"),
     ).orderBy("cls")
+
+
+@register(
+    "q261_fightin_words",
+    oracle=r"""
+        WITH tok AS (
+          SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS t
+          FROM documents
+        ),
+        src AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t),
+        corp AS (SELECT t, CAST(SUM(c) AS BIGINT) AS cc FROM src GROUP BY t),
+        stot AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM src GROUP BY source
+        ),
+        vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                      CAST(SUM(cc) AS BIGINT) AS nn FROM corp),
+        z AS (
+          SELECT s.source, s.t,
+                 (ln((s.c + 1.0) / (st.n + vv.v - s.c - 1))
+                  - ln((c.cc - s.c + 1.0)
+                       / (vv.nn - st.n + vv.v - (c.cc - s.c) - 1)))
+                 / sqrt(1.0 / (s.c + 1) + 1.0 / (c.cc - s.c + 1)) AS zs
+          FROM src s
+          JOIN corp c ON c.t = s.t
+          JOIN stot st ON st.source = s.source
+          CROSS JOIN vv
+        ),
+        rk AS (
+          SELECT source, t, ROUND(zs, 4) AS z4,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY ROUND(zs, 4) DESC, t) AS r
+          FROM z
+        )
+        SELECT source, t AS token, z4 AS log_odds_z
+        FROM rk WHERE r <= 3
+        ORDER BY source, log_odds_z DESC, token
+    """,
+    doc='The "fightin\' words" statistic (Monroe/Colaresi/Quinn 2008): '
+    "per source, the top-3 tokens by the z-scored log-odds-ratio of "
+    "source-vs-rest usage under a uniform Dirichlet prior — WHICH "
+    "words distinguish a domain, where q111's KL gives one scalar "
+    "saying only THAT it differs. The informative-prior z-scoring is "
+    "what separates this from raw TF-IDF: rare tokens get shrunk by "
+    "the prior and the variance term instead of dominating the "
+    "ranking. The per-domain vocabulary fingerprint used for "
+    "corpus-drift forensics and mixture documentation. Scale shape: "
+    "everything after the one exploded census is vocabulary-sized — "
+    "the (source, token) counts aggregate map-side; the corpus "
+    "marginal, per-source totals and the 1-row (V, N) reduction "
+    "broadcast back onto the census; the top-3 window partitions by "
+    "source over census rows. Determinism: ranking on the ROUNDED "
+    "4-dp z with token tiebreak.",
+)
+def q261(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tok = table(spark, sf, "documents").select(
+        "source", F.explode(_tokens()).alias("t")
+    )
+    src = tok.groupBy("source", "t").agg(F.count("*").alias("c"))
+    corp = src.groupBy("t").agg(F.sum("c").alias("cc"))
+    stot = src.groupBy("source").agg(F.sum("c").alias("n"))
+    vv = corp.agg(F.count("*").alias("v"), F.sum("cc").alias("nn"))
+    rest_c = F.col("cc") - F.col("c")
+    z = (
+        src.join(F.broadcast(corp), "t")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "source",
+            "t",
+            (
+                (
+                    F.log(
+                        (F.col("c") + 1.0)
+                        / (F.col("n") + F.col("v") - F.col("c") - 1)
+                    )
+                    - F.log(
+                        (rest_c + 1.0)
+                        / (F.col("nn") - F.col("n") + F.col("v") - rest_c - 1)
+                    )
+                )
+                / F.sqrt(1.0 / (F.col("c") + 1) + 1.0 / (rest_c + 1))
+            ).alias("zs"),
+        )
+    )
+    rk = z.select("source", "t", F.round("zs", 4).alias("z4")).withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("z4"), "t")
+        ),
+    )
+    return (
+        rk.where(F.col("r") <= 3)
+        .select(
+            "source", F.col("t").alias("token"), F.col("z4").alias("log_odds_z")
+        )
+        .orderBy("source", F.desc("log_odds_z"), "token")
+    )

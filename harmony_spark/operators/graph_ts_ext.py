@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243", "q254"]
+__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243", "q254", "q258", "q262"]
 
 _PR_ITERS = 5
 _PR_DAMP = 0.85
@@ -724,3 +724,240 @@ def q254(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_parts"))
         .orderBy("hop")
     )
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label propagation — same portability
+    choice as _pagerank_oracle/_bfs_oracle."""
+    steps = []
+    for k in range(_LPA_ITERS):
+        steps.append(
+            f"""cnt{k} AS (
+          SELECT e.v AS node, p.label, COUNT(*) AS cc
+          FROM lp{k} p JOIN edges e ON e.u = p.node
+          GROUP BY e.v, p.label
+        ),
+        mx{k} AS (SELECT node, MAX(cc) AS m FROM cnt{k} GROUP BY node),
+        lp{k + 1} AS (
+          SELECT c.node, MIN(c.label) AS label
+          FROM cnt{k} c JOIN mx{k} x ON x.node = c.node AND c.cc = x.m
+          GROUP BY c.node
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        edges AS (
+          SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+        ),
+        lp0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+        {chain}
+        SELECT CAST(label AS BIGINT) AS community,
+               CAST(COUNT(*) AS BIGINT) AS size
+        FROM lp{_LPA_ITERS}
+        GROUP BY label
+        ORDER BY size DESC, community
+        LIMIT 25
+    """
+
+
+@register(
+    "q258_label_propagation",
+    oracle=_lpa_oracle(),
+    doc=f"Community detection by SYNCHRONOUS label propagation over "
+    "the part co-purchase graph ({_LPA_ITERS} rounds, every node "
+    "starts as its own label, each round adopts the most frequent "
+    "neighbor label with a deterministic min-label tiebreak) — top-"
+    "25 communities by size. Where connected components (q73/q75) "
+    "answer 'what is linked at all', LPA answers 'what is DENSELY "
+    "linked', the merchandising/segmentation cut of the same graph. "
+    "Synchronous + min-tiebreak makes the classically "
+    "order-dependent algorithm exactly reproducible, which is what "
+    "lets the oracle replay it as unrolled CTEs. Per round: one "
+    "edge-join against the O(#nodes) label vector and two keyed "
+    "aggregates ((node,label) count, per-node argmax) — the "
+    "CC/pagerank shuffle shape, linear in |E|, lineage truncated "
+    "per round. Determinism: all-integer counts, min-label ties.",
+)
+def q258(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    li = table_parallel(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    lp = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(_LPA_ITERS):
+        cnt = (
+            lp.join(edges.select(F.col("src").alias("node"), "dst"), "node")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("cc"))
+        )
+        lp = (
+            cnt.withColumn("m", F.max("cc").over(Window.partitionBy("node")))
+            .where(F.col("cc") == F.col("m"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        lp.groupBy(F.col("label").cast("long").alias("community"))
+        .agg(F.count("*").cast("long").alias("size"))
+        .orderBy(F.desc("size"), "community")
+        .limit(25)
+    )
+
+
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Unrolled synchronous k-core peeling, k = median degree."""
+    steps = []
+    for r in range(_KCORE_ROUNDS):
+        steps.append(
+            f"""deg{r} AS (
+          SELECT u, COUNT(*) AS d FROM g{r} GROUP BY u
+        ),
+        keep{r} AS (SELECT u FROM deg{r}, kk WHERE d >= kk.k),
+        g{r + 1} AS (
+          SELECT g.u, g.v FROM g{r} g
+          JOIN keep{r} ka ON ka.u = g.u
+          JOIN keep{r} kb ON kb.u = g.v
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    rounds_out = " UNION ALL ".join(
+        f"SELECT {r + 1} AS round, (SELECT COUNT(*) FROM keep{r}) AS n_nodes, "
+        f"(SELECT COUNT(*) FROM g{r + 1} WHERE u < v) AS n_edges"
+        for r in range(_KCORE_ROUNDS)
+    )
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        g0 AS (
+          SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+        ),
+        dd AS (SELECT u, COUNT(*) AS d FROM g0 GROUP BY u),
+        dr AS (
+          SELECT d, ROW_NUMBER() OVER (ORDER BY d, u) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM dd
+        ),
+        kk AS (SELECT CAST(d AS BIGINT) AS k FROM dr WHERE rn = (n + 1) // 2),
+        {chain}
+        SELECT CAST(round AS BIGINT) AS round,
+               CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(n_edges AS BIGINT) AS n_edges,
+               (SELECT k FROM kk) AS k
+        FROM ({rounds_out}) t
+        ORDER BY round
+    """
+
+
+@register(
+    "q262_kcore_peeling",
+    oracle=_kcore_oracle(),
+    doc=f"k-core peeling of the part co-purchase graph at k = the "
+    "exact median degree: {_KCORE_ROUNDS} synchronous rounds of "
+    "'drop every node whose degree within the surviving subgraph "
+    "is below k', reporting nodes/edges remaining per round — the "
+    "dense-backbone extraction that separates structurally "
+    "embedded parts from hangers-on (degree alone overcounts: a "
+    "node can have high degree to nodes that themselves get "
+    "peeled). Completes the iteration archetypes next to min-"
+    "semiring BFS (q254), power iteration (q225), majority LPA "
+    "(q258) and star CC (q75): peeling is iterated SUBTRACTION "
+    "with a cascade. Per round: one degree aggregate + two semi-"
+    "joins of the edge set against the kept-node census, lineage "
+    "truncated per round. The threshold comes from a 1-row exact "
+    "median over the degree census (order statistic on "
+    "census-sized data, broadcast back). Synchronous rounds + "
+    "integer counts = the oracle replays identical unrolled CTEs.",
+)
+def q262(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    li = table_parallel(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    g = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg0 = g.groupBy("u").agg(F.count("*").alias("d"))
+    dr = deg0.select(
+        "d",
+        F.row_number().over(Window.orderBy("d", "u")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    kk = dr.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        F.col("d").cast("long").alias("k")
+    )
+    rows = []
+    for r in range(_KCORE_ROUNDS):
+        deg = g.groupBy("u").agg(F.count("*").alias("d"))
+        keep = (
+            deg.crossJoin(F.broadcast(kk))
+            .where(F.col("d") >= F.col("k"))
+            .select("u")
+        )
+        g = (
+            g.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        stats = (
+            keep.agg(F.count("*").cast("long").alias("n_nodes"))
+            .crossJoin(
+                g.where(F.col("u") < F.col("v")).agg(
+                    F.count("*").cast("long").alias("n_edges")
+                )
+            )
+            .select(
+                F.lit(r + 1).cast("long").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+        rows.append(stats)
+    out = rows[0]
+    for s in rows[1:]:
+        out = out.unionByName(s)
+    return out.crossJoin(F.broadcast(kk)).orderBy("round")

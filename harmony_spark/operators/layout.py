@@ -34,7 +34,10 @@ The reference engine has no storage layer at all (in-memory matrices,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harmony_spark.registry import register
 
 
 def write_clustered(
@@ -260,3 +263,131 @@ def compact_parquet(
     shutil.rmtree(backup)
     new_files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     return len(files), len(new_files)
+
+
+_Z_BITS = 8  # per-dimension resolution of the interleaved key
+
+
+def _morton_expr(xcol: str, ycol: str, div: str) -> str:
+    """Bit-interleave two pre-normalized _Z_BITS-wide integer columns
+    into a single Morton (Z-order) key — written as pure +/%//
+    arithmetic so the IDENTICAL formula runs in Spark SQL (``DIV``)
+    and in the DuckDB oracle (``//``); no engine-specific bit
+    operators."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({xcol} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "q256_zorder_layout_advisor",
+    oracle=f"""
+        WITH pts AS (
+          SELECT l_partkey AS x,
+                 CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS y
+          FROM lineitem
+        ),
+        mm AS (
+          SELECT MIN(x) AS minx, MAX(x) AS maxx,
+                 MIN(y) AS miny, MAX(y) AS maxy
+          FROM pts
+        ),
+        nrm AS (
+          SELECT ((x - minx) * 255) // (maxx - minx) AS x8,
+                 ((y - miny) * 255) // (maxy - miny) AS y8,
+                 x, y
+          FROM pts CROSS JOIN mm
+        ),
+        keyed AS (
+          SELECT x, y, x8, y8, {{morton}} AS morton FROM nrm
+        ),
+        files AS (
+          SELECT 'natural' AS layout, y8 // 4 AS f, x, y FROM keyed
+          UNION ALL
+          SELECT 'zorder' AS layout, morton // 1024 AS f, x, y FROM keyed
+        ),
+        per_file AS (
+          SELECT layout, f,
+                 MAX(x) - MIN(x) AS span_x,
+                 MAX(y) - MIN(y) AS span_y,
+                 COUNT(*) AS n
+          FROM files GROUP BY layout, f
+        )
+        SELECT layout,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               ROUND(AVG(span_x), 6) AS avg_span_x,
+               ROUND(AVG(span_y), 6) AS avg_span_y,
+               CAST(MAX(n) AS BIGINT) AS max_file_rows
+        FROM per_file GROUP BY layout ORDER BY layout
+    """.replace("{morton}", _morton_expr("x8", "y8", "//")),
+    doc="Z-order (Morton) layout advisor: lays lineitem out into 64 "
+    "files twice — 'natural' (date-clustered, the layout ingestion "
+    "produces for free) vs 'zorder' (bit-interleaved partkey x "
+    "ship-day key) — and reports each layout's per-file min/max "
+    "SPANS of both columns, the exact statistics parquet row-group "
+    "skipping runs on. The natural layout gives perfect date spans "
+    "but every file covers ~the full partkey range (a partkey "
+    "point-lookup reads all 64 files); the Z-order key shrinks BOTH "
+    "spans to ~1/8 of their range, which is the whole argument for "
+    "multi-dimensional clustering (Delta OPTIMIZE ZORDER BY, "
+    "Iceberg sort orders) — write_zordered (above) produces the "
+    "physical layout this query costs out. Scale "
+    "shape: two hash aggregates (per-file stats, per-layout "
+    "summary) after a pure-projection key computation; the only "
+    "join is the 1-row min/max broadcast. The Morton key is "
+    "engine-portable +/%-arithmetic, so the oracle replays the "
+    "IDENTICAL interleave. Determinism: all-integer.",
+)
+def q256(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    pts = table_parallel(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("x"),
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("y"),
+    )
+    mm = pts.agg(
+        F.min("x").alias("minx"),
+        F.max("x").alias("maxx"),
+        F.min("y").alias("miny"),
+        F.max("y").alias("maxy"),
+    )
+    nrm = pts.crossJoin(F.broadcast(mm)).select(
+        "x",
+        "y",
+        F.expr("((x - minx) * 255) DIV (maxx - minx)").alias("x8"),
+        F.expr("((y - miny) * 255) DIV (maxy - miny)").alias("y8"),
+    )
+    keyed = nrm.withColumn("morton", F.expr(_morton_expr("x8", "y8", "DIV")))
+    files = keyed.select(
+        F.lit("natural").alias("layout"),
+        F.expr("y8 DIV 4").alias("f"),
+        "x",
+        "y",
+    ).unionByName(
+        keyed.select(
+            F.lit("zorder").alias("layout"),
+            F.expr("morton DIV 1024").alias("f"),
+            "x",
+            "y",
+        )
+    )
+    per_file = files.groupBy("layout", "f").agg(
+        (F.max("x") - F.min("x")).alias("span_x"),
+        (F.max("y") - F.min("y")).alias("span_y"),
+        F.count("*").alias("n"),
+    )
+    return (
+        per_file.groupBy("layout")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.round(F.avg("span_x"), 6).alias("avg_span_x"),
+            F.round(F.avg("span_y"), 6).alias("avg_span_y"),
+            F.max("n").cast("long").alias("max_file_rows"),
+        )
+        .orderBy("layout")
+    )

@@ -2419,3 +2419,117 @@ def q245(spark: SparkSession, sf: str) -> DataFrame:
         .select("p1", "p2", "p3", F.col("support").cast("long").alias("support"))
         .orderBy(F.desc("support"), "p1", "p2", "p3")
     )
+
+
+@register(
+    "q265_column_profile",
+    oracle="""
+        WITH src AS (SELECT * FROM orders)
+        SELECT 'o_orderkey' AS col,
+               CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+        FROM src
+        UNION ALL
+        SELECT 'o_custkey',
+               CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+               CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        FROM src
+        UNION ALL
+        SELECT 'o_orderstatus',
+               CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM src
+        UNION ALL
+        SELECT 'o_totalprice_cents',
+               CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+               CAST(COUNT(DISTINCT CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT),
+               CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS VARCHAR),
+               CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+        FROM src
+        UNION ALL
+        SELECT 'o_orderpriority',
+               CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+               MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM src
+        UNION ALL
+        SELECT 'o_orderdate',
+               CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+               CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT),
+               CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR),
+               CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR)
+        FROM src
+        ORDER BY col
+    """,
+    doc="One-scan column profiler over orders: per column, null count, "
+    "exact distinct count, and min/max rendered as strings — the "
+    "data-quality fingerprint a catalog records per snapshot and "
+    "diffs between loads to catch schema/content drift (a distinct "
+    "count collapsing, a max date jumping a decade) before any "
+    "downstream query does. Completes the audit family next to "
+    "q203's referential checks. Scale shape: the oracle's 6-branch "
+    "UNION re-scans the table per column; the engine computes ALL "
+    "profiles in ONE aggregate pass (Spark plans multi-distinct "
+    "aggregates as a single expand + two-stage aggregation) and "
+    "unpivots the 1-row result with stack() — the 100 TB version "
+    "reads the table once, not once per column. Money is profiled "
+    "in integer cents and dates as yyyy-MM-dd strings, so min/max "
+    "render identically in both engines.",
+)
+def q265(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    o = table_parallel(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    day = F.to_date("o_orderdate")
+    agg = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_orderkey").alias("c1"),
+        F.countDistinct("o_orderkey").alias("d1"),
+        F.min("o_orderkey").cast("string").alias("mn1"),
+        F.max("o_orderkey").cast("string").alias("mx1"),
+        F.count("o_custkey").alias("c2"),
+        F.countDistinct("o_custkey").alias("d2"),
+        F.min("o_custkey").cast("string").alias("mn2"),
+        F.max("o_custkey").cast("string").alias("mx2"),
+        F.count("o_orderstatus").alias("c3"),
+        F.countDistinct("o_orderstatus").alias("d3"),
+        F.min("o_orderstatus").alias("mn3"),
+        F.max("o_orderstatus").alias("mx3"),
+        F.count("o_totalprice").alias("c4"),
+        F.countDistinct(cents).alias("d4"),
+        F.min(cents).cast("string").alias("mn4"),
+        F.max(cents).cast("string").alias("mx4"),
+        F.count("o_orderpriority").alias("c5"),
+        F.countDistinct("o_orderpriority").alias("d5"),
+        F.min("o_orderpriority").alias("mn5"),
+        F.max("o_orderpriority").alias("mx5"),
+        F.count("o_orderdate").alias("c6"),
+        F.countDistinct(day).alias("d6"),
+        F.date_format(F.min(day), "yyyy-MM-dd").alias("mn6"),
+        F.date_format(F.max(day), "yyyy-MM-dd").alias("mx6"),
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack(6,"
+            " 'o_orderkey', n - c1, d1, mn1, mx1,"
+            " 'o_custkey', n - c2, d2, mn2, mx2,"
+            " 'o_orderstatus', n - c3, d3, mn3, mx3,"
+            " 'o_totalprice_cents', n - c4, d4, mn4, mx4,"
+            " 'o_orderpriority', n - c5, d5, mn5, mx5,"
+            " 'o_orderdate', n - c6, d6, mn6, mx6"
+            ") AS (col, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )
+    return stacked.select(
+        "col",
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    ).orderBy("col")

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268"]
 
 
 @register(
@@ -1649,4 +1649,275 @@ def q249(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("user_id", "max_burst", "n_events")
         .orderBy(F.desc("max_burst"), "user_id")
+    )
+
+
+@register(
+    "q259_cvar_tail_risk",
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 SUM(CASE WHEN event_type = 'purchase'
+                          THEN CAST(ROUND(value * 100) AS BIGINT)
+                          ELSE -CAST(ROUND(value * 100) AS BIGINT) END) AS net
+          FROM events WHERE event_type IN ('purchase', 'error')
+          GROUP BY day
+        ),
+        ranked AS (
+          SELECT day, net,
+                 ROW_NUMBER() OVER (ORDER BY net, day) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM daily
+        ),
+        k AS (
+          SELECT CAST((MAX(n) + 19) // 20 AS BIGINT) AS k, MAX(n) AS n
+          FROM ranked
+        )
+        SELECT CAST(k.n AS BIGINT) AS n_days,
+               CAST(k.k AS BIGINT) AS k_tail,
+               (SELECT CAST(net AS BIGINT) FROM ranked, k WHERE rn = k.k)
+                 AS var95_cents,
+               (SELECT ROUND(AVG(net), 6) FROM ranked, k WHERE rn <= k.k)
+                 AS cvar95_cents,
+               (SELECT CAST(day AS VARCHAR) FROM ranked WHERE rn = 1)
+                 AS worst_day
+        FROM k
+    """,
+    doc="Value-at-Risk and Conditional VaR (expected shortfall) at "
+    "the 95% level over the daily net series (purchase cents minus "
+    "error cents): VaR = the exact ceil(n/20)-th order statistic of "
+    "daily nets, CVaR = the mean of the tail at or below it, plus "
+    "the worst day — the tail-risk pair that complements q255's "
+    "path-dependent drawdown (CVaR sees how BAD bad days are; "
+    "drawdown sees how they cluster). Exact order statistics, not a "
+    "quantile sketch: the ordered work runs on the day census where "
+    "a single-partition window is free at any corpus size; the only "
+    "O(N) pass is the day-keyed integer aggregate. Determinism: "
+    "integer cents end-to-end, ROW_NUMBER tie-broken on (net, day), "
+    "k from pure integer arithmetic; the one division is the final "
+    "tail mean.",
+)
+def q259(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        table(spark, sf, "events")
+        .where(F.col("event_type").isin("purchase", "error"))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents).otherwise(-cents)
+            ).alias("net")
+        )
+    )
+    ranked = daily.select(
+        "day",
+        "net",
+        F.row_number().over(Window.orderBy("net", "day")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    ).withColumn("k", F.expr("(n + 19) DIV 20"))
+    tail = ranked.where(F.col("rn") <= F.col("k"))
+    return tail.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max("k").cast("long").alias("k_tail"),
+        F.max(F.when(F.col("rn") == F.col("k"), F.col("net")))
+        .cast("long")
+        .alias("var95_cents"),
+        F.round(F.avg("net"), 6).alias("cvar95_cents"),
+        F.date_format(F.min_by("day", "rn"), "yyyy-MM-dd").alias("worst_day"),
+    )
+
+
+_BOOT_B = 100
+
+
+@register(
+    "q260_bootstrap_ci",
+    oracle=f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM orders GROUP BY day
+        ),
+        idx AS (
+          SELECT cents, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM daily
+        ),
+        spine AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b),
+        draws AS (
+          SELECT s.b,
+                 (CAST(('0x' || substr(md5(CAST(s.b * 1000000 + i.rn
+                                                AS VARCHAR)), 1, 8))
+                       AS BIGINT) % i.n) + 1 AS j
+          FROM spine s CROSS JOIN idx i
+        ),
+        boots AS (
+          SELECT d.b, CAST(SUM(x.cents) AS BIGINT) AS tot
+          FROM draws d JOIN idx x ON x.rn = d.j
+          GROUP BY d.b
+        ),
+        br AS (
+          SELECT tot, ROW_NUMBER() OVER (ORDER BY tot, b) AS r FROM boots
+        )
+        SELECT (SELECT CAST(SUM(cents) AS BIGINT) FROM daily)
+                 AS obs_total_cents,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+               (SELECT CAST(tot AS BIGINT) FROM br WHERE r = 3)
+                 AS boot_lo_cents,
+               (SELECT CAST(tot AS BIGINT) FROM br WHERE r = {_BOOT_B - 2})
+                 AS boot_hi_cents
+    """,
+    doc=f"Deterministic nonparametric bootstrap: {_BOOT_B} resamples "
+    "of the daily-revenue census (sample n days with replacement, "
+    "indices drawn from seedless md5 uniforms keyed on "
+    "(replicate, position) so BOTH engines draw the IDENTICAL "
+    "resamples), and the 95% percentile confidence interval of "
+    "total revenue as the 3rd/98th order statistics of the "
+    "replicate totals. The distribution-free uncertainty machinery "
+    "the parametric suite (q144 Welch, q240 conformal) cannot "
+    "provide when nothing is Gaussian. Scale shape: the bootstrap "
+    "runs on the DAY CENSUS, not the fact table — the O(N) pass is "
+    "the one day-keyed aggregate, after which the B x n_days draw "
+    "matrix is census-sized and the resample join is an equi-join "
+    "against the broadcast-small index. Replicate totals are exact "
+    "BIGINT cents ranked with replicate-id tiebreaks — no float "
+    "enters any ordering.",
+)
+def q260(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    daily = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    idx = daily.select(
+        "cents",
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    spine = spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    draws = idx.crossJoin(F.broadcast(spine)).select(
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5((F.col("b") * 1000000 + F.col("rn")).cast("string")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n")
+            + 1
+        ).alias("j"),
+    )
+    boots = (
+        draws.join(idx.select(F.col("rn").alias("j"), "cents"), "j")
+        .groupBy("b")
+        .agg(F.sum("cents").alias("tot"))
+    )
+    br = boots.select(
+        "tot", F.row_number().over(Window.orderBy("tot", "b")).alias("r")
+    )
+    obs = daily.agg(
+        F.sum("cents").cast("long").alias("obs_total_cents"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    lo = br.where(F.col("r") == 3).select(
+        F.col("tot").cast("long").alias("boot_lo_cents")
+    )
+    hi = br.where(F.col("r") == _BOOT_B - 2).select(
+        F.col("tot").cast("long").alias("boot_hi_cents")
+    )
+    return obs.crossJoin(lo).crossJoin(hi)
+
+
+@register(
+    "q268_gini_concentration",
+    oracle="""
+        WITH rev AS (
+          SELECT c.c_custkey AS ck, c.c_mktsegment AS seg,
+                 CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100)
+                                        AS BIGINT)), 0) AS BIGINT) AS cents
+          FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey, c.c_mktsegment
+        ),
+        ranked AS (
+          SELECT seg, cents,
+                 ROW_NUMBER() OVER (PARTITION BY seg
+                                    ORDER BY cents, ck) AS i,
+                 COUNT(*) OVER (PARTITION BY seg) AS n
+          FROM rev
+        )
+        SELECT seg,
+               CAST(MAX(n) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               ROUND((2.0 * SUM(i * cents) - (MAX(n) + 1.0) * SUM(cents))
+                     / (MAX(n) * 1.0 * SUM(cents)), 6) AS gini
+        FROM ranked GROUP BY seg ORDER BY seg
+    """,
+    doc="Gini coefficient of customer revenue per market segment "
+    "(zero-revenue customers included via the left join): the exact "
+    "rank formulation G = (2*SUM(i*x) - (n+1)*SUM(x)) / (n*SUM(x)) "
+    "over integer cents — the single-scalar inequality measure that "
+    "summarizes what q187's Pareto rows itemize, comparable across "
+    "segments and snapshots (a rising Gini = revenue concentrating "
+    "into fewer accounts = churn risk). Determinism: SUM(i*x) is an "
+    "exact BIGINT moment of ranks tie-broken on (cents, custkey); "
+    "the one division happens at the end. Scale note: ranking "
+    "partitions by segment — at extreme per-segment cardinality the "
+    "two-pass bucket-histogram rank (the q148 AUC / q156 median "
+    "machinery) replaces the per-segment window; the moments "
+    "themselves are unchanged.",
+)
+def q268(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    c = table_parallel(spark, sf, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("seg")
+    )
+    o = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents0"
+            )
+        )
+    )
+    rev = c.join(o, "ck", "left").select(
+        "ck", "seg", F.coalesce("cents0", F.lit(0)).alias("cents")
+    )
+    ranked = rev.select(
+        "seg",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("seg").orderBy("cents", "ck"))
+        .alias("i"),
+        F.count("*").over(Window.partitionBy("seg")).alias("n"),
+    )
+    return (
+        ranked.groupBy("seg")
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.round(
+                (
+                    2.0 * F.sum(F.col("i") * F.col("cents"))
+                    - (F.max("n") + 1.0) * F.sum("cents")
+                )
+                / (F.max("n") * 1.0 * F.sum("cents")),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("seg")
     )

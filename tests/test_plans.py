@@ -136,6 +136,11 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q241_kfold_ols_cv",  # cross join of the 5-row fold census vs 1-row totals
     "q252_dsir_selection",  # cross joins vs the two 1-row token totals
     "q255_net_drawdown",  # cross join of four single-row aggregates
+    "q256_zorder_layout_advisor",  # cross join vs the 1-row min/max stats
+    "q260_bootstrap_ci",  # census x 100-replicate spine + 1-row order stats
+    "q261_fightin_words",  # cross join vs the 1-row (V, N) reduction
+    "q262_kcore_peeling",  # threshold joins vs the 1-row median-degree k
+    "q266_neyman_allocation",  # cross join vs the 1-row weight total
 }
 
 
