@@ -120,3 +120,130 @@ def q167(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("entity_id")
     )
+
+
+@register(
+    "q273_golden_record",
+    oracle=rf"""
+        WITH RECURSIVE rec AS (
+          SELECT doc_id, lang, n_chars,
+                 substr(lower(text), 1, {ER_HEAD_CHARS}) AS k,
+                 list_aggr(string_split_regex(lower(text), '\s+')[1:2],
+                           'string_agg', ' ') AS blk
+          FROM documents
+        ),
+        e AS (
+          SELECT a.doc_id AS da, b.doc_id AS db
+          FROM rec a JOIN rec b
+            ON a.blk = b.blk AND a.doc_id < b.doc_id
+          WHERE levenshtein(a.k, b.k) <= {ER_MAX_EDITS}
+        ),
+        bi AS (SELECT da AS a, db AS b FROM e
+               UNION ALL SELECT db AS a, da AS b FROM e),
+        reach(a, b) AS (
+          SELECT a, b FROM bi
+          UNION
+          SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a),
+        cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS entity_id
+               FROM reach GROUP BY a),
+        mem AS (
+          SELECT cc.entity_id, d.doc_id, d.lang, d.n_chars
+          FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+        ),
+        keeper AS (
+          SELECT entity_id, doc_id AS keeper_doc FROM (
+            SELECT entity_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY entity_id
+                                      ORDER BY n_chars DESC, doc_id) AS r
+            FROM mem
+          ) t WHERE r = 1
+        ),
+        langmode AS (
+          SELECT entity_id, lang AS mode_lang FROM (
+            SELECT entity_id, lang, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (PARTITION BY entity_id
+                                      ORDER BY COUNT(*) DESC, lang) AS r
+            FROM mem GROUP BY entity_id, lang
+          ) t WHERE r = 1
+        )
+        SELECT m.entity_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MAX(k.keeper_doc) AS BIGINT) AS keeper_doc,
+               MAX(lm.mode_lang) AS mode_lang,
+               CAST(SUM(m.n_chars) AS BIGINT) AS total_chars
+        FROM mem m
+        JOIN keeper k ON k.entity_id = m.entity_id
+        JOIN langmode lm ON lm.entity_id = m.entity_id
+        GROUP BY m.entity_id ORDER BY m.entity_id
+    """,
+    doc="Survivorship / golden-record construction — the step AFTER "
+    "entity resolution (q167) that master-data management actually "
+    "ships: per resolved entity, the canonical record by the "
+    "longest-record-wins rule (max n_chars, doc-id tiebreak), the "
+    "mode language (most frequent value, deterministic min-value "
+    "tiebreak — the per-field survivorship vote), and the merged "
+    "total size. Field-level survivorship is what distinguishes MDM "
+    "merge from plain dedup keep-one (q224 keeps a row; this FUSES "
+    "rows field-by-field). Scale shape: reuses resolve_entities "
+    "(bucket-local pair generation + O(log n) star CC); everything "
+    "after is (entity)-keyed aggregates and two argmax windows over "
+    "cluster-sized groups. The oracle replays the identical closure "
+    "recursively plus the same deterministic votes.",
+)
+def q273(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from harmony_spark.io import table_parallel
+
+    toks = F.split(F.lower("text"), r"\s+")
+    docs = table_parallel(spark, sf, "documents")
+    rec = docs.select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, ER_HEAD_CHARS).alias("head"),
+        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("blk"),
+    )
+    cc = resolve_entities(rec, id_col="doc_id", key_col="head", block_col="blk")
+    mem = cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("entity_id")
+    ).join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+    keeper = (
+        mem.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("entity_id").orderBy(
+                    F.desc("n_chars"), "doc_id"
+                )
+            ),
+        )
+        .where(F.col("r") == 1)
+        .select("entity_id", F.col("doc_id").alias("keeper_doc"))
+    )
+    langmode = (
+        mem.groupBy("entity_id", "lang")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("entity_id").orderBy(F.desc("c"), "lang")
+            ),
+        )
+        .where(F.col("r") == 1)
+        .select("entity_id", F.col("lang").alias("mode_lang"))
+    )
+    return (
+        mem.groupBy("entity_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .join(keeper, "entity_id")
+        .join(langmode, "entity_id")
+        .select(
+            "entity_id",
+            "n_members",
+            F.col("keeper_doc").cast("long").alias("keeper_doc"),
+            "mode_lang",
+            "total_chars",
+        )
+        .orderBy("entity_id")
+    )

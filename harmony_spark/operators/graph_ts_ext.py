@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243", "q254", "q258", "q262"]
+__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243", "q254", "q258", "q262", "q271", "q272", "q274"]
 
 _PR_ITERS = 5
 _PR_DAMP = 0.85
@@ -818,11 +818,18 @@ def q258(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count("*").alias("cc"))
         )
+        # argmax-with-min-label-tiebreak as ONE aggregate: max of the
+        # struct (cc, -label) picks the highest count, then the highest
+        # -label = lowest label — one shuffle where the window-max +
+        # filter + re-aggregate formulation costs two
         lp = (
-            cnt.withColumn("m", F.max("cc").over(Window.partitionBy("node")))
-            .where(F.col("cc") == F.col("m"))
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("cc"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
             .localCheckpoint(eager=False)
         )
     return (
@@ -961,3 +968,278 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
     for s in rows[1:]:
         out = out.unionByName(s)
     return out.crossJoin(F.broadcast(kk)).orderBy("round")
+
+
+@register(
+    "q271_changepoint_binary_seg",
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM orders GROUP BY day
+        ),
+        pre AS (
+          SELECT day, cents,
+                 CAST(SUM(cents) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS s1,
+                 ROW_NUMBER() OVER (ORDER BY day) AS p,
+                 CAST(SUM(cents) OVER () AS BIGINT) AS t,
+                 COUNT(*) OVER () AS n
+          FROM daily
+        ),
+        gains AS (
+          SELECT day, s1, p, t, n,
+                 (CAST(s1 * n - p * t AS DOUBLE)
+                  * CAST(s1 * n - p * t AS DOUBLE))
+                 / (CAST(p AS DOUBLE) * (n - p) * n) AS gain
+          FROM pre WHERE p < n
+        ),
+        best AS (
+          SELECT * FROM gains
+          ORDER BY gain DESC, day
+          LIMIT 1
+        )
+        SELECT CAST(day AS VARCHAR) AS split_day,
+               CAST(p AS BIGINT) AS left_days,
+               CAST(n - p AS BIGINT) AS right_days,
+               CAST(s1 AS BIGINT) AS left_cents,
+               CAST(t - s1 AS BIGINT) AS right_cents,
+               ROUND(s1 * 1.0 / p, 6) AS left_mean,
+               ROUND((t - s1) * 1.0 / (n - p), 6) AS right_mean
+        FROM best
+    """,
+    doc="Change-point detection by binary segmentation (one level): "
+    "the split day of the daily-revenue series that maximizes the "
+    "between-segment sum-of-squares reduction gain(p) = "
+    "(S1*n - p*T)^2 / (p*(n-p)*n) — the mean-shift LOCATOR that "
+    "complements q195's CUSUM (an online drift ALARM): CUSUM says "
+    "'something changed', binary segmentation says WHERE, and "
+    "recursing on the two halves yields the full segmentation. "
+    "Every candidate split is scored from prefix sums alone, so the "
+    "whole scan of n-1 candidates is one cumulative window over the "
+    "day census (the O(N) work is the day-keyed integer aggregate; "
+    "recursion depth is log-bounded). Determinism: the gain is "
+    "pure +,-,*,/ on exact BIGINT prefix sums (no libm), so both "
+    "engines compute bit-identical doubles; argmax tie-breaks on "
+    "day.",
+)
+def q271(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    daily = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        F.sum("cents").over(wcum).cast("long").alias("s1"),
+        F.row_number().over(Window.orderBy("day")).alias("p"),
+        F.sum("cents").over(Window.partitionBy()).cast("long").alias("t"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    num = (F.col("s1") * F.col("n") - F.col("p") * F.col("t")).cast("double")
+    gains = pre.where(F.col("p") < F.col("n")).withColumn(
+        "gain",
+        (num * num)
+        / (F.col("p").cast("double") * (F.col("n") - F.col("p")) * F.col("n")),
+    )
+    best = gains.orderBy(F.desc("gain"), "day").limit(1)
+    return best.select(
+        F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+        F.col("p").cast("long").alias("left_days"),
+        (F.col("n") - F.col("p")).cast("long").alias("right_days"),
+        F.col("s1").alias("left_cents"),
+        (F.col("t") - F.col("s1")).alias("right_cents"),
+        F.round(F.col("s1") * 1.0 / F.col("p"), 6).alias("left_mean"),
+        F.round(
+            (F.col("t") - F.col("s1")) * 1.0 / (F.col("n") - F.col("p")), 6
+        ).alias("right_mean"),
+    )
+
+
+_DTW_BAND = 7
+
+
+@register(
+    "q272_dtw_alignment",
+    oracle=None,  # DP recurrence with same-row dependency: not
+    # window/recursive-CTE expressible. Gated instead by the
+    # pure-Python replica test (tests/test_stats_ext.py::
+    # test_q272_dtw_matches_python_dp) at both local scales.
+    doc=f"Dynamic Time Warping distance (Sakoe-Chiba band "
+    f"{_DTW_BAND}) between the daily-revenue series of nation 1 and "
+    "nation 2 customers, with absolute-difference cost in exact "
+    "integer cents: the alignment-invariant series similarity that "
+    "q136's sliding Pearson cannot provide when one series lags or "
+    "locally stretches (promo launched a week later, same shape). "
+    "The banded DP is O((n+m)*w). Scale shape: the O(N) work is the "
+    "(series, day) integer aggregate; each series pair then reduces "
+    "to one applyInPandas group whose DP state is two O(m) rows — "
+    "the standard shape for fleets of series pairs (one group per "
+    "pair, embarrassingly parallel across groups). The DP recurrence "
+    "has a same-row dependency, so no SQL oracle exists; the gate is "
+    "an independent pure-Python full-matrix DP replica. "
+    "Determinism: all-integer costs, exact integer DP.",
+)
+def q272(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from harmony_spark.io import table_parallel
+
+    rev = (
+        table_parallel(spark, sf, "orders")
+        .join(
+            table_parallel(spark, sf, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .where(F.col("c_nationkey").isin(1, 2))
+        .groupBy(
+            F.col("c_nationkey").alias("sid"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    seq = rev.select(
+        F.lit(1).alias("pair"),
+        "sid",
+        F.row_number()
+        .over(Window.partitionBy("sid").orderBy("day"))
+        .alias("rn"),
+        "cents",
+    )
+
+    def dtw_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf.sid == 1].sort_values("rn").cents.to_numpy()
+        b = pdf[pdf.sid == 2].sort_values("rn").cents.to_numpy()
+        n, m = len(a), len(b)
+        w = max(_DTW_BAND, abs(n - m))
+        inf = float("inf")
+        prev = [inf] * (m + 1)
+        prev[0] = 0.0
+        for i in range(1, n + 1):
+            cur = [inf] * (m + 1)
+            lo, hi = max(1, i - w), min(m, i + w)
+            for j in range(lo, hi + 1):
+                c = abs(int(a[i - 1]) - int(b[j - 1]))
+                cur[j] = c + min(prev[j], cur[j - 1], prev[j - 1])
+            prev = cur
+        return pd.DataFrame({"n": [n], "m": [m], "dtw_cost": [int(prev[m])]})
+
+    return (
+        seq.groupBy("pair")
+        .applyInPandas(dtw_fn, schema="n long, m long, dtw_cost long")
+        .select("n", "m", "dtw_cost")
+    )
+
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    """Unrolled HITS with L2 normalization per half-step — scalar
+    subqueries on the iteration censuses; same unroll choice as the
+    pagerank/BFS/LPA oracles."""
+    steps = []
+    for k in range(_HITS_ITERS):
+        steps.append(f"""a{k + 1}r AS (
+          SELECT e.part, SUM(h.hub) AS s
+          FROM h{k} h JOIN e ON e.cust = h.cust GROUP BY e.part
+        ),
+        a{k + 1} AS (
+          SELECT part, s / SQRT((SELECT SUM(s * s) FROM a{k + 1}r)) AS auth
+          FROM a{k + 1}r
+        ),
+        h{k + 1}r AS (
+          SELECT e.cust, SUM(a.auth) AS s
+          FROM a{k + 1} a JOIN e ON e.part = a.part GROUP BY e.cust
+        ),
+        h{k + 1} AS (
+          SELECT cust, s / SQRT((SELECT SUM(s * s) FROM h{k + 1}r)) AS hub
+          FROM h{k + 1}r
+        )""")
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH e AS (
+          SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        h0 AS (SELECT DISTINCT cust, 1.0 AS hub FROM e),
+        {chain}
+        SELECT CAST(part AS BIGINT) AS part,
+               ROUND(auth, 6) AS authority
+        FROM a{_HITS_ITERS}
+        ORDER BY ROUND(auth, 6) DESC, part
+        LIMIT 25
+    """
+
+
+@register(
+    "q274_hits_bipartite",
+    oracle=_hits_oracle(),
+    doc=f"HITS hubs-and-authorities over the BIPARTITE customer-part "
+    "purchase graph ({} mutual-reinforcement iterations, L2 "
+    "normalization each half-step): authority(part) = how much "
+    "well-connected customers buy it; hub(customer) = how much they "
+    "buy authoritative parts — the two-sided importance ranking "
+    "that one-sided degree or PageRank (q225, which collapses the "
+    "bipartite structure into co-purchase edges) cannot separate. "
+    "Kleinberg's algorithm, the power iteration on A^T A without "
+    "materializing A^T A: per half-step ONE edge-join against the "
+    "O(side) score vector + one keyed SUM, then a 1-row L2-norm "
+    "broadcast — never the dense part-x-part co-occurrence matrix. "
+    "Per-round lineage truncation; normalization uses only "
+    "IEEE-exact sqrt/divide, output ranked on ROUNDED 6-dp "
+    "authority with part-id tiebreak.".format(_HITS_ITERS),
+)
+def q274(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    o = table_parallel(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = table_parallel(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = e.select("cust").distinct().withColumn("hub", F.lit(1.0))
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            e.join(h, "cust")
+            .groupBy("part")
+            .agg(F.sum("hub").alias("s"))
+        )
+        anorm = ar.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nn"))
+        a = ar.crossJoin(F.broadcast(anorm)).select(
+            "part", (F.col("s") / F.col("nn")).alias("auth")
+        ).localCheckpoint(eager=False)
+        hr = (
+            e.join(a, "part")
+            .groupBy("cust")
+            .agg(F.sum("auth").alias("s"))
+        )
+        hnorm = hr.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nn"))
+        h = hr.crossJoin(F.broadcast(hnorm)).select(
+            "cust", (F.col("s") / F.col("nn")).alias("hub")
+        ).localCheckpoint(eager=False)
+    return (
+        a.select(
+            F.col("part").cast("long").alias("part"),
+            F.round("auth", 6).alias("authority"),
+        )
+        .orderBy(F.desc("authority"), "part")
+        .limit(25)
+    )

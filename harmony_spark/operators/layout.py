@@ -391,3 +391,129 @@ def q256(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+_RDV_NODES = 5
+
+
+@register(
+    "q277_rendezvous_sharding",
+    oracle=f"""
+    WITH keys AS (SELECT doc_id FROM documents),
+    asg AS (
+      SELECT k.doc_id, n.n AS node,
+             CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || '@'
+                                      || CAST(n.n AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS w
+      FROM keys k
+      CROSS JOIN (SELECT unnest(generate_series(0, {_RDV_NODES})) AS n) n
+    ),
+    pick5 AS (
+      SELECT doc_id, node FROM (
+        SELECT doc_id, node,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY w DESC, node) AS r
+        FROM asg WHERE node < {_RDV_NODES}
+      ) t WHERE r = 1
+    ),
+    pick6 AS (
+      SELECT doc_id, node FROM (
+        SELECT doc_id, node,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY w DESC, node) AS r
+        FROM asg
+      ) t WHERE r = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN p5.node <> p6.node THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved,
+           ROUND(SUM(CASE WHEN p5.node <> p6.node THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS moved_share,
+           CAST(SUM(CASE WHEN p5.node <> p6.node
+                          AND p6.node <> {_RDV_NODES}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_misplaced
+    FROM pick5 p5 JOIN pick6 p6 ON p6.doc_id = p5.doc_id
+""",
+    doc=f"Rendezvous (highest-random-weight) sharding audit: every "
+    "key takes the node with the highest md5(key@node) weight; the "
+    "query replays the assignment at {n} and {n1} nodes and "
+    "measures churn — HRW's defining guarantee is that adding a "
+    "node moves ONLY the keys the new node wins (expected share "
+    "1/(n+1), and n_misplaced — keys that moved anywhere else — "
+    "must be exactly 0), where naive hash-mod resharding moves "
+    "~n/(n+1) of all keys. The placement primitive behind "
+    "consistent partition assignment for stateful shards, cache "
+    "rings, and the shard-stability property streaming state "
+    "migration depends on. Scale shape: a constant {n1}-row node "
+    "spine broadcast against the key set (one narrow projection), "
+    "then one per-key argmax — no shuffle grows with node count. "
+    "Determinism: seedless md5 weights, node-id tiebreaks; both "
+    "engines replay identical assignments.".format(
+        n=_RDV_NODES, n1=_RDV_NODES + 1
+    ),
+)
+def q277(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from harmony_spark.io import table
+
+    keys = table(spark, sf, "documents").select("doc_id")
+    nodes = spark.range(_RDV_NODES + 1).select(F.col("id").alias("node"))
+    asg = keys.crossJoin(F.broadcast(nodes)).select(
+        "doc_id",
+        "node",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("@"),
+                        F.col("node").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("w"),
+    )
+
+    def pick(df):
+        return (
+            df.withColumn(
+                "r",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy(F.desc("w"), "node")
+                ),
+            )
+            .where(F.col("r") == 1)
+            .select("doc_id", "node")
+        )
+
+    p5 = pick(asg.where(F.col("node") < _RDV_NODES)).withColumnRenamed(
+        "node", "n5"
+    )
+    p6 = pick(asg).withColumnRenamed("node", "n6")
+    j = p5.join(p6, "doc_id")
+    return j.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("n5") != F.col("n6"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved"),
+        F.round(
+            F.sum(F.when(F.col("n5") != F.col("n6"), 1).otherwise(0))
+            * 1.0
+            / F.count("*"),
+            6,
+        ).alias("moved_share"),
+        F.sum(
+            F.when(
+                (F.col("n5") != F.col("n6")) & (F.col("n6") != _RDV_NODES), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_misplaced"),
+    )

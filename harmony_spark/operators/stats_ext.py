@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276"]
 
 
 @register(
@@ -1920,4 +1920,505 @@ def q268(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("gini"),
         )
         .orderBy("seg")
+    )
+
+
+@register(
+    "q269_diff_in_diff",
+    oracle="""
+        WITH cells AS (
+          SELECT CASE WHEN (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                                 1, 8)) AS BIGINT) % 2) = 0
+                      THEN 1 ELSE 0 END AS treated,
+                 CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                      THEN 1 ELSE 0 END AS post,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+        ),
+        mom AS (
+          SELECT treated, post,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS s1,
+                 CAST(SUM(cents * cents) AS BIGINT) AS s2
+          FROM cells GROUP BY treated, post
+        ),
+        g AS (
+          SELECT treated, post, n,
+                 s1 * 1.0 / n AS m,
+                 (n * s2 - s1 * s1) * 1.0 / (n * 1.0 * n * (n - 1)) AS var_m
+          FROM mom
+        )
+        SELECT
+          (SELECT CAST(n AS BIGINT) FROM g WHERE treated = 0 AND post = 0)
+            AS n_c_pre,
+          (SELECT CAST(n AS BIGINT) FROM g WHERE treated = 0 AND post = 1)
+            AS n_c_post,
+          (SELECT CAST(n AS BIGINT) FROM g WHERE treated = 1 AND post = 0)
+            AS n_t_pre,
+          (SELECT CAST(n AS BIGINT) FROM g WHERE treated = 1 AND post = 1)
+            AS n_t_post,
+          ROUND(((SELECT m FROM g WHERE treated = 1 AND post = 1)
+                 - (SELECT m FROM g WHERE treated = 1 AND post = 0))
+                - ((SELECT m FROM g WHERE treated = 0 AND post = 1)
+                   - (SELECT m FROM g WHERE treated = 0 AND post = 0)), 6)
+            AS did_cents,
+          ROUND(SQRT((SELECT SUM(var_m) FROM g)), 6) AS se_cents,
+          ROUND((((SELECT m FROM g WHERE treated = 1 AND post = 1)
+                  - (SELECT m FROM g WHERE treated = 1 AND post = 0))
+                 - ((SELECT m FROM g WHERE treated = 0 AND post = 1)
+                    - (SELECT m FROM g WHERE treated = 0 AND post = 0)))
+                / SQRT((SELECT SUM(var_m) FROM g)), 4) AS t_stat
+    """,
+    doc="Difference-in-differences estimator: purchase spend in cents "
+    "across the 2x2 of (md5-hash-assigned treatment arm) x "
+    "(pre/post Jan 15), effect = (T_post - T_pre) - (C_post - "
+    "C_pre), with the standard error from the four cell-mean "
+    "variances and the resulting t statistic — the workhorse causal "
+    "design for staggered feature launches, which a plain post-"
+    "period A/B comparison (q172) gets wrong whenever the arms "
+    "differ at baseline: DiD nets out the pre-existing gap AND the "
+    "common time trend. Scale shape: ONE map-side-combinable moment "
+    "aggregate to 4 cells (n, sum, sum-of-squares as exact BIGINTs); "
+    "everything after is arithmetic on the 4-row census. "
+    "Determinism: integer moments, IEEE-exact sqrt/divide, rounding "
+    "only at output.",
+)
+def q269(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table
+
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+    )
+    cells = (
+        table(spark, sf, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.when(arm == 0, 1).otherwise(0).alias("treated"),
+            F.when(F.to_date("ts") > F.lit("2024-01-15"), 1)
+            .otherwise(0)
+            .alias("post"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    g = (
+        cells.groupBy("treated", "post")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        )
+        .select(
+            "treated",
+            "post",
+            "n",
+            (F.col("s1") * 1.0 / F.col("n")).alias("m"),
+            (
+                (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                * 1.0
+                / (F.col("n") * 1.0 * F.col("n") * (F.col("n") - 1))
+            ).alias("var_m"),
+        )
+    )
+
+    def pick(t: int, p: int, c: str):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(c))
+        )
+
+    agg = g.agg(
+        pick(0, 0, "n").cast("long").alias("n_c_pre"),
+        pick(0, 1, "n").cast("long").alias("n_c_post"),
+        pick(1, 0, "n").cast("long").alias("n_t_pre"),
+        pick(1, 1, "n").cast("long").alias("n_t_post"),
+        (
+            (pick(1, 1, "m") - pick(1, 0, "m"))
+            - (pick(0, 1, "m") - pick(0, 0, "m"))
+        ).alias("did_raw"),
+        F.sqrt(F.sum("var_m")).alias("se_raw"),
+    )
+    return agg.select(
+        "n_c_pre",
+        "n_c_post",
+        "n_t_pre",
+        "n_t_post",
+        F.round("did_raw", 6).alias("did_cents"),
+        F.round("se_raw", 6).alias("se_cents"),
+        F.round(F.col("did_raw") / F.col("se_raw"), 4).alias("t_stat"),
+    )
+
+
+@register(
+    "q270_trimmed_winsorized_mean",
+    oracle="""
+        WITH v AS (
+          SELECT o_orderpriority AS prio,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                 o_orderkey AS ok
+          FROM orders
+        ),
+        r AS (
+          SELECT prio, cents,
+                 ROW_NUMBER() OVER (PARTITION BY prio
+                                    ORDER BY cents, ok) AS rn,
+                 COUNT(*) OVER (PARTITION BY prio) AS n
+          FROM v
+        ),
+        k AS (SELECT prio, MAX(n) AS n, MAX(n) // 10 AS k FROM r GROUP BY prio),
+        bounds AS (
+          SELECT r.prio,
+                 MAX(CASE WHEN r.rn = k.k + 1 THEN r.cents END) AS lo,
+                 MAX(CASE WHEN r.rn = k.n - k.k THEN r.cents END) AS hi
+          FROM r JOIN k ON k.prio = r.prio
+          GROUP BY r.prio
+        )
+        SELECT r.prio,
+               CAST(MAX(k.n) AS BIGINT) AS n,
+               CAST(MAX(k.k) AS BIGINT) AS k_trim,
+               ROUND(SUM(CASE WHEN r.rn > k.k AND r.rn <= k.n - k.k
+                              THEN r.cents ELSE 0 END) * 1.0
+                     / (MAX(k.n) - 2 * MAX(k.k)), 6) AS trimmed_mean,
+               ROUND((SUM(CASE WHEN r.rn > k.k AND r.rn <= k.n - k.k
+                               THEN r.cents ELSE 0 END)
+                      + MAX(k.k) * MAX(b.lo) + MAX(k.k) * MAX(b.hi)) * 1.0
+                     / MAX(k.n), 6) AS winsorized_mean
+        FROM r
+        JOIN k ON k.prio = r.prio
+        JOIN bounds b ON b.prio = r.prio
+        GROUP BY r.prio
+        ORDER BY r.prio
+    """,
+    doc="10% trimmed and winsorized means of order value per "
+    "priority: exact rank-based tail handling (k = n//10 cut from "
+    "each side; winsorizing clamps the tails to the exact boundary "
+    "order statistics instead of deleting them) — the robust "
+    "location pair between the plain mean (one whale moves it) and "
+    "the median (throws away 98% of the information); the q146 MAD "
+    "family's answer for LOCATION rather than spread. Determinism: "
+    "ranks tie-broken on (cents, orderkey), all-integer sums, "
+    "boundary values picked by exact rank equality, two final "
+    "divisions. Scale note: per-group ranking windows; at extreme "
+    "per-group cardinality the boundary statistics come from the "
+    "two-pass bucket-histogram selection (q156) and the trimmed sum "
+    "from one range-filtered aggregate over it.",
+)
+def q270(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    v = table_parallel(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    r = v.select(
+        "prio",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("prio").orderBy("cents", "ok"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("prio")).alias("n"),
+    ).withColumn("k", F.expr("n DIV 10"))
+    kept = F.when(
+        (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k")),
+        F.col("cents"),
+    ).otherwise(0)
+    return (
+        r.groupBy("prio")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("k").cast("long").alias("k_trim"),
+            F.round(
+                F.sum(kept) * 1.0 / (F.max("n") - 2 * F.max("k")), 6
+            ).alias("trimmed_mean"),
+            F.round(
+                (
+                    F.sum(kept)
+                    + F.max("k")
+                    * F.max(
+                        F.when(F.col("rn") == F.col("k") + 1, F.col("cents"))
+                    )
+                    + F.max("k")
+                    * F.max(
+                        F.when(
+                            F.col("rn") == F.col("n") - F.col("k"),
+                            F.col("cents"),
+                        )
+                    )
+                )
+                * 1.0
+                / F.max("n"),
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("prio")
+    )
+
+
+_HILL_K = 100
+
+
+@register(
+    "q275_hill_tail_index",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+      FROM orders
+    ),
+    r AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, o_orderkey) AS rn
+      FROM v
+    ),
+    thresh AS (SELECT cents AS xk FROM r WHERE rn = {_HILL_K} + 1),
+    tail AS (
+      SELECT ln(r.cents * 1.0 / t.xk) AS lr
+      FROM r CROSS JOIN thresh t WHERE r.rn <= {_HILL_K}
+    )
+    SELECT CAST({_HILL_K} AS BIGINT) AS k_tail,
+           (SELECT CAST(xk AS BIGINT) FROM thresh) AS threshold_cents,
+           ROUND(AVG(lr), 6) AS mean_log_excess,
+           ROUND(1.0 / AVG(lr), 4) AS hill_alpha
+    FROM tail
+""",
+    doc=f"Hill estimator of the Pareto tail index over the top "
+    "{k} order values: alpha = 1 / mean(ln(x_i / x_k+1)) on the "
+    "k largest observations — the standard heavy-tail diagnostic "
+    "that turns 'revenue looks whale-driven' (q268 Gini, q187 "
+    "Pareto shares) into the actual tail exponent (alpha < 2 means "
+    "infinite variance: sample means never stabilize and mean-based "
+    "KPIs are noise). Scale shape: the only ordered work is the "
+    "global top-(k+1) — a TakeOrdered-style bounded selection, "
+    "never a full sort at scale — then k log-ratios against the "
+    "1-row broadcast threshold. Determinism: the k-set and "
+    "threshold come from exact integer-cents ranking with orderkey "
+    "tiebreaks; ln enters only after the set is fixed.".format(k=_HILL_K),
+)
+def q275(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    v = table_parallel(spark, sf, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    r = v.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), "o_orderkey"))
+        .alias("rn"),
+    )
+    thresh = r.where(F.col("rn") == _HILL_K + 1).select(
+        F.col("cents").alias("xk")
+    )
+    tail = (
+        r.where(F.col("rn") <= _HILL_K)
+        .crossJoin(F.broadcast(thresh))
+        .select(F.log(F.col("cents") * 1.0 / F.col("xk")).alias("lr"))
+    )
+    out = tail.agg(
+        F.round(F.avg("lr"), 6).alias("mean_log_excess"),
+        F.round(1.0 / F.avg("lr"), 4).alias("hill_alpha"),
+    )
+    return (
+        out.crossJoin(
+            F.broadcast(thresh.select(F.col("xk").cast("long").alias("threshold_cents")))
+        )
+        .select(
+            F.lit(_HILL_K).cast("long").alias("k_tail"),
+            "threshold_cents",
+            "mean_log_excess",
+            "hill_alpha",
+        )
+    )
+
+
+@register(
+    "q276_naive_bayes_scoring",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_custkey AS ck, c.c_mktsegment AS seg,
+             c.c_nationkey AS nk,
+             CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+                  AS BIGINT) AS cents
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment, c.c_nationkey
+    ),
+    med AS (
+      SELECT cents AS m FROM (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, ck) AS rn,
+               COUNT(*) OVER () AS n
+        FROM cust
+      ) t WHERE rn = (n + 1) // 2
+    ),
+    lab AS (
+      SELECT ck, seg, nk,
+             CASE WHEN cents > (SELECT m FROM med) THEN 1 ELSE 0 END AS y
+      FROM cust
+    ),
+    pri AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS ny FROM lab GROUP BY y
+    ),
+    tot AS (SELECT CAST(SUM(ny) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS c
+            FROM pri),
+    fseg AS (
+      SELECT y, seg, CAST(COUNT(*) AS BIGINT) AS c FROM lab GROUP BY y, seg
+    ),
+    nseg AS (SELECT CAST(COUNT(DISTINCT seg) AS BIGINT) AS v FROM lab),
+    fnk AS (
+      SELECT y, nk, CAST(COUNT(*) AS BIGINT) AS c FROM lab GROUP BY y, nk
+    ),
+    nnk AS (SELECT CAST(COUNT(DISTINCT nk) AS BIGINT) AS v FROM lab),
+    scored AS (
+      SELECT l.y,
+             (ln(p1.ny1 * 1.0 / t.n)
+              + ln((COALESCE(fs1.c1, 0) + 1.0) / (p1.ny1 + ns.v))
+              + ln((COALESCE(fn1.c1n, 0) + 1.0) / (p1.ny1 + nn.v)))
+             -
+             (ln(p0.ny0 * 1.0 / t.n)
+              + ln((COALESCE(fs0.c0, 0) + 1.0) / (p0.ny0 + ns.v))
+              + ln((COALESCE(fn0.c0n, 0) + 1.0) / (p0.ny0 + nn.v))) AS llr
+      FROM lab l
+      LEFT JOIN (SELECT seg, c AS c1 FROM fseg WHERE y = 1) fs1
+        ON fs1.seg = l.seg
+      LEFT JOIN (SELECT seg, c AS c0 FROM fseg WHERE y = 0) fs0
+        ON fs0.seg = l.seg
+      LEFT JOIN (SELECT nk, c AS c1n FROM fnk WHERE y = 1) fn1
+        ON fn1.nk = l.nk
+      LEFT JOIN (SELECT nk, c AS c0n FROM fnk WHERE y = 0) fn0
+        ON fn0.nk = l.nk
+      CROSS JOIN (SELECT ny AS ny1 FROM pri WHERE y = 1) p1
+      CROSS JOIN (SELECT ny AS ny0 FROM pri WHERE y = 0) p0
+      CROSS JOIN tot t
+      CROSS JOIN nseg ns
+      CROSS JOIN nnk nn
+    )
+    SELECT CAST(SUM(CASE WHEN llr > 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS tp,
+           CAST(SUM(CASE WHEN llr > 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fp,
+           CAST(SUM(CASE WHEN llr <= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fn,
+           CAST(SUM(CASE WHEN llr <= 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS tn,
+           ROUND(SUM(CASE WHEN (llr > 0) = (y = 1) THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS accuracy
+    FROM scored
+""",
+    doc="Categorical naive Bayes, trained and scored in-database: "
+    "label = customer lifetime revenue above the exact median, "
+    "features = (market segment, nation), add-1 smoothed "
+    "class-conditional tables, score = log-likelihood ratio; output "
+    "is the training-set confusion matrix + accuracy. The "
+    "generative-classifier member of the model suite (q223 stump, "
+    "q198 OLS, q228 isotonic): every 'model' is a pair of "
+    "census-sized probability tables, which is why NB is the "
+    "classifier that scales to any corpus — fit is two "
+    "map-side-combinable counts, scoring is two broadcast lookups "
+    "per row, no iteration. Determinism: the label threshold is an "
+    "exact order statistic; the LLR sign is compared identically "
+    "from identical double arithmetic.",
+)
+def q276(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    c = table_parallel(spark, sf, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    o = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents0"))
+    )
+    cust = c.join(o, "ck", "left").select(
+        "ck", "seg", "nk", F.coalesce("cents0", F.lit(0)).alias("cents")
+    )
+    ranked = cust.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "ck")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        F.col("cents").alias("m")
+    )
+    lab = cust.crossJoin(F.broadcast(med)).select(
+        "ck",
+        "seg",
+        "nk",
+        F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("y"),
+    )
+    pri = lab.groupBy("y").agg(F.count("*").alias("ny"))
+    tot = pri.agg(F.sum("ny").alias("n"))
+    nseg = lab.agg(F.countDistinct("seg").alias("vseg"))
+    nnk = lab.agg(F.countDistinct("nk").alias("vnk"))
+    fseg = lab.groupBy("y", "seg").agg(F.count("*").alias("cs"))
+    fnk = lab.groupBy("y", "nk").agg(F.count("*").alias("cn"))
+
+    def leg(y):
+        ny = F.col(f"ny{y}")
+        return (
+            F.log(ny * 1.0 / F.col("n"))
+            + F.log(
+                (F.coalesce(F.col(f"cs{y}"), F.lit(0)) + 1.0)
+                / (ny + F.col("vseg"))
+            )
+            + F.log(
+                (F.coalesce(F.col(f"cn{y}"), F.lit(0)) + 1.0)
+                / (ny + F.col("vnk"))
+            )
+        )
+
+    pri1 = pri.where(F.col("y") == 1).select(F.col("ny").alias("ny1"))
+    pri0 = pri.where(F.col("y") == 0).select(F.col("ny").alias("ny0"))
+    scored = (
+        lab.join(
+            F.broadcast(fseg.where(F.col("y") == 1).select("seg", F.col("cs").alias("cs1"))),
+            "seg",
+            "left",
+        )
+        .join(
+            F.broadcast(fseg.where(F.col("y") == 0).select("seg", F.col("cs").alias("cs0"))),
+            "seg",
+            "left",
+        )
+        .join(
+            F.broadcast(fnk.where(F.col("y") == 1).select("nk", F.col("cn").alias("cn1"))),
+            "nk",
+            "left",
+        )
+        .join(
+            F.broadcast(fnk.where(F.col("y") == 0).select("nk", F.col("cn").alias("cn0"))),
+            "nk",
+            "left",
+        )
+        .crossJoin(F.broadcast(pri1))
+        .crossJoin(F.broadcast(pri0))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nseg))
+        .crossJoin(F.broadcast(nnk))
+        .select("y", (leg(1) - leg(0)).alias("llr"))
+    )
+    return scored.agg(
+        F.sum(F.when((F.col("llr") > 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("llr") > 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("llr") <= 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when((F.col("llr") <= 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+        F.round(
+            F.sum(
+                F.when((F.col("llr") > 0) == (F.col("y") == 1), 1).otherwise(0)
+            )
+            * 1.0
+            / F.count("*"),
+            6,
+        ).alias("accuracy"),
     )

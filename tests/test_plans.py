@@ -141,6 +141,10 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q261_fightin_words",  # cross join vs the 1-row (V, N) reduction
     "q262_kcore_peeling",  # threshold joins vs the 1-row median-degree k
     "q266_neyman_allocation",  # cross join vs the 1-row weight total
+    "q274_hits_bipartite",  # cross joins vs the 1-row L2-norm rows
+    "q275_hill_tail_index",  # cross join vs the 1-row tail threshold
+    "q276_naive_bayes_scoring",  # broadcast censuses + 1-row prior/total rows
+    "q277_rendezvous_sharding",  # 6-row node spine broadcast
 }
 
 

@@ -219,3 +219,49 @@ def test_q241_moment_subtraction_equals_direct_fit(spark, sf_dir, queries, con):
         assert got[fold]["n_test"] == len(test)
         assert abs(got[fold]["slope"] - slope) < 2e-6
         assert abs(got[fold]["rmse_usd"] - rmse / 100) < 2e-4
+
+
+def test_q272_dtw_matches_python_dp(spark, sf_dir, queries):
+    """q272 is rows-only (the banded DP recurrence has a same-row
+    dependency no SQL window expresses); gate it against an
+    independent full-matrix pure-Python DP on the same integer-cents
+    series."""
+    from pyspark.sql import functions as F
+
+    from harmony_spark.io import table_parallel
+
+    got = tuple(queries["q272_dtw_alignment"].fn(spark, sf_dir).collect()[0])
+
+    rows = (
+        table_parallel(spark, sf_dir, "orders")
+        .join(
+            table_parallel(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .where(F.col("c_nationkey").isin(1, 2))
+        .groupBy(
+            F.col("c_nationkey").alias("sid"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+        .collect()
+    )
+    ser = {1: [], 2: []}
+    for r in rows:
+        ser[r.sid].append((r.day, r.cents))
+    a = [c for _, c in sorted(ser[1])]
+    b = [c for _, c in sorted(ser[2])]
+    n, m = len(a), len(b)
+    w = max(7, abs(n - m))
+    inf = float("inf")
+    D = [[inf] * (m + 1) for _ in range(n + 1)]
+    D[0][0] = 0
+    for i in range(1, n + 1):
+        for j in range(max(1, i - w), min(m, i + w) + 1):
+            c = abs(a[i - 1] - b[j - 1])
+            D[i][j] = c + min(D[i - 1][j], D[i][j - 1], D[i - 1][j - 1])
+    assert got == (n, m, int(D[n][m]))
