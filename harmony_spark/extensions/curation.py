@@ -2064,3 +2064,75 @@ def q266(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     ).orderBy("source")
+
+
+_DP_EPS = 1.0
+
+
+@register(
+    "q279_dp_noisy_counts",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM customer GROUP BY nk
+    ),
+    noise AS (
+      SELECT nk, true_count,
+             (CAST(('0x' || substr(md5('dp-' || CAST(nk AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1.0) / 4294967297.0 AS u
+      FROM cnt
+    )
+    SELECT nk,
+           true_count,
+           ROUND(true_count
+                 - (1.0 / {_DP_EPS})
+                   * (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END)
+                   * ln(1.0 - 2.0 * ABS(u - 0.5)), 4) AS noisy_count,
+           CAST({_DP_EPS} AS DOUBLE) AS epsilon
+    FROM noise ORDER BY nk
+""",
+    doc=f"Epsilon-differentially-private release of per-nation "
+    "customer counts (epsilon = {e}, sensitivity 1): Laplace noise "
+    "via the inverse-CDF transform of a seedless md5 uniform keyed "
+    "on the released cell — both engines draw the IDENTICAL noise, "
+    "which is what makes a DP release oracle-checkable at all (a "
+    "production release would key the uniform on a secret salt; the "
+    "mechanism, sensitivity accounting, and plan are unchanged). "
+    "Completes the privacy pair with q257: k-anonymity audits the "
+    "RAW data's re-identification risk, the DP mechanism makes the "
+    "released AGGREGATE safe regardless of attacker side knowledge. "
+    "Scale shape: one map-side-combinable count + a per-cell "
+    "projection — noise cost is O(cells), never O(rows).".format(
+        e=_DP_EPS
+    ),
+)
+def q279(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    cnt = (
+        table_parallel(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").cast("long").alias("true_count"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp-"), F.col("nk").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / 4294967297.0
+    noise = cnt.withColumn("u", u)
+    lap = (
+        (1.0 / _DP_EPS)
+        * F.when(F.col("u") >= 0.5, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(F.col("u") - 0.5))
+    )
+    return noise.select(
+        "nk",
+        "true_count",
+        F.round(F.col("true_count") - lap, 4).alias("noisy_count"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    ).orderBy("nk")

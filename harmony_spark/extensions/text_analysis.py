@@ -1172,3 +1172,169 @@ def q261(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", F.desc("log_odds_z"), "token")
     )
+
+
+@register(
+    "q281_readability",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, source, lower(text) AS t FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, source,
+             len(string_split_regex(t, '\s+')) AS words,
+             GREATEST(len(string_split_regex(t, '[.!?]+')) - 1, 1)
+               AS sentences,
+             (SELECT SUM(GREATEST(len(string_split_regex(w.w, '[aeiouy]+'))
+                                  - 1, 1))
+              FROM unnest(string_split_regex(t, '\s+')) AS w(w)) AS syllables
+      FROM base
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(words * 1.0 / sentences), 6) AS avg_words_per_sentence,
+           ROUND(AVG(syllables * 1.0 / words), 6) AS avg_syllables_per_word,
+           ROUND(AVG(0.39 * (words * 1.0 / sentences)
+                     + 11.8 * (syllables * 1.0 / words) - 15.59), 4)
+             AS fk_grade
+    FROM stats GROUP BY source ORDER BY source
+""",
+    doc="Flesch-Kincaid-style readability per source: words/sentence, "
+    "syllables/word (vowel-group count, the standard cheap syllable "
+    "proxy), and the FK grade formula 0.39*wps + 11.8*spw - 15.59 - "
+    "the audience-level lens the quality family (q40 heuristics, "
+    "q110 surprisal, q99 repetition) lacks: surprisal flags "
+    "GIBBERISH, readability grades DIFFICULTY, and a pretraining "
+    "mix tunes both. Scale shape: pure per-document column "
+    "expressions (two regex splits + one higher-order aggregate "
+    "over the token array, no explode and no shuffle before the "
+    "source-keyed mean) - at 100 TB this is scan-speed work inside "
+    "whole-stage codegen. Determinism: integer word/sentence/"
+    "syllable counts from identical regex splits; division only in "
+    "the rounded outputs.",
+)
+def q281(spark: SparkSession, sf: str) -> DataFrame:
+
+    base = table(spark, sf, "documents").select(
+        "doc_id", "source", F.lower(F.col("text")).alias("t")
+    )
+    words = F.size(F.split(F.col("t"), r"\s+"))
+    sentences = F.greatest(
+        F.size(F.split(F.col("t"), r"[.!?]+")) - 1, F.lit(1)
+    )
+    syl = F.expr(
+        "aggregate(transform(split(t, '\\\\s+'),"
+        " w -> greatest(size(split(w, '[aeiouy]+')) - 1, 1)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    stats = base.select(
+        "source",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syl.alias("syllables"),
+    )
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg(F.col("words") * 1.0 / F.col("sentences")), 6).alias(
+                "avg_words_per_sentence"
+            ),
+            F.round(F.avg(F.col("syllables") * 1.0 / F.col("words")), 6).alias(
+                "avg_syllables_per_word"
+            ),
+            F.round(
+                F.avg(
+                    0.39 * (F.col("words") * 1.0 / F.col("sentences"))
+                    + 11.8 * (F.col("syllables") * 1.0 / F.col("words"))
+                    - 15.59
+                ),
+                4,
+            ).alias("fk_grade"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q285_inverted_index",
+    oracle=r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS t
+      FROM documents
+    ),
+    df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY t),
+    picks AS (
+      SELECT t, df, ROW_NUMBER() OVER (ORDER BY df DESC, t) AS r FROM df
+    ),
+    t1 AS (SELECT t, df FROM picks WHERE r = 10),
+    t2 AS (SELECT t, df FROM picks WHERE r = 11),
+    d1 AS (SELECT doc_id FROM tok, t1 WHERE tok.t = t1.t),
+    d2 AS (SELECT doc_id FROM tok, t2 WHERE tok.t = t2.t)
+    SELECT (SELECT t FROM t1) AS term1,
+           (SELECT t FROM t2) AS term2,
+           (SELECT df FROM t1) AS df1,
+           (SELECT df FROM t2) AS df2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM d1
+             WHERE doc_id IN (SELECT doc_id FROM d2)) AS n_and,
+           (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM
+             (SELECT doc_id FROM d1 UNION ALL SELECT doc_id FROM d2) u)
+             AS n_or
+""",
+    doc="Inverted-index build + boolean retrieval: the (token -> "
+    "posting list) index is the distinct exploded census with "
+    "document frequencies; the query picks the 10th/11th most "
+    "frequent terms deterministically and answers term1 AND term2 "
+    "/ OR via posting intersection (semi-join) and union — the "
+    "core IR indexing operator underneath q121's BM25 (which "
+    "SCORES postings; this builds and intersects them). Scale "
+    "shape: the index is one exploded distinct + one count "
+    "aggregate, both map-side combinable; intersection is an "
+    "equi-semi-join on doc_id keyed by the shorter posting list — "
+    "never a scan of the corpus at query time. At 100 TB the "
+    "posting table is the searchable artifact a writer would "
+    "bucket by term. Determinism: exact document frequencies, "
+    "term picks tie-broken lexicographically.",
+)
+def q285(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tok = (
+        table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("t"),
+        )
+        .distinct()
+    )
+    df = tok.groupBy("t").agg(F.count("*").alias("df"))
+    picks = df.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("df"), "t"))
+    )
+    t1 = picks.where(F.col("r") == 10).select(
+        F.col("t").alias("term1"), F.col("df").cast("long").alias("df1")
+    )
+    t2 = picks.where(F.col("r") == 11).select(
+        F.col("t").alias("term2"), F.col("df").cast("long").alias("df2")
+    )
+    d1 = tok.join(
+        F.broadcast(t1.select(F.col("term1").alias("t"))), "t"
+    ).select("doc_id")
+    d2 = tok.join(
+        F.broadcast(t2.select(F.col("term2").alias("t"))), "t"
+    ).select("doc_id")
+    n_and = d1.join(d2, "doc_id", "left_semi").agg(
+        F.count("*").cast("long").alias("n_and")
+    )
+    n_or = (
+        d1.unionByName(d2)
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_or"))
+    )
+    return (
+        t1.crossJoin(t2)
+        .crossJoin(n_and)
+        .crossJoin(n_or)
+        .select("term1", "term2", "df1", "df2", "n_and", "n_or")
+    )

@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243", "q254", "q258", "q262", "q271", "q272", "q274"]
+__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243", "q254", "q258", "q262", "q271", "q272", "q274", "q278", "q282", "q283", "q284"]
 
 _PR_ITERS = 5
 _PR_DAMP = 0.85
@@ -1242,4 +1242,459 @@ def q274(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.desc("authority"), "part")
         .limit(25)
+    )
+
+
+_AA_MAXBUYERS = 20
+
+
+@register(
+    "q278_adamic_adar_similarity",
+    oracle=f"""
+    WITH bp AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    buyers AS (SELECT part, COUNT(*) AS nb FROM bp GROUP BY part),
+    rare AS (SELECT part, nb FROM buyers
+             WHERE nb BETWEEN 2 AND {_AA_MAXBUYERS}),
+    rb AS (SELECT bp.cust, bp.part, r.nb FROM bp JOIN rare r
+           ON r.part = bp.part),
+    prs AS (
+      SELECT a.cust AS c1, b.cust AS c2, COUNT(*) AS n_shared,
+             SUM(1.0 / ln(a.nb)) AS aa
+      FROM rb a JOIN rb b ON b.part = a.part AND a.cust < b.cust
+      GROUP BY a.cust, b.cust
+    )
+    SELECT c1, c2,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           ROUND(aa, 4) AS adamic_adar
+    FROM prs
+    ORDER BY ROUND(aa, 4) DESC, c1, c2
+    LIMIT 25
+""",
+    doc=f"Customer-customer similarity by Adamic-Adar weighting over "
+    "the bipartite purchase graph: score(c1, c2) = sum over shared "
+    "parts of 1/ln(buyers(part)), computed only through RARE parts "
+    "(2-{m} buyers) — the link-prediction/user-similarity scoring "
+    "behind people-also-bought and account-linking signals, where "
+    "q159's lift ranks PART pairs and this ranks CUSTOMER pairs. "
+    "The rare-witness restriction is simultaneously the semantics "
+    "(AA's 1/ln(df) exists to discount ubiquitous items — "
+    "popular-part witnesses carry ~zero signal) and the scale "
+    "bound: pair generation is an equi-join on part id where each "
+    "witness part contributes at most C({m},2) pairs, the same "
+    "hot-key pre-filter discipline as q264's rare shingles. "
+    "Determinism: exact buyer counts; ranking on the ROUNDED 4-dp "
+    "score with id tiebreaks.".format(m=_AA_MAXBUYERS),
+)
+def q278(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    o = table_parallel(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = table_parallel(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    bp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    buyers = bp.groupBy("part").agg(F.count("*").alias("nb"))
+    rare = buyers.where(
+        (F.col("nb") >= 2) & (F.col("nb") <= _AA_MAXBUYERS)
+    )
+    rb = bp.join(F.broadcast(rare), "part")
+    a = rb.select("part", F.col("cust").alias("c1"), "nb")
+    b = rb.select("part", F.col("cust").alias("c2"))
+    prs = (
+        a.join(b, "part")
+        .where(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.sum(1.0 / F.log("nb")).alias("aa"),
+        )
+    )
+    return (
+        prs.select(
+            "c1",
+            "c2",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round("aa", 4).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), "c1", "c2")
+        .limit(25)
+    )
+
+
+_RC_PIVOT = "2000-01-01"
+_RC_MAXBUYERS = 20
+
+
+@register(
+    "q282_recsys_holdout_eval",
+    oracle=f"""
+    WITH bp AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part,
+             CASE WHEN o.o_orderdate < TIMESTAMP '{_RC_PIVOT}'
+                  THEN 0 ELSE 1 END AS is_test
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    train AS (SELECT DISTINCT cust, part FROM bp WHERE is_test = 0),
+    test AS (SELECT DISTINCT cust, part FROM bp WHERE is_test = 1),
+    buyers AS (SELECT part, COUNT(*) AS nb FROM train GROUP BY part),
+    rare AS (SELECT part, nb FROM buyers
+             WHERE nb BETWEEN 2 AND {_RC_MAXBUYERS}),
+    rb AS (SELECT t.cust, t.part, r.nb FROM train t JOIN rare r
+           ON r.part = t.part),
+    sims AS (
+      SELECT a.cust AS c1, b.cust AS c2,
+             ROUND(SUM(1.0 / ln(a.nb)), 4) AS aa
+      FROM rb a JOIN rb b ON b.part = a.part AND a.cust <> b.cust
+      GROUP BY a.cust, b.cust
+    ),
+    best AS (
+      SELECT c1 AS cust, c2 AS neighbor FROM (
+        SELECT c1, c2,
+               ROW_NUMBER() OVER (PARTITION BY c1
+                                  ORDER BY aa DESC, c2) AS r
+        FROM sims
+      ) t WHERE r = 1
+    ),
+    recs AS (
+      SELECT b.cust, t.part
+      FROM best b JOIN train t ON t.cust = b.neighbor
+      WHERE NOT EXISTS (SELECT 1 FROM train o
+                        WHERE o.cust = b.cust AND o.part = t.part)
+    ),
+    eval AS (
+      SELECT DISTINCT te.cust FROM test te
+      JOIN best be ON be.cust = te.cust
+    ),
+    hits AS (
+      SELECT DISTINCT r.cust
+      FROM recs r JOIN test te ON te.cust = r.cust AND te.part = r.part
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM eval) AS n_eval_customers,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+           ROUND((SELECT COUNT(*) FROM hits) * 1.0
+                 / (SELECT COUNT(*) FROM eval), 6) AS hit_rate
+""",
+    doc="Temporal-holdout evaluation of the Adamic-Adar recommender: "
+    "train on orders before 2000-01-01, recommend each customer "
+    "their top-similar neighbor's unseen parts, score hit-rate on "
+    "the post-pivot test purchases — the offline recsys evaluation "
+    "protocol (leave-future-out, never random split: a random split "
+    "leaks future purchases into training, the q117/q134 leakage "
+    "discipline applied to recommendations). Composes q278's "
+    "rare-witness similarity with the eval-metric family (q148 AUC, "
+    "q151 nDCG). Scale shape: similarity pairs bucket-local through "
+    "rare parts; recommendations are one join against the "
+    "neighbor's train rows + an anti-join on own history; hit "
+    "scoring is two semi-joins. Determinism: neighbor argmax on "
+    "ROUNDED 4-dp score with id tiebreak; all counts exact.",
+)
+def q282(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    o = table_parallel(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.to_date("o_orderdate") >= F.lit(_RC_PIVOT)).alias("is_test"),
+    )
+    li = table_parallel(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    bp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+            "is_test",
+        )
+        .distinct()
+    )
+    train = bp.where(~F.col("is_test")).select("cust", "part").distinct().localCheckpoint(eager=True)
+    test = bp.where(F.col("is_test")).select("cust", "part").distinct().localCheckpoint(eager=True)
+    buyers = train.groupBy("part").agg(F.count("*").alias("nb"))
+    rare = buyers.where((F.col("nb") >= 2) & (F.col("nb") <= _RC_MAXBUYERS))
+    rb = train.join(F.broadcast(rare), "part")
+    a = rb.select("part", F.col("cust").alias("c1"), "nb")
+    b = rb.select("part", F.col("cust").alias("c2"))
+    sims = (
+        a.join(b, "part")
+        .where(F.col("c1") != F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.round(F.sum(1.0 / F.log("nb")), 4).alias("aa"))
+    )
+    best = (
+        sims.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("c1").orderBy(F.desc("aa"), "c2")
+            ),
+        )
+        .where(F.col("r") == 1)
+        .select(F.col("c1").alias("cust"), F.col("c2").alias("neighbor"))
+    )
+    recs = (
+        best.join(
+            train.select(F.col("cust").alias("neighbor"), "part"), "neighbor"
+        )
+        .select("cust", "part")
+        .join(train, ["cust", "part"], "left_anti")
+    )
+    ev = test.join(best.select("cust"), "cust", "left_semi").select("cust").distinct()
+    hits = recs.join(test, ["cust", "part"], "left_semi").select("cust").distinct()
+    ne = ev.agg(F.count("*").cast("long").alias("n_eval_customers"))
+    nh = hits.agg(F.count("*").cast("long").alias("n_hits"))
+    return (
+        ne.crossJoin(nh)
+        .select(
+            "n_eval_customers",
+            "n_hits",
+            F.round(
+                F.col("n_hits") * 1.0 / F.col("n_eval_customers"), 6
+            ).alias("hit_rate"),
+        )
+    )
+
+
+_BT_K = 28
+
+
+@register(
+    "q283_walk_forward_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY day
+    ),
+    pre AS (
+      SELECT day, cents,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER () AS n,
+             CAST(SUM(cents) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS prior_sum,
+             LAG(cents, 7) OVER (ORDER BY day) AS snaive
+      FROM daily
+    ),
+    ev AS (
+      SELECT cents,
+             prior_sum * 1.0 / (rn - 1) AS f_mean,
+             snaive * 1.0 AS f_snaive
+      FROM pre WHERE rn > n - {_BT_K}
+    ),
+    folded AS (
+      SELECT 'expanding_mean' AS model,
+             ABS(cents - f_mean) AS ae,
+             ABS(cents - f_mean) / cents AS ape
+      FROM ev
+      UNION ALL
+      SELECT 'seasonal_naive', ABS(cents - f_snaive),
+             ABS(cents - f_snaive) / cents
+      FROM ev
+    )
+    SELECT model,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           ROUND(AVG(ae), 4) AS mae_cents,
+           ROUND(AVG(ape), 6) AS mape
+    FROM folded GROUP BY model ORDER BY model
+""",
+    doc="Walk-forward forecast backtest over the last {k} days of "
+    "daily revenue: two zero-parameter baselines — the expanding "
+    "mean of ALL prior days (prefix-sum / (rn-1), recomputed at "
+    "every step exactly as a live forecaster would see it) and the "
+    "seasonal naive (value 7 census rows back) — scored by MAE and "
+    "MAPE. The evaluation PROTOCOL q242's MASE presumes: "
+    "out-of-sample, strictly past-only features at every horizon "
+    "(an in-sample fit overstates accuracy; the expanding window "
+    "is the leakage-free discipline of q117/q282 applied to time). "
+    "Scale shape: one day-keyed integer aggregate, then prefix "
+    "windows on the census — every forecast at every step comes "
+    "from the same single cumulative pass, not {k} refits. "
+    "Determinism: exact integer prefix sums and lags; divisions in "
+    "the rounded outputs.".format(k=_BT_K),
+)
+def q283(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    daily = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    pre = daily.select(
+        "cents",
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("cents").over(wp).cast("long").alias("prior_sum"),
+        F.lag("cents", 7).over(Window.orderBy("day")).alias("snaive"),
+    )
+    ev = pre.where(F.col("rn") > F.col("n") - _BT_K).select(
+        "cents",
+        (F.col("prior_sum") * 1.0 / (F.col("rn") - 1)).alias("f_mean"),
+        (F.col("snaive") * 1.0).alias("f_snaive"),
+    )
+    folded = ev.select(
+        F.lit("expanding_mean").alias("model"),
+        F.abs(F.col("cents") - F.col("f_mean")).alias("ae"),
+        (F.abs(F.col("cents") - F.col("f_mean")) / F.col("cents")).alias("ape"),
+    ).unionByName(
+        ev.select(
+            F.lit("seasonal_naive").alias("model"),
+            F.abs(F.col("cents") - F.col("f_snaive")).alias("ae"),
+            (F.abs(F.col("cents") - F.col("f_snaive")) / F.col("cents")).alias(
+                "ape"
+            ),
+        )
+    )
+    return (
+        folded.groupBy("model")
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.round(F.avg("ae"), 4).alias("mae_cents"),
+            F.round(F.avg("ape"), 6).alias("mape"),
+        )
+        .orderBy("model")
+    )
+
+
+@register(
+    "q284_spc_control_rules",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE -CAST(ROUND(value * 100) AS BIGINT) END) AS net
+      FROM events WHERE event_type IN ('purchase', 'error')
+      GROUP BY day
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(net) AS BIGINT) AS s1,
+             CAST(SUM(net * net) AS BIGINT) AS s2
+      FROM daily
+    ),
+    z AS (
+      SELECT day, net,
+             (net - m.s1 * 1.0 / m.n)
+             / (SQRT((m.n * m.s2 - m.s1 * m.s1) * 1.0) / m.n) AS zs,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM daily CROSS JOIN mom m
+    ),
+    flags AS (
+      SELECT day, rn,
+             CASE WHEN ABS(zs) > 3 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN SUM(CASE WHEN zs > 2 THEN 1 ELSE 0 END)
+                       OVER (ORDER BY rn
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2
+                       OR SUM(CASE WHEN zs < -2 THEN 1 ELSE 0 END)
+                       OVER (ORDER BY rn
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2
+                  THEN 1 ELSE 0 END AS r2,
+             CASE WHEN ABS(SUM(CASE WHEN zs > 0 THEN 1
+                                    WHEN zs < 0 THEN -1 ELSE 0 END)
+                       OVER (ORDER BY rn
+                             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) = 8
+                       AND rn >= 8
+                  THEN 1 ELSE 0 END AS r3
+      FROM z
+    )
+    SELECT CAST(SUM(r1) AS BIGINT) AS rule1_days,
+           CAST(SUM(r2) AS BIGINT) AS rule2_days,
+           CAST(SUM(r3) AS BIGINT) AS rule3_days,
+           CAST(MIN(CASE WHEN r1 = 1 THEN day END) AS VARCHAR)
+             AS first_rule1_day
+    FROM flags
+""",
+    doc="Western Electric control-chart rules on the daily net series "
+    "(purchases minus errors): rule 1 = a point beyond 3 sigma, "
+    "rule 2 = 2-of-3 consecutive beyond 2 sigma on the same side, "
+    "rule 3 = 8 consecutive on one side of the mean — the classical "
+    "SPC battery that catches small sustained shifts (rules 2/3) "
+    "a pure outlier test (q146 MAD) misses and catches them sooner "
+    "than q195's CUSUM needs to accumulate. Scale shape: one "
+    "integer moment aggregate -> 1-row broadcast of (mean, sigma); "
+    "all three rules are rows-frame windows over the day census. "
+    "Determinism: z-scores from exact BIGINT moments through "
+    "IEEE-exact sqrt/divide — identical doubles on both engines, "
+    "so every threshold comparison agrees; integer flag sums.",
+)
+def q284(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        table(spark, sf, "events")
+        .where(F.col("event_type").isin("purchase", "error"))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents).otherwise(-cents)
+            ).alias("net")
+        )
+    )
+    mom = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("net").alias("s1"),
+        F.sum(F.col("net") * F.col("net")).alias("s2"),
+    )
+    z = daily.crossJoin(F.broadcast(mom)).select(
+        "day",
+        (
+            (F.col("net") - F.col("s1") * 1.0 / F.col("n"))
+            / (
+                F.sqrt(
+                    (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                    * 1.0
+                )
+                / F.col("n")
+            )
+        ).alias("zs"),
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+    )
+    w3 = Window.orderBy("rn").rowsBetween(-2, 0)
+    w8 = Window.orderBy("rn").rowsBetween(-7, 0)
+    flags = z.select(
+        "day",
+        F.when(F.abs("zs") > 3, 1).otherwise(0).alias("r1"),
+        F.when(
+            (
+                F.sum(F.when(F.col("zs") > 2, 1).otherwise(0)).over(w3) >= 2
+            )
+            | (
+                F.sum(F.when(F.col("zs") < -2, 1).otherwise(0)).over(w3) >= 2
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("r2"),
+        F.when(
+            (
+                F.abs(
+                    F.sum(
+                        F.when(F.col("zs") > 0, 1)
+                        .when(F.col("zs") < 0, -1)
+                        .otherwise(0)
+                    ).over(w8)
+                )
+                == 8
+            )
+            & (F.col("rn") >= 8),
+            1,
+        )
+        .otherwise(0)
+        .alias("r3"),
+    )
+    return flags.agg(
+        F.sum("r1").cast("long").alias("rule1_days"),
+        F.sum("r2").cast("long").alias("rule2_days"),
+        F.sum("r3").cast("long").alias("rule3_days"),
+        F.date_format(
+            F.min(F.when(F.col("r1") == 1, F.col("day"))), "yyyy-MM-dd"
+        ).alias("first_rule1_day"),
     )

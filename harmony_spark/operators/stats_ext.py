@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280"]
 
 
 @register(
@@ -2422,3 +2422,130 @@ def q276(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+@register(
+    "q280_matching_att",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_custkey AS ck,
+             CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS bal,
+             CASE WHEN (CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)),
+                                             1, 8)) AS BIGINT) % 2) = 0
+                  THEN 1 ELSE 0 END AS treated,
+             CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+                  AS BIGINT) AS y
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    spine AS (
+      SELECT ck, bal, treated, y,
+             LAST_VALUE(CASE WHEN treated = 0 THEN bal END IGNORE NULLS)
+               OVER w AS pbal,
+             LAST_VALUE(CASE WHEN treated = 0 THEN y END IGNORE NULLS)
+               OVER w AS py,
+             FIRST_VALUE(CASE WHEN treated = 0 THEN bal END IGNORE NULLS)
+               OVER w2 AS nbal,
+             FIRST_VALUE(CASE WHEN treated = 0 THEN y END IGNORE NULLS)
+               OVER w2 AS ny
+      FROM cust
+      WINDOW w AS (ORDER BY bal, ck
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             w2 AS (ORDER BY bal, ck
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    matched AS (
+      SELECT ck, bal, y,
+             CASE WHEN pbal IS NULL THEN ny
+                  WHEN nbal IS NULL THEN py
+                  WHEN bal - pbal <= nbal - bal THEN py
+                  ELSE ny END AS y_ctrl
+      FROM spine WHERE treated = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+           ROUND(AVG(y - y_ctrl), 6) AS att_cents,
+           (SELECT ROUND(AVG(CASE WHEN treated = 1 THEN y END)
+                         - AVG(CASE WHEN treated = 0 THEN y END), 6)
+            FROM cust) AS naive_diff_cents
+    FROM matched
+""",
+    doc="Average treatment effect on the treated (ATT) by 1-nearest-"
+    "neighbor covariate matching: every md5-assigned treated "
+    "customer is matched to the control with the closest account "
+    "balance, and ATT = mean(y_treated - y_matched_control) on "
+    "lifetime revenue, reported next to the unadjusted naive "
+    "difference it corrects. Completes the causal trio — q172 "
+    "randomized A/B, q269 DiD, and matching for when neither "
+    "randomization nor a pre-period exists. The scale insight: 1-NN "
+    "matching on a scalar covariate needs NO pair join at all — "
+    "sort the pooled spine once by (balance, id) and every treated "
+    "row's nearest control is either the last-control-before or "
+    "first-control-after (two ignore-nulls carry windows), so "
+    "matching is O(n log n) where the naive statement is an O(n^2) "
+    "cross join with an argmin. Determinism: integer-cents "
+    "covariate and outcome, deterministic spine order, ties prefer "
+    "the preceding control on both engines.",
+)
+def q280(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    c = table_parallel(spark, sf, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("ck").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    o = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y0"))
+    )
+    cust = (
+        c.join(o, "ck", "left")
+        .select(
+            "ck",
+            "bal",
+            F.when(arm == 0, 1).otherwise(0).alias("treated"),
+            F.coalesce("y0", F.lit(0)).alias("y"),
+        )
+    )
+    wp = Window.orderBy("bal", "ck").rowsBetween(Window.unboundedPreceding, -1)
+    wn = Window.orderBy("bal", "ck").rowsBetween(1, Window.unboundedFollowing)
+    cb = F.when(F.col("treated") == 0, F.col("bal"))
+    cy = F.when(F.col("treated") == 0, F.col("y"))
+    spine = cust.select(
+        "ck",
+        "bal",
+        "treated",
+        "y",
+        F.last(cb, ignorenulls=True).over(wp).alias("pbal"),
+        F.last(cy, ignorenulls=True).over(wp).alias("py"),
+        F.first(cb, ignorenulls=True).over(wn).alias("nbal"),
+        F.first(cy, ignorenulls=True).over(wn).alias("ny"),
+    )
+    matched = spine.where(F.col("treated") == 1).select(
+        "y",
+        F.when(F.col("pbal").isNull(), F.col("ny"))
+        .when(F.col("nbal").isNull(), F.col("py"))
+        .when(
+            F.col("bal") - F.col("pbal") <= F.col("nbal") - F.col("bal"),
+            F.col("py"),
+        )
+        .otherwise(F.col("ny"))
+        .alias("y_ctrl"),
+    )
+    att = matched.agg(
+        F.count("*").cast("long").alias("n_treated"),
+        F.round(F.avg(F.col("y") - F.col("y_ctrl")), 6).alias("att_cents"),
+    )
+    naive = cust.agg(
+        F.round(
+            F.avg(F.when(F.col("treated") == 1, F.col("y")))
+            - F.avg(F.when(F.col("treated") == 0, F.col("y"))),
+            6,
+        ).alias("naive_diff_cents")
+    )
+    return att.crossJoin(F.broadcast(naive))

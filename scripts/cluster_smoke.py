@@ -124,6 +124,13 @@ def run_checks() -> int:
         "q164_asof_signup_attribution",  # union-tag as-of window
         "q165_sequence_packing",  # per-bucket applyInPandas fold
         "q167_entity_resolution",  # levenshtein blocking + star CC
+        "q251_fifo_allocation",  # cumulative-block bucketed range join
+        "q253_dau_wau_stickiness",  # island coalescing + sweep cumsum
+        "q254_bfs_reachability",  # min-semiring frontier rounds
+        "q260_bootstrap_ci",  # md5 resample join on the day census
+        "q263_spatial_neighbor_join",  # 3x3 grid-cell candidate join
+        "q272_dtw_alignment",  # banded integer DP in applyInPandas
+        "q273_golden_record",  # ER closure + survivorship votes
         "harmony_correct",  # full harmony: broadcasts + Arrow passes
         "harmony_stream_drift",  # stateful streaming on real executors
     ]

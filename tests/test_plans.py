@@ -145,6 +145,10 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q275_hill_tail_index",  # cross join vs the 1-row tail threshold
     "q276_naive_bayes_scoring",  # broadcast censuses + 1-row prior/total rows
     "q277_rendezvous_sharding",  # 6-row node spine broadcast
+    "q280_matching_att",  # cross join vs the 1-row naive-difference row
+    "q282_recsys_holdout_eval",  # cross join of two 1-row eval counts
+    "q284_spc_control_rules",  # cross join vs the 1-row moment row
+    "q285_inverted_index",  # cross joins of 1-row term/count picks
 }
 
 
