@@ -1635,3 +1635,159 @@ def q267(spark: SparkSession, sf: str) -> DataFrame:
         .select("a_id", "b_id", F.col("cos6").alias("cosine"))
         .orderBy("a_id")
     )
+
+
+_KNN_K = 3
+_KNN_MAXID = 100
+
+
+@register(
+    "q287_knn_loo_classifier",
+    oracle=f"""
+    WITH sub AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE vec_id < {_KNN_MAXID}
+    ),
+    flat AS (
+      SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM sub
+    ),
+    nrm AS (SELECT vec_id, SQRT(SUM(v * v)) AS nr FROM flat GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS qa, b.vec_id AS qb,
+             SUM(a.v * b.v) AS dot
+      FROM flat a JOIN flat b ON b.dim = a.dim AND a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    cosm AS (
+      SELECT d.qa, d.qb,
+             ROUND(d.dot / (na.nr * nb.nr), 6) AS c6
+      FROM dots d
+      JOIN nrm na ON na.vec_id = d.qa
+      JOIN nrm nb ON nb.vec_id = d.qb
+    ),
+    topk AS (
+      SELECT qa, qb FROM (
+        SELECT qa, qb,
+               ROW_NUMBER() OVER (PARTITION BY qa
+                                  ORDER BY c6 DESC, qb) AS r
+        FROM cosm
+      ) t WHERE r <= {_KNN_K}
+    ),
+    votes AS (
+      SELECT t.qa, s.label AS vote, COUNT(*) AS cnt
+      FROM topk t JOIN sub s ON s.vec_id = t.qb
+      GROUP BY t.qa, s.label
+    ),
+    pred AS (
+      SELECT qa, vote FROM (
+        SELECT qa, vote,
+               ROW_NUMBER() OVER (PARTITION BY qa
+                                  ORDER BY cnt DESC, vote) AS r
+        FROM votes
+      ) t WHERE r = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN p.vote = s.label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           ROUND(SUM(CASE WHEN p.vote = s.label THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS loo_accuracy
+    FROM pred p JOIN sub s ON s.vec_id = p.qa
+""",
+    doc="Leave-one-out {k}-NN label classification over the "
+    "vec_id < {m} embedding window: every vector is classified by "
+    "the majority label of its {k} nearest OTHER vectors (cosine), "
+    "and the output is the LOO confusion accuracy — the standard "
+    "label-noise / separability probe (if k-NN cannot recover a "
+    "vector's own label from its neighbors, either the label is "
+    "wrong or the embedding does not separate that class — the "
+    "per-member complement of q246's centroid margins). Bounded "
+    "evaluation window by declaration (the q31/q45 precedent); at "
+    "corpus scale the candidate step swaps to the IVF/SRP index "
+    "paths and LOO becomes classify-a-sample. Determinism: "
+    "neighbor and vote argmaxes on ROUNDED 6-dp cosine / exact "
+    "counts with id and label tiebreaks.".format(
+        k=_KNN_K, m=_KNN_MAXID
+    ),
+)
+def q287(spark: SparkSession, sf: str) -> DataFrame:
+
+    sub = (
+        table(spark, sf, "embeddings")
+        .where(F.col("vec_id") < _KNN_MAXID)
+        .select("vec_id", "label", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    flat = sub.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "v0")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    nrm = flat.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nr")
+    )
+    a = flat.select(F.col("vec_id").alias("qa"), "dim", F.col("v").alias("av"))
+    b = flat.select(F.col("vec_id").alias("qb"), "dim", F.col("v").alias("bv"))
+    dots = (
+        a.join(b, "dim")
+        .where(F.col("qa") != F.col("qb"))
+        .groupBy("qa", "qb")
+        .agg(F.sum(F.col("av") * F.col("bv")).alias("dot"))
+    )
+    cosm = (
+        dots.join(nrm.select(F.col("vec_id").alias("qa"), F.col("nr").alias("na")), "qa")
+        .join(nrm.select(F.col("vec_id").alias("qb"), F.col("nr").alias("nb")), "qb")
+        .select(
+            "qa",
+            "qb",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("c6"),
+        )
+    )
+    topk = (
+        cosm.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("qa").orderBy(F.desc("c6"), "qb")
+            ),
+        )
+        .where(F.col("r") <= _KNN_K)
+        .select("qa", "qb")
+    )
+    votes = (
+        topk.join(
+            sub.select(F.col("vec_id").alias("qb"), F.col("label").alias("vote")),
+            "qb",
+        )
+        .groupBy("qa", "vote")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pred = (
+        votes.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("qa").orderBy(F.desc("cnt"), "vote")
+            ),
+        )
+        .where(F.col("r") == 1)
+        .select("qa", "vote")
+    )
+    return (
+        pred.join(
+            sub.select(F.col("vec_id").alias("qa"), "label"), "qa"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.sum(F.when(F.col("vote") == F.col("label"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.round(
+                F.sum(F.when(F.col("vote") == F.col("label"), 1).otherwise(0))
+                * 1.0
+                / F.count("*"),
+                6,
+            ).alias("loo_accuracy"),
+        )
+    )

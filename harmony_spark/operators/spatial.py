@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from harmony_spark.registry import register
 
-__all__ = ["q263"]
+__all__ = ["q263", "q286", "q289"]
 
 _SP_R = 20000  # radius in map units; the synthetic world is 1e6 x 1e6
 
@@ -132,4 +132,303 @@ def q263(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_same_nation"),
         F.coalesce(F.min("d2"), F.lit(0)).cast("long").alias("min_dist2"),
         F.coalesce(F.sum("d2"), F.lit(0)).cast("long").alias("sum_dist2"),
+    )
+
+
+_GD_CELL = 50000  # density-grid cell width
+_GD_MINPTS = 3  # core-cell density threshold
+
+
+@register(
+    "q286_grid_density_clusters",
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '-x'),
+                                  1, 8)) AS BIGINT) % 1000000 AS x,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '-y'),
+                                  1, 8)) AS BIGINT) % 1000000 AS y
+      FROM customer
+    ),
+    cells AS (
+      SELECT x // {_GD_CELL} AS cx, y // {_GD_CELL} AS cy, COUNT(*) AS n
+      FROM pts GROUP BY cx, cy
+    ),
+    core AS (
+      SELECT cx * 1024 + cy AS cell, cx, cy, n FROM cells
+      WHERE n >= {_GD_MINPTS}
+    ),
+    adj AS (
+      SELECT a.cell AS ca, b.cell AS cb
+      FROM core a JOIN core b
+        ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1
+       AND a.cell < b.cell
+    ),
+    bi AS (SELECT ca AS a, cb AS b FROM adj
+           UNION ALL SELECT cb AS a, ca AS b FROM adj),
+    reach(a, b) AS (
+      SELECT a, b FROM bi
+      UNION
+      SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a),
+    comp AS (
+      SELECT c.cell, COALESCE(LEAST(c.cell, m.mn), c.cell) AS cid
+      FROM core c LEFT JOIN (
+        SELECT a, MIN(b) AS mn FROM reach GROUP BY a
+      ) m ON m.a = c.cell
+    ),
+    sizes AS (
+      SELECT cm.cid, CAST(SUM(co.n) AS BIGINT) AS n_points,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM comp cm JOIN core co ON co.cell = cm.cell
+      GROUP BY cm.cid
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) AS n_clusters,
+           (SELECT CAST(MAX(n_points) AS BIGINT) FROM sizes)
+             AS largest_cluster_points,
+           (SELECT CAST(MAX(n_cells) AS BIGINT) FROM sizes)
+             AS largest_cluster_cells,
+           (SELECT CAST(SUM(n_points) AS BIGINT) FROM sizes)
+             AS clustered_points,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pts)
+             - (SELECT CAST(SUM(n_points) AS BIGINT) FROM sizes)
+             AS noise_points
+""",
+    doc="Grid-density clustering (DBSCAN-lite): cells with >= 3 "
+    "points are core; clusters are connected components over the "
+    "8-neighborhood of core cells; points in non-core cells are "
+    "noise — the density-based clustering that finds arbitrary-"
+    "shaped hotspots where centroid methods (core/kmeans.py) "
+    "assume convex blobs, at grid resolution instead of exact "
+    "point-epsilon resolution (the approximation that makes DBSCAN "
+    "tractable at all at 100 TB: the O(N) pass is one cell-keyed "
+    "count, after which EVERYTHING — adjacency, components, sizes — "
+    "runs on the core-cell CENSUS). Composes the q263 grid with "
+    "the star CC operator (graph.connected_components, O(log n) "
+    "rounds). The oracle replays the identical cell graph with a "
+    "recursive-CTE closure. Determinism: integer cells and counts "
+    "end-to-end.",
+)
+def q286(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+    from harmony_spark.operators.graph import connected_components
+
+    from harmony_spark.operators.graph import connected_components
+
+    def u(suf):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("c_custkey").cast("string"), F.lit(suf))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        )
+
+    pts = table_parallel(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"), u("-x").alias("x"), u("-y").alias("y")
+    )
+    cells = pts.groupBy(
+        F.expr(f"x DIV {_GD_CELL}").alias("cx"),
+        F.expr(f"y DIV {_GD_CELL}").alias("cy"),
+    ).agg(F.count("*").alias("n"))
+    core = cells.where(F.col("n") >= _GD_MINPTS).select(
+        (F.col("cx") * 1024 + F.col("cy")).alias("cell"), "cx", "cy", "n"
+    ).localCheckpoint(eager=True)
+    a = core.select(
+        F.col("cell").alias("ca"), F.col("cx").alias("ax"), F.col("cy").alias("ay")
+    )
+    b = (
+        core.select(
+            F.col("cell").alias("cb"),
+            F.col("cx").alias("bx"),
+            F.col("cy").alias("by"),
+        )
+        .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            "cb",
+            (F.col("bx") + F.col("dx")).alias("ax"),
+            (F.col("by") + F.col("dy")).alias("ay"),
+        )
+    )
+    adj = (
+        a.join(b, ["ax", "ay"])
+        .where(F.col("ca") < F.col("cb"))
+        .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+    )
+    cc = connected_components(adj)  # (node, component); singletons absent
+    comp = core.join(
+        cc.select(F.col("node").alias("cell"), "component"), "cell", "left"
+    ).select(
+        "cell", "n", F.coalesce("component", F.col("cell")).alias("cid")
+    )
+    sizes = comp.groupBy("cid").agg(
+        F.sum("n").alias("n_points"), F.count("*").alias("n_cells")
+    )
+    agg = sizes.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.max("n_points").cast("long").alias("largest_cluster_points"),
+        F.max("n_cells").cast("long").alias("largest_cluster_cells"),
+        F.sum("n_points").cast("long").alias("clustered_points"),
+    )
+    tot = pts.agg(F.count("*").alias("n_total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n_clusters",
+        "largest_cluster_points",
+        "largest_cluster_cells",
+        "clustered_points",
+        (F.col("n_total") - F.col("clustered_points"))
+        .cast("long")
+        .alias("noise_points"),
+    )
+
+
+_GM_ITERS = 3
+
+
+def _gm_oracle() -> str:
+    """Unrolled Weiszfeld iterations c0..cN as scalar CTEs."""
+    steps = []
+    for k in range(_GM_ITERS):
+        steps.append(f"""w{k} AS (
+          SELECT SUM(p.x / SQRT((p.x - c.cx) * (p.x - c.cx)
+                                + (p.y - c.cy) * (p.y - c.cy) + 1.0)) AS sx,
+                 SUM(p.y / SQRT((p.x - c.cx) * (p.x - c.cx)
+                                + (p.y - c.cy) * (p.y - c.cy) + 1.0)) AS sy,
+                 SUM(1.0 / SQRT((p.x - c.cx) * (p.x - c.cx)
+                                + (p.y - c.cy) * (p.y - c.cy) + 1.0)) AS sw
+          FROM pts p CROSS JOIN c{k} c
+        ),
+        c{k + 1} AS (SELECT sx / sw AS cx, sy / sw AS cy FROM w{k})""")
+    chain = ",\n        ".join(steps)
+    return """
+        WITH pts AS (
+          SELECT CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                                               || '-x'), 1, 8)) AS BIGINT)
+                      % 1000000 AS DOUBLE) AS x,
+                 CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                                               || '-y'), 1, 8)) AS BIGINT)
+                      % 1000000 AS DOUBLE) AS y
+          FROM customer
+        ),
+        c0 AS (SELECT AVG(x) AS cx, AVG(y) AS cy FROM pts),
+        {chain},
+        final AS (SELECT cx, cy FROM c{n}),
+        cost AS (
+          SELECT SUM(SQRT((p.x - f.cx) * (p.x - f.cx)
+                          + (p.y - f.cy) * (p.y - f.cy))) AS tc
+          FROM pts p CROSS JOIN final f
+        ),
+        mcost AS (
+          SELECT SUM(SQRT((p.x - m.cx) * (p.x - m.cx)
+                          + (p.y - m.cy) * (p.y - m.cy))) AS tc
+          FROM pts p CROSS JOIN c0 m
+        )
+        SELECT ROUND((SELECT cx FROM final), 2) AS median_x,
+               ROUND((SELECT cy FROM final), 2) AS median_y,
+               ROUND((SELECT tc FROM cost), 2) AS total_distance,
+               ROUND((SELECT tc FROM mcost), 2) AS mean_total_distance
+    """.format(chain=chain, n=_GM_ITERS)
+
+
+@register(
+    "q289_geometric_median",
+    oracle=_gm_oracle(),
+    doc=f"Geometric median of the customer point cloud by "
+    "{n} Weiszfeld iterations from the centroid (smoothed weights "
+    "1/sqrt(d^2+1)), reporting the total-travel-distance objective "
+    "against the plain centroid's — the robust facility-location "
+    "answer (minimize SUM of distances, not squared distances: one "
+    "remote outpost drags the mean, barely moves the median). Each "
+    "iteration is ONE aggregate over the points with the current "
+    "center as a 1-row broadcast — O(N) per round, no pairwise "
+    "anything, the same broadcast-scalar iteration shape as the "
+    "harmony centroid updates. The oracle replays the identical "
+    "unrolled iterations as scalar CTEs. Determinism: identical "
+    "md5-synthesized doubles through IEEE-exact sqrt/divide; "
+    "summation-order effects are absorbed by the 2-dp rounding on "
+    "1e6-scale outputs.".format(n=_GM_ITERS),
+)
+def q289(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    def u(suf):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("c_custkey").cast("string"), F.lit(suf))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        ).cast("double")
+
+    pts = table_parallel(spark, sf, "customer").select(
+        u("-x").alias("x"), u("-y").alias("y")
+    ).localCheckpoint(eager=True)
+    c = pts.agg(F.avg("x").alias("cx"), F.avg("y").alias("cy"))
+    mean_c = c
+    for _ in range(_GM_ITERS):
+        d = (
+            pts.crossJoin(F.broadcast(c))
+            .select(
+                "x",
+                "y",
+                (
+                    1.0
+                    / F.sqrt(
+                        (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                        + (F.col("y") - F.col("cy"))
+                        * (F.col("y") - F.col("cy"))
+                        + 1.0
+                    )
+                ).alias("w"),
+            )
+        )
+        c = d.agg(
+            (F.sum(F.col("x") * F.col("w")) / F.sum("w")).alias("cx"),
+            (F.sum(F.col("y") * F.col("w")) / F.sum("w")).alias("cy"),
+        )
+    cost = (
+        pts.crossJoin(F.broadcast(c))
+        .agg(
+            F.sum(
+                F.sqrt(
+                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                    + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy"))
+                )
+            ).alias("tc")
+        )
+    )
+    mcost = (
+        pts.crossJoin(F.broadcast(mean_c))
+        .agg(
+            F.sum(
+                F.sqrt(
+                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                    + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy"))
+                )
+            ).alias("mtc")
+        )
+    )
+    return (
+        c.crossJoin(cost)
+        .crossJoin(mcost)
+        .select(
+            F.round("cx", 2).alias("median_x"),
+            F.round("cy", 2).alias("median_y"),
+            F.round("tc", 2).alias("total_distance"),
+            F.round("mtc", 2).alias("mean_total_distance"),
+        )
     )

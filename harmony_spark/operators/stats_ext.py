@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288"]
 
 
 @register(
@@ -2549,3 +2549,149 @@ def q280(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("naive_diff_cents")
     )
     return att.crossJoin(F.broadcast(naive))
+
+
+@register(
+    "q288_sprt_sequential_test",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CASE WHEN (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                             1, 8)) AS BIGINT) % 2) = 0
+                  THEN 1 ELSE 0 END AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    p0t AS (
+      SELECT SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) * 1.0
+             / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS p0
+      FROM ev
+    ),
+    daily AS (
+      SELECT day,
+             SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS x,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n
+      FROM ev GROUP BY day
+    ),
+    llr AS (
+      SELECT day,
+             x * ln(LEAST(p0.p0 * 1.25, 0.999) / p0.p0)
+             + (n - x) * ln((1 - LEAST(p0.p0 * 1.25, 0.999)) / (1 - p0.p0))
+               AS l
+      FROM daily CROSS JOIN p0t p0
+    ),
+    cum AS (
+      SELECT day,
+             SUM(l) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM llr
+    ),
+    crossed AS (
+      SELECT day, c, rn,
+             CASE WHEN c >= ln(0.95 / 0.05) THEN 'accept_h1'
+                  WHEN c <= ln(0.05 / 0.95) THEN 'accept_h0'
+                  ELSE NULL END AS verdict
+      FROM cum
+    ),
+    first_cross AS (
+      SELECT day, verdict FROM crossed
+      WHERE verdict IS NOT NULL
+      ORDER BY rn LIMIT 1
+    )
+    SELECT COALESCE((SELECT verdict FROM first_cross), 'continue')
+             AS decision,
+           COALESCE((SELECT CAST(day AS VARCHAR) FROM first_cross), 'none')
+             AS decision_day,
+           (SELECT ROUND(MAX(c), 4) FROM cum WHERE rn = (SELECT MAX(rn)
+                                                         FROM cum))
+             AS final_llr,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cum) AS n_days
+""",
+    doc="Wald's sequential probability ratio test (SPRT) on the "
+    "hash-split A/B purchase-rate experiment: per-day binomial "
+    "log-likelihood ratios of H1 (treatment converts at 1.25x the "
+    "control rate) vs H0 (equal rates) accumulate in arrival order, "
+    "and the test DECIDES at the first crossing of the Wald "
+    "boundaries ln(19)/-ln(19) (alpha = beta = 0.05) — the "
+    "always-valid sequential answer to peeking, where the "
+    "fixed-horizon z-test (q172) inflates false positives if "
+    "checked daily. Completes the testing family: fixed-horizon "
+    "(q172), robust/two-sample (q144/q221), and now sequential. "
+    "Scale shape: one (day, arm) count aggregate; the LLR "
+    "accumulation and boundary scan are windows over the day "
+    "census. Determinism: exact integer counts into ln (identical "
+    "doubles both engines), first crossing by exact row order.",
+)
+def q288(spark: SparkSession, sf: str) -> DataFrame:
+    import math
+
+    from harmony_spark.io import table
+
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    ev = (
+        table(spark, sf, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.to_date("ts").alias("day"),
+            F.when(arm == 0, 1).otherwise(0).alias("arm"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+                "conv"
+            ),
+        )
+    )
+    p0t = ev.agg(
+        (
+            F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+            * 1.0
+            / F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        ).alias("p0")
+    )
+    daily = ev.groupBy("day").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n"),
+    )
+    p1 = F.least(F.col("p0") * 1.25, F.lit(0.999))
+    llr = daily.crossJoin(F.broadcast(p0t)).select(
+        "day",
+        (
+            F.col("x") * F.log(p1 / F.col("p0"))
+            + (F.col("n") - F.col("x")) * F.log((1 - p1) / (1 - F.col("p0")))
+        ).alias("l"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = llr.select(
+        "day",
+        F.sum("l").over(wcum).alias("c"),
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+    )
+    hi = math.log(0.95 / 0.05)
+    lo = math.log(0.05 / 0.95)
+    crossed = cum.withColumn(
+        "verdict",
+        F.when(F.col("c") >= hi, "accept_h1").when(
+            F.col("c") <= lo, "accept_h0"
+        ),
+    )
+    fc = (
+        crossed.where(F.col("verdict").isNotNull())
+        .orderBy("rn")
+        .limit(1)
+        .select(
+            F.col("verdict").alias("decision"),
+            F.date_format("day", "yyyy-MM-dd").alias("decision_day"),
+        )
+    )
+    last = crossed.orderBy(F.desc("rn")).limit(1).select(
+        F.round("c", 4).alias("final_llr")
+    )
+    nd = cum.agg(F.count("*").cast("long").alias("n_days"))
+    base = spark.createDataFrame(
+        [("continue", "none")], "decision string, decision_day string"
+    )
+    dec = fc.unionByName(base).limit(1)
+    return dec.crossJoin(last).crossJoin(nd)

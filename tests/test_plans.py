@@ -149,6 +149,9 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q282_recsys_holdout_eval",  # cross join of two 1-row eval counts
     "q284_spc_control_rules",  # cross join vs the 1-row moment row
     "q285_inverted_index",  # cross joins of 1-row term/count picks
+    "q286_grid_density_clusters",  # cross join vs the 1-row point total
+    "q288_sprt_sequential_test",  # cross joins of 1-row decision rows
+    "q289_geometric_median",  # per-iteration 1-row center broadcasts
 }
 
 
