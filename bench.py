@@ -10,11 +10,13 @@ Each query is executed to completion (collect) so the measurement covers
 scan -> shuffle -> result, not just plan construction. A warmup query
 first absorbs JVM/codegen startup.
 
-Opt-in comparison mode: HARMONY_BENCH_DUCKDB=1 additionally times each
-query's oracle SQL in DuckDB on the same machine/files and appends
-"duckdb_queries"/"duckdb_total" keys (the driver contract keys are
-unchanged). This gives a single-node engine-vs-engine table: DuckDB is
-the fastest-practical single-node baseline, Spark is the one that keeps
+Comparison leg (default ON; HARMONY_BENCH_DUCKDB=0 disables): each
+query's oracle SQL is also timed in DuckDB on the same machine/files
+(one run, per-oracle watchdog interrupt) and the output gains
+"duckdb_queries"/"duckdb_total" plus "spark_vs_duckdb" — the measured
+spark/duckdb total-time ratio over the queries timed on BOTH sides
+(the driver contract keys are unchanged). DuckDB is the
+fastest-practical single-node baseline; Spark is the one that keeps
 scaling past one node.
 """
 
@@ -76,7 +78,10 @@ def main() -> None:
     if errors:
         out["errors"] = errors
 
-    if os.environ.get("HARMONY_BENCH_DUCKDB"):
+    ratio = None
+    if os.environ.get("HARMONY_BENCH_DUCKDB", "1") != "0":
+        import threading
+
         import duckdb
 
         con = duckdb.connect()
@@ -88,24 +93,36 @@ def main() -> None:
         con.sql("SELECT count(*) FROM lineitem").fetchall()  # warmup
         dtimings: dict[str, float] = {}
         dtotal = 0.0
+        budget = float(os.environ.get("HARMONY_BENCH_DUCKDB_TIMEOUT", "60"))
         for name in sorted(specs):
             if specs[name].oracle is None:
                 continue
-            best = None
+            # one timed run per oracle, with a watchdog interrupt so a
+            # quadratic oracle (NOT EXISTS skyline, unrolled CTEs) can
+            # never hang the whole bench
+            timer = threading.Timer(budget, con.interrupt)
+            timer.start()
             try:
-                for _ in range(runs):
-                    t0 = time.perf_counter()
-                    con.sql(specs[name].oracle).fetchall()
-                    dt = time.perf_counter() - t0
-                    best = dt if best is None else min(best, dt)
+                t0 = time.perf_counter()
+                con.sql(specs[name].oracle).fetchall()
+                best = time.perf_counter() - t0
             except Exception as exc:  # noqa: BLE001
                 print(f"# duckdb {name}: ERR {exc}", file=sys.stderr)
                 continue
+            finally:
+                timer.cancel()
             dtimings[name] = round(best, 3)
             dtotal += best
             print(f"# duckdb {name}: {best:.3f}s", file=sys.stderr)
         out["duckdb_queries"] = dtimings
         out["duckdb_total"] = round(dtotal, 3)
+        shared = [n for n in dtimings if n in timings]
+        spark_shared = sum(timings[n] for n in shared)
+        duck_shared = sum(dtimings[n] for n in shared)
+        if duck_shared > 0:
+            ratio = round(spark_shared / duck_shared, 3)
+            out["spark_vs_duckdb"] = ratio
+            out["n_shared"] = len(shared)
 
     print(json.dumps(out))
     # The driver keeps only the TAIL of stdout; the full line above (with
@@ -128,6 +145,11 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
     }
+    if "duckdb_total" in out:
+        compact["duckdb_total"] = out["duckdb_total"]
+    if ratio is not None:
+        compact["spark_vs_duckdb"] = ratio
+        compact["n_shared"] = out["n_shared"]
     print(json.dumps(compact))
     spark.stop()
 

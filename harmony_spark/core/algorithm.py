@@ -738,6 +738,68 @@ class HarmonySpark:
         )
 
 
+def export_convergence(trace: DataFrame, path: str) -> tuple[str, str]:
+    """HarmonyConvergencePlot equivalent (C7:
+    /root/reference/R/utils.R:50-81) without a plotting stack: render
+    the :meth:`HarmonySpark.convergence_trace` frame to ``<path>.csv``
+    (the exact rows) and ``<path>.svg`` (a dependency-free polyline of
+    objective vs E-step, one colour per harmony round).  The trace is
+    K x rounds-sized driver state — collecting it is O(iterations),
+    never O(cells).  Returns the two artifact paths."""
+    rows = sorted(
+        trace.collect(),
+        key=lambda r: (r["harmony_round"], r["kmeans_step"]),
+    )
+    csv_path, svg_path = path + ".csv", path + ".svg"
+    with open(csv_path, "w") as f:
+        f.write("harmony_round,kmeans_step,objective\n")
+        for r in rows:
+            f.write(
+                f"{r['harmony_round']},{r['kmeans_step']},"
+                f"{r['objective']!r}\n"
+            )
+    w, h, pad = 640, 360, 40
+    objs = [r["objective"] for r in rows] or [0.0]
+    lo, hi = min(objs), max(objs)
+    span = (hi - lo) or 1.0
+    n = max(len(rows) - 1, 1)
+
+    def xy(i: int, v: float) -> str:
+        x = pad + (w - 2 * pad) * i / n
+        y = h - pad - (h - 2 * pad) * (v - lo) / span
+        return f"{x:.1f},{y:.1f}"
+
+    colors = ["#2563eb", "#dc2626", "#059669", "#d97706", "#7c3aed"]
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" height="{h}" '
+        f'viewBox="0 0 {w} {h}">',
+        f'<rect width="{w}" height="{h}" fill="white"/>',
+        f'<text x="{w // 2}" y="20" text-anchor="middle" font-size="14">'
+        "Harmony objective per E-step</text>",
+    ]
+    by_round: dict[int, list[tuple[int, float]]] = {}
+    for i, r in enumerate(rows):
+        by_round.setdefault(r["harmony_round"], []).append(
+            (i, r["objective"])
+        )
+    for rnd, pts in sorted(by_round.items()):
+        c = colors[rnd % len(colors)]
+        coords = " ".join(xy(i, v) for i, v in pts)
+        tag = "polyline" if len(pts) > 1 else "circle"
+        if tag == "polyline":
+            parts.append(
+                f'<polyline points="{coords}" fill="none" stroke="{c}" '
+                'stroke-width="2"/>'
+            )
+        else:
+            x, y = coords.split(",")
+            parts.append(f'<circle cx="{x}" cy="{y}" r="3" fill="{c}"/>')
+    parts.append("</svg>")
+    with open(svg_path, "w") as f:
+        f.write("\n".join(parts))
+    return csv_path, svg_path
+
+
 def run_harmony(
     df: DataFrame,
     vars_use: list[str],
@@ -809,12 +871,59 @@ def run_harmony(
     return spark.createDataFrame(out, f"cell_id long, z_corr array<{SPARK_SCALAR}>")
 
 
-def save_embedding(result: DataFrame, path: str, embedding_col: str = "z_corr") -> DataFrame:
+def project_dim(
+    result: DataFrame,
+    features: DataFrame,
+    *,
+    id_col: str = "cell_id",
+    embedding_col: str = "z_corr",
+    feature_col: str = "feature",
+) -> DataFrame:
+    """ProjectDim equivalent (/root/reference/R/RunHarmony.R:113-119,
+    the one piece of the Seurat sink with actual math): feature
+    loadings L[g, k] = sum over cells of X[cell][g] * Z[cell][k] — the
+    feature matrix projected onto the corrected reduction, so each
+    output row says how strongly feature g drives harmonized dimension
+    k.  Distributed as an explode-join-aggregate matmul: both arrays
+    posexplode to long form, co-locate on the cell id (one shuffle),
+    and the G x d result comes out of a map-side-combinable sum — no
+    driver-side matrix ever materializes."""
+    x = features.select(
+        id_col, F.posexplode(feature_col).alias("g", "x")
+    )
+    z = result.select(
+        id_col, F.posexplode(embedding_col).alias("k", "z")
+    )
+    return (
+        x.join(z, id_col)
+        .groupBy("g", "k")
+        .agg(
+            F.sum(
+                F.col("x").cast("double") * F.col("z").cast("double")
+            ).alias("loading")
+        )
+        .orderBy("g", "k")
+    )
+
+
+def save_embedding(
+    result: DataFrame,
+    path: str,
+    embedding_col: str = "z_corr",
+    project_features: DataFrame | None = None,
+) -> DataFrame:
     """Sink equivalent of the Seurat/SCE adapters (S3/S4:
     /root/reference/R/RunHarmony.R:60-194): persist the corrected
     embedding to parquet and return the per-dimension stddev frame the
-    Seurat DimReduc stores (A7: /root/reference/R/RunHarmony.R:108)."""
+    Seurat DimReduc stores (A7: /root/reference/R/RunHarmony.R:108).
+    When ``project_features`` is given (a (cell_id, feature-array)
+    frame), the ``project.dim`` step of the Seurat sink also runs:
+    :func:`project_dim` loadings are written to ``<path>_loadings``."""
     result.write.mode("overwrite").parquet(path)
+    if project_features is not None:
+        project_dim(result, project_features, embedding_col=embedding_col).write.mode(
+            "overwrite"
+        ).parquet(path + "_loadings")
     spark = result.sparkSession
     saved = spark.read.parquet(path)
     d = saved.select(F.size(embedding_col).alias("d")).first()["d"]

@@ -194,3 +194,71 @@ def harmony_stream_drift(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT batch_code, n_cells, chi2, chi2_crit, drifted "
         "FROM harmony_stream_drift_mem ORDER BY batch_code, n_cells"
     )
+
+
+@register(
+    "q290_project_dim",
+    oracle="""
+        WITH f AS (
+          SELECT vec_id, s.i - 1 AS g, CAST(embedding[s.i] AS DOUBLE) AS x
+          FROM embeddings,
+               UNNEST(generate_series(1, len(embedding))) AS s(i)
+        ),
+        nrm AS (
+          SELECT vec_id,
+                 sqrt(list_sum(list_transform(embedding[1:4],
+                      v -> CAST(v AS DOUBLE) * v))) AS nn
+          FROM embeddings
+        ),
+        z AS (
+          SELECT e.vec_id, s.k - 1 AS k,
+                 CAST(e.embedding[s.k] AS DOUBLE) / n.nn AS z
+          FROM embeddings e
+          JOIN nrm n ON n.vec_id = e.vec_id,
+               UNNEST(generate_series(1, 4)) AS s(k)
+          WHERE n.nn > 0
+        )
+        SELECT CAST(f.g AS BIGINT) AS g, CAST(z.k AS BIGINT) AS k,
+               ROUND(SUM(f.x * z.z), 6) AS loading
+        FROM f JOIN z ON z.vec_id = f.vec_id
+        GROUP BY f.g, z.k ORDER BY g, k
+    """,
+    doc="ProjectDim equivalent (/root/reference/R/RunHarmony.R:113-119, "
+    "Seurat::ProjectDim): feature loadings = X^T Z, the feature matrix "
+    "projected onto a reduction, via core.algorithm.project_dim's "
+    "explode-join-aggregate distributed matmul. Here the features are "
+    "the full embedding dims and the reduction is the L2-normalized "
+    "4-dim head slice (a deterministic, SQL-expressible stand-in for "
+    "the harmony-corrected reduction, so DuckDB can replay the exact "
+    "projection; the same function runs on real z_corr output via "
+    "save_embedding(project_features=...)). Plan shape: two narrow "
+    "explodes co-located on vec_id (one shuffle) feeding a "
+    "map-side-combinable G x d sum — no driver-side matrix.",
+)
+def q290(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.core.algorithm import project_dim
+
+    e = table(spark, sf, "embeddings")
+    sq = F.aggregate(
+        F.slice("embedding", 1, 4),
+        F.lit(0.0),
+        lambda a, v: a + v.cast("double") * v,
+    )
+    nrm = e.select("vec_id", F.sqrt(sq).alias("nn"))
+    red = (
+        e.join(nrm, "vec_id")
+        .where(F.col("nn") > 0)
+        .select(
+            "vec_id",
+            F.transform(
+                F.slice("embedding", 1, 4),
+                lambda v: v.cast("double") / F.col("nn"),
+            ).alias("z_corr"),
+        )
+    )
+    feats = e.select("vec_id", F.col("embedding").alias("feature"))
+    return project_dim(red, feats, id_col="vec_id").select(
+        F.col("g").cast("long").alias("g"),
+        F.col("k").cast("long").alias("k"),
+        F.round("loading", 6).alias("loading"),
+    )

@@ -1452,8 +1452,9 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
     "needs binning; KS does not). Exactness: cumulative counts are "
     "exact integers, one double division per side per step. Plan "
     "shape: the corpus collapses to one row per DISTINCT length in "
-    "a single aggregate; the ECDF windows and max run on that tiny "
-    "value table, so corpus cost is the census scan.",
+    "a single aggregate; the ECDF running sums come from the "
+    "two-phase sharded scan (dist_rank.with_global_order_stats), "
+    "so even a wide value domain never funnels through one task.",
 )
 def q191(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.io import table_parallel
@@ -1470,13 +1471,16 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c0"),
         F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("c1"),
     )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    e = v.select(
-        F.sum("c0").over(w).alias("cum0"),
-        F.sum("c1").over(w).alias("cum1"),
-        F.sum("c0").over(w_all).alias("n0"),
-        F.sum("c1").over(w_all).alias("n1"),
+    from harmony_spark.operators.dist_rank import with_global_order_stats
+
+    stats, totals = with_global_order_stats(
+        v, "x", sum_cols={"c0": "cum0", "c1": "cum1"}
+    )
+    e = stats.select(
+        "cum0",
+        "cum1",
+        F.lit(totals["c0"]).cast("long").alias("n0"),
+        F.lit(totals["c1"]).cast("long").alias("n1"),
     )
     return (
         e.groupBy("n0", "n1")
@@ -1676,11 +1680,11 @@ def q193(spark: SparkSession, sf: str) -> DataFrame:
     "Determinism: ranks use (value, doc_id) tiebreaks and the target "
     "index is an exact integer round of percent_rank*(N-1), so the "
     "rank join is an equi join on integers — no interpolation "
-    "ambiguity. Plan shape: one pooled ranking window and one "
-    "per-source ranking window over the |docs|-row length table, "
-    "then an integer-keyed join; at 100 TB replace the global "
-    "row_number with q68's approx-percentile bucket path (same "
-    "output contract, documented there).",
+    "ambiguity. Plan shape: BOTH rankings (pooled and per-source) "
+    "are the two-phase sharded row_number (dist_rank."
+    "with_global_rank, the per-source one partitioned by source "
+    "with per-group offsets), then an integer-keyed join — no "
+    "single-task window at any step.",
 )
 def q197(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.io import table_parallel
@@ -1690,21 +1694,27 @@ def q197(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("x"),
     ).localCheckpoint(eager=False)
-    w_pool = Window.orderBy("x", "doc_id")
-    pooled = d.select(
-        F.col("x").alias("pooled_x"),
-        F.row_number().over(w_pool).alias("idx"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    from harmony_spark.operators.dist_rank import with_global_rank
+
+    pooled0, n_total = with_global_rank(d, "x", ("doc_id",), out="idx")
+    pooled = pooled0.select(F.col("x").alias("pooled_x"), "idx")
+    # per-source percent_rank from the sharded per-source row_number:
+    # percent_rank = (rn - 1) / (n_src - 1), n_src attached by the helper
+    ranked0, _ = with_global_rank(
+        d,
+        "x",
+        ("doc_id",),
+        partition_by=("source",),
+        out="rn_src",
+        count_col="n_src",
     )
-    n_total = pooled.agg(F.max("n")).first()[0]
-    w_src = Window.partitionBy("source").orderBy("x", "doc_id")
-    ranked = d.select(
+    pr = F.when(F.col("n_src") == 1, F.lit(0.0)).otherwise(
+        (F.col("rn_src") - 1) / (F.col("n_src") - 1)
+    )
+    ranked = ranked0.select(
         "source",
         "x",
-        (
-            F.round(F.percent_rank().over(w_src) * (n_total - 1)).cast("long")
-            + 1
-        ).alias("target_idx"),
+        (F.round(pr * (n_total - 1)).cast("long") + 1).alias("target_idx"),
     )
     return (
         ranked.join(

@@ -712,11 +712,11 @@ _VOCAB_COVERAGE_KS = (5, 10, 20)  # head sizes to evaluate
     "(coverage(k) flattening early means a small vocab suffices; a "
     "long flat tail means byte-fallback will fire constantly). Plan "
     "shape: one exploded word census with map-side combine collapses "
-    "the corpus to |vocab| rows; the ranking window and k-join run "
-    "on that vocabulary summary, tiny relative to the corpus (the "
-    "standard vocab<<corpus assumption; a row_number over |vocab| is "
-    "what every vocab builder already pays). n_words < k when the "
-    "vocabulary is smaller than the head size.",
+    "the corpus to |vocab| rows; the head is a bounded TakeOrdered "
+    "top-max(k) (per-partition heads merged on the driver), the "
+    "corpus total a 1-row scalar aggregate broadcast — no window "
+    "ever sorts the |vocab| table. n_words < k when the vocabulary "
+    "is smaller than the head size.",
 )
 def q176(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -725,11 +725,19 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
     )
     freq = tok.groupBy("w").agg(F.count("*").alias("f"))
-    ranked = freq.select(
+    # bounded head: TakeOrdered top-max(k) words, then rank within that
+    # <=20-row set; the corpus total is a scalar aggregate broadcast —
+    # no window ever sees the |vocab|-row table.
+    tot = freq.agg(F.sum("f").alias("total"))
+    head = (
+        freq.orderBy(F.desc("f"), "w")
+        .limit(max(_VOCAB_COVERAGE_KS))
+        .localCheckpoint(eager=False)
+    )
+    ranked = head.select(
         "f",
         F.row_number().over(W.orderBy(F.desc("f"), "w")).alias("r"),
-        F.sum("f").over(W.partitionBy()).alias("total"),
-    )
+    ).crossJoin(F.broadcast(tot))
     ks = spark.range(1).select(
         F.explode(F.array(*[F.lit(k) for k in _VOCAB_COVERAGE_KS])).alias("k")
     )
@@ -899,9 +907,12 @@ def q200(spark: SparkSession, sf: str) -> DataFrame:
     "diagnostic next to q176 (coverage) and q193 (Zipf tail). The "
     "cumulative-vocabulary curve needs no running set: each word "
     "contributes at its FIRST document (min(doc_id) per word), so "
-    "new-word counts are an aggregate and the curve is a window "
-    "cumsum over the |docs|-row summary. Plan shape: two exploded "
-    "censuses + doc-level windows + one moment aggregate.",
+    "new-word counts are an aggregate and the curve is a running "
+    "sum over the |docs|-row summary, executed as the two-phase "
+    "sharded cumsum (dist_rank.with_global_order_stats — per-shard "
+    "windows + broadcast carry, no single-task window). Plan "
+    "shape: two exploded censuses + sharded cumsum + one moment "
+    "aggregate.",
 )
 def q204(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -925,11 +936,14 @@ def q204(spark: SparkSession, sf: str) -> DataFrame:
         .join(new_per_doc, "doc_id", "left")
         .select("doc_id", "n_tok", F.coalesce("n_new", F.lit(0)).alias("n_new"))
     )
-    w_cum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    curve = per_doc.select(
-        F.sum("n_tok").over(w_cum).alias("cum_tok"),
-        F.sum("n_new").over(w_cum).alias("cum_vocab"),
+    from harmony_spark.operators.dist_rank import with_global_order_stats
+
+    stats, _ = with_global_order_stats(
+        per_doc,
+        "doc_id",
+        sum_cols={"n_tok": "cum_tok", "n_new": "cum_vocab"},
     )
+    curve = stats.select("cum_tok", "cum_vocab")
     logs = curve.where(F.col("cum_vocab") > 0).select(
         F.log(F.col("cum_tok").cast("double")).alias("lx"),
         F.log(F.col("cum_vocab").cast("double")).alias("ly"),

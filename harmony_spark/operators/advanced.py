@@ -295,15 +295,24 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="NTILE(10) decile bucketing of order value with exact per-bucket "
     "stats (count/min/max only — order-independent, no float-sum edge). "
-    "Global NTILE is a single-partition window at local scale; at 100 TB "
-    "the same statistic comes from approx_percentile boundaries + a "
-    "distributed bucket join (see tests/test_scale_utils.py).",
+    "The decile is the EXACT two-phase sharded ntile "
+    "(dist_rank.with_global_ntile): approx-quantile shard boundaries + "
+    "broadcast offsets + per-shard local ranking — identical output to "
+    "the single-partition NTILE window at any scale, without the "
+    "single task.",
 )
 def q68(spark: SparkSession, sf: str) -> DataFrame:
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    from harmony_spark.operators.dist_rank import with_global_ntile
+
     return (
-        table(spark, sf, "orders")
-        .select("o_totalprice", F.ntile(10).over(w).cast("long").alias("decile"))
+        with_global_ntile(
+            table(spark, sf, "orders").select("o_totalprice", "o_orderkey"),
+            "o_totalprice",
+            ("o_orderkey",),
+            n=10,
+            out="decile0",
+        )
+        .select("o_totalprice", F.col("decile0").cast("long").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),

@@ -1,0 +1,207 @@
+"""Scale-safe global ordering primitives (two-phase sharded rank).
+
+A bare ``Window.orderBy(...)`` with no ``partitionBy`` funnels the whole
+input through ONE task — fine for a 10-row census, fatal for an
+entity-scale table at 100 TB.  These helpers compute **exact** global
+``rank()`` / ``row_number()`` / ``ntile(n)`` / carry (last-non-null
+running value) with the two-phase pattern proven by q148
+(``operators/advanced.py``) and the q107 packing prefix sum:
+
+1. approx-quantile boundaries split the sort key's range into shards
+   (the sketch error affects only balance, never correctness — the
+   shard id is a monotone function of the key, so equal keys always
+   share a shard and (shard, key, tiebreaks) order == global order);
+2. per-shard row counts collect to the driver (<= ``shards`` rows),
+   exclusive prefix offsets broadcast back;
+3. each shard ranks locally under a *partitioned* window and adds its
+   offset.
+
+Every step is a shuffle-parallel plan; nothing entity-scale ever passes
+through a single task.  Used by q185/q210/q221/q247/q276/q280 (and
+available to any future query needing a global order statistic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SHARDS = 64
+
+
+def with_range_shard(
+    df: DataFrame,
+    key: str,
+    shards: int = DEFAULT_SHARDS,
+    shard_col: str = "__shard",
+) -> DataFrame:
+    """Add ``shard_col``: an int monotone in the numeric column ``key``
+    (ascending).  Equal keys always land in the same shard, so a window
+    partitioned by the shard and ordered by (key, ...) reproduces the
+    global (key, ...) order exactly."""
+    qs = [i / shards for i in range(1, shards)]
+    row = df.agg(F.percentile_approx(key, qs, 10_000).alias("b")).first()
+    bounds = sorted({b for b in (row["b"] or []) if b is not None})
+    # plain when-chain sum, NOT an F.aggregate HOF: lambda-captured outer
+    # columns break attribute resolution when the expression is re-derived
+    # across a join (Spark INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND).
+    shard = F.lit(0)
+    for b in bounds:
+        shard = shard + F.when(F.col(key) > b, 1).otherwise(0)
+    return df.withColumn(shard_col, shard)
+
+
+def with_global_rank(
+    df: DataFrame,
+    key: str,
+    tiebreaks: tuple[str, ...] = (),
+    *,
+    kind: str = "row_number",
+    out: str = "rn",
+    shards: int = DEFAULT_SHARDS,
+    partition_by: tuple[str, ...] = (),
+    count_col: str | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact ``row_number()`` (or ``rank()``) ordered by (``key`` ASC,
+    ``*tiebreaks`` ASC) — globally, or within each ``partition_by``
+    group when the number of groups is bounded (sources, arms, ...) —
+    computed without a single-task window.  For descending order pass a
+    negated key column.  ``count_col`` additionally attaches the
+    per-group (or global) total row count as a column (for
+    percent_rank-style math).
+
+    Returns ``(df_with_out_column, total_row_count)`` — the count is a
+    free by-product of the offset phase, handy for ntile/median math.
+    """
+    df = df.localCheckpoint(eager=False)
+    sh = with_range_shard(df, key, shards)
+    pcols = list(partition_by)
+    counts = (
+        sh.groupBy(*pcols, "__shard").agg(F.count("*").alias("n")).collect()
+    )
+    bypart: dict[tuple, list] = {}
+    for r in counts:
+        bypart.setdefault(tuple(r[c] for c in pcols), []).append(
+            (r["__shard"], r["n"])
+        )
+    rows, total_all = [], 0
+    for pk, lst in bypart.items():
+        acc = 0
+        for s, n in sorted(lst):
+            rows.append([*pk, s, acc])
+            acc += n
+        total_all += acc
+        for row in rows[-len(lst):]:
+            row.append(acc)  # per-group total
+    dtypes = dict(df.dtypes)
+    schema = (
+        "".join(f"__pk_{i} {dtypes[c]}, " for i, c in enumerate(pcols))
+        + "__shard_r int, __off long, __tot long"
+    )
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        [tuple(r) for r in rows] or [tuple([None] * len(pcols) + [0, 0, 0])],
+        schema,
+    )
+    cond = sh["__shard"] == off["__shard_r"]
+    for i, c in enumerate(pcols):
+        cond = cond & (sh[c] == off[f"__pk_{i}"])
+    w = Window.partitionBy(*pcols, "__shard").orderBy(key, *tiebreaks)
+    fn = F.row_number() if kind == "row_number" else F.rank()
+    ranked = sh.join(F.broadcast(off), cond).withColumn(
+        out, (fn.over(w) + F.col("__off")).cast("long")
+    )
+    if count_col:
+        ranked = ranked.withColumn(count_col, F.col("__tot"))
+    drop = ["__shard", "__shard_r", "__off", "__tot"] + [
+        f"__pk_{i}" for i in range(len(pcols))
+    ]
+    return ranked.drop(*drop), total_all
+
+
+def with_global_order_stats(
+    df: DataFrame,
+    key: str,
+    tiebreaks: tuple[str, ...] = (),
+    *,
+    rank_col: str | None = None,
+    sum_cols: dict[str, str] | None = None,
+    shards: int = DEFAULT_SHARDS,
+) -> tuple[DataFrame, dict]:
+    """Exact global order statistics in one sharded pass: an optional
+    row_number (``rank_col``) plus running sums (inclusive frame) of
+    the **integral** columns in ``sum_cols`` ({src: out}), all over the
+    global (``key`` ASC, tiebreaks) order.  Per-shard counts and sums
+    collect to the driver (<= ``shards`` rows), exclusive prefixes
+    broadcast back, each shard windows locally.
+
+    Returns ``(df, totals)`` with ``totals = {"rows": N, src: total}``
+    (Python ints — free by-products of the offset phase)."""
+    sum_cols = sum_cols or {}
+    df = df.localCheckpoint(eager=False)
+    sh = with_range_shard(df, key, shards)
+    aggs = [F.count("*").alias("__n")] + [
+        F.sum(c).cast("long").alias(f"__s_{c}") for c in sum_cols
+    ]
+    stats = sorted(
+        sh.groupBy("__shard").agg(*aggs).collect(),
+        key=lambda r: r["__shard"],
+    )
+    rows, rn_off = [], 0
+    s_off = {c: 0 for c in sum_cols}
+    for r in stats:
+        rows.append((r["__shard"], rn_off, *[s_off[c] for c in sum_cols]))
+        rn_off += r["__n"]
+        for c in sum_cols:
+            s_off[c] += r[f"__s_{c}"] or 0
+    schema = "__shard int, __off long" + "".join(
+        f", __so_{c} long" for c in sum_cols
+    )
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        rows or [tuple([0] * (2 + len(sum_cols)))], schema
+    )
+    w = Window.partitionBy("__shard").orderBy(key, *tiebreaks)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    out = sh.join(F.broadcast(off), "__shard")
+    if rank_col:
+        out = out.withColumn(
+            rank_col, (F.row_number().over(w) + F.col("__off")).cast("long")
+        )
+    for src, dst in sum_cols.items():
+        out = out.withColumn(
+            dst, (F.sum(src).over(w_cum) + F.col(f"__so_{src}")).cast("long")
+        )
+    out = out.drop("__shard", "__off", *[f"__so_{c}" for c in sum_cols])
+    totals = {"rows": rn_off, **s_off}
+    return out, totals
+
+
+def with_global_ntile(
+    df: DataFrame,
+    key: str,
+    tiebreaks: tuple[str, ...] = (),
+    *,
+    n: int,
+    out: str = "tile",
+    shards: int = DEFAULT_SHARDS,
+) -> DataFrame:
+    """Exact global ``ntile(n)`` ordered by (``key`` ASC, tiebreaks):
+    identical bucket assignment to ``NTILE(n) OVER (ORDER BY ...)`` on
+    both Spark and DuckDB (first ``N mod n`` buckets get the extra row),
+    derived from the sharded row_number — integer arithmetic only."""
+    ranked, total = with_global_rank(
+        df, key, tiebreaks, kind="row_number", out="__rn", shards=shards
+    )
+    base, rem = divmod(total, n) if total else (0, 0)
+    rn = F.col("__rn")
+    if base == 0:
+        tile = rn  # fewer rows than buckets: row i -> bucket i
+    elif rem == 0:
+        tile = F.expr(f"(__rn + {base - 1}) DIV {base}")
+    else:
+        cut = rem * (base + 1)
+        tile = F.when(
+            rn <= cut, F.expr(f"(__rn + {base}) DIV {base + 1}")
+        ).otherwise(F.expr(f"{rem} + (__rn - {cut} + {base - 1}) DIV {base}"))
+    return ranked.withColumn(out, tile.cast("int")).drop("__rn")

@@ -929,13 +929,11 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
     g = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
+    from harmony_spark.operators.dist_rank import with_global_rank
+
     deg0 = g.groupBy("u").agg(F.count("*").alias("d"))
-    dr = deg0.select(
-        "d",
-        F.row_number().over(Window.orderBy("d", "u")).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
-    kk = dr.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+    dr, n_nodes = with_global_rank(deg0, "d", ("u",), out="rn")
+    kk = dr.where(F.col("rn") == (n_nodes + 1) // 2).select(
         F.col("d").cast("long").alias("k")
     )
     rows = []

@@ -907,9 +907,9 @@ _RFM_OBS_END = "2024-01-31"
     "recent / most frequent / highest spend), then censused per "
     "(R,F,M) cell — the classic CRM segmentation grid (at most 125 "
     "cells; the '111' corner is the champions segment). Plan shape: "
-    "one user-keyed purchase aggregate; the three quintile windows "
-    "run on the |users|-row summary (at true scale swap NTILE for "
-    "q68's approx-percentile bucket path — same output contract); "
+    "one user-keyed purchase aggregate; each quintile is the exact "
+    "two-phase sharded ntile (dist_rank.with_global_ntile — "
+    "quantile shards + broadcast offsets, no single-task window); "
     "the census is a bounded aggregate.",
 )
 def q185(spark: SparkSession, sf: str) -> DataFrame:
@@ -929,15 +929,15 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
-    q = m.select(
-        F.ntile(5).over(Window.orderBy("recency_days", "user_id")).alias("r_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), "user_id"))
-        .alias("f_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary_cents"), "user_id"))
-        .alias("m_q"),
+    from harmony_spark.operators.dist_rank import with_global_ntile
+
+    m = m.withColumn("negf", -F.col("frequency")).withColumn(
+        "negm", -F.col("monetary_cents")
     )
+    m = with_global_ntile(m, "recency_days", ("user_id",), n=5, out="r_q")
+    m = with_global_ntile(m, "negf", ("user_id",), n=5, out="f_q")
+    m = with_global_ntile(m, "negm", ("user_id",), n=5, out="m_q")
+    q = m.select("r_q", "f_q", "m_q")
     return (
         q.groupBy(
             F.col("r_q").cast("long").alias("r_q"),
@@ -1515,9 +1515,9 @@ def q209(spark: SparkSession, sf: str) -> DataFrame:
     "(probability quality): lift says WHERE in the ranking the "
     "model earns its keep, the first thing a marketing or triage "
     "consumer asks. Counts exact; one double division per cell. "
-    "Plan shape: one user-keyed aggregate, a ranking window over "
-    "the |users|-row summary (swap in q68's approx-percentile "
-    "bucketing at true scale), a 10-row census.",
+    "Plan shape: one user-keyed aggregate, decile assignment via "
+    "the exact two-phase sharded ntile (dist_rank.with_global_"
+    "ntile — no single-task window), a 10-row census.",
 )
 def q210(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.io import table_parallel
@@ -1538,12 +1538,15 @@ def q210(spark: SparkSession, sf: str) -> DataFrame:
             .alias("label"),
         )
     )
-    d = u.select(
-        "label",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("score"), "user_id"))
-        .alias("decile"),
-    )
+    from harmony_spark.operators.dist_rank import with_global_ntile
+
+    d = with_global_ntile(
+        u.withColumn("negscore", -F.col("score")),
+        "negscore",
+        ("user_id",),
+        n=10,
+        out="decile",
+    ).select("label", "decile")
     g = d.groupBy("decile").agg(
         F.count("*").alias("n_users"), F.sum("label").alias("n_pos")
     )

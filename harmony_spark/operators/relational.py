@@ -1697,8 +1697,9 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
     "top revenues all surface; the revenue is rounded BEFORE ranking "
     "so the tie set is engine-stable). Plan shape: the date window "
     "pushes into the lineitem scan; revenue is one suppkey-keyed "
-    "aggregate; the rank window runs on the |suppliers|-row summary "
-    "and the supplier dim broadcasts onto the winners.",
+    "aggregate; the tie-keeping max is a 1-row scalar aggregate "
+    "broadcast (no rank window) and the supplier dim broadcasts "
+    "onto the winners.",
 )
 def q180(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.io import table_parallel
@@ -1717,9 +1718,15 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("total_rev")
         )
     )
-    ranked = rev.withColumn(
-        "r", F.rank().over(Window.orderBy(F.desc("total_rev")))
-    ).where(F.col("r") == 1)
+    # rank()=1 with ties == total_rev equals the global max: a 1-row
+    # scalar aggregate broadcast against the supplier summary — no
+    # global rank window over the |suppliers|-row table.
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    ranked = (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("__mx"))
+        .drop("__mx")
+    )
     s = table_parallel(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
         ranked.join(s, ranked["l_suppkey"] == s["s_suppkey"])
@@ -1781,11 +1788,49 @@ def pareto_frontier_2d(points: DataFrame, x: str, y: str) -> DataFrame:
     thresholds back — O(n log n), no quadratic dominance join. A row
     survives iff no strictly-smaller-x row has y <= its own AND no
     equal-x row has strictly smaller y; equal-(x, y) duplicates all
-    survive (the strictness clause fails both ways)."""
-    lvl = points.groupBy(x).agg(F.min(y).alias("_min_y_at_x"))
-    w_prev = Window.orderBy(x).rowsBetween(Window.unboundedPreceding, -1)
-    thr = lvl.withColumn(
-        "_min_y_smaller_x", F.min("_min_y_at_x").over(w_prev)
+    survive (the strictness clause fails both ways).
+
+    The running min executes shard-parallel (dist_rank pattern): the
+    distinct-x table is range-sharded on x, each shard takes the
+    strictly-preceding running min under a PARTITIONED window, and the
+    cross-shard carry-in (min of all previous shards' mins) is a
+    <=65-row driver-side prefix scan broadcast back — never a
+    single-task global window."""
+    from harmony_spark.operators.dist_rank import with_range_shard
+
+    lvl = (
+        points.groupBy(x)
+        .agg(F.min(y).alias("_min_y_at_x"))
+        .localCheckpoint(eager=False)
+    )
+    sh = with_range_shard(lvl, x)
+    mins = {
+        r["__shard"]: r["m"]
+        for r in sh.groupBy("__shard")
+        .agg(F.min("_min_y_at_x").alias("m"))
+        .collect()
+    }
+    carry_rows, cur = [], None
+    for s in range(0, 65):
+        carry_rows.append((s, cur))
+        if s in mins:
+            cur = mins[s] if cur is None else min(cur, mins[s])
+    ytype = dict(lvl.dtypes)["_min_y_at_x"]
+    carry = points.sparkSession.createDataFrame(
+        carry_rows, f"__shard int, __carry {ytype}"
+    )
+    w_prev = (
+        Window.partitionBy("__shard")
+        .orderBy(x)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    thr = (
+        sh.join(F.broadcast(carry), "__shard")
+        .withColumn(
+            "_min_y_smaller_x",
+            F.least(F.min("_min_y_at_x").over(w_prev), F.col("__carry")),
+        )
+        .drop("__shard", "__carry")
     )
     return (
         points.join(thr, x)

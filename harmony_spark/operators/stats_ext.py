@@ -261,10 +261,9 @@ def q220(spark: SparkSession, sf: str) -> DataFrame:
     "(emitted as the integer 2·U — U itself can be half-integral "
     "under ties), and the tie-correction term Σ(t³−t) are all "
     "exact BIGINTs; z's one SQRT is computed from them. Plan "
-    "shape: one global rank window over the two-group subset (the "
-    "only global sort; at 100 TB swap in the distributed-rank "
-    "recipe q156's exact-median uses: per-partition histograms + "
-    "offset join), one tie census, one row out.",
+    "shape: the global rank is the two-phase sharded rank "
+    "(dist_rank.with_global_rank — quantile shards + offset join, "
+    "never a single-task window), one tie census, one row out.",
 )
 def q221(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.io import table_parallel
@@ -279,13 +278,14 @@ def q221(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
         )
     )
-    ranked = pts.select(
+    from harmony_spark.operators.dist_rank import with_global_rank
+
+    gr, _ = with_global_rank(pts, "v", (), kind="rank", out="gr")
+    ranked = gr.select(
         "g",
         "v",
         (
-            2 * F.rank().over(Window.orderBy("v"))
-            + F.count("*").over(Window.partitionBy("v"))
-            - 1
+            2 * F.col("gr") + F.count("*").over(Window.partitionBy("v")) - 1
         ).alias("r2"),
     )
     agg = ranked.agg(
@@ -1452,8 +1452,9 @@ def q241(spark: SparkSession, sf: str) -> DataFrame:
     "q210's lift (business yield per decile) with a "
     "feature-selection number. Integer counts in; the smoothed "
     "proportions are identical rationals on both engines. Plan "
-    "shape: one user aggregate, one |users|-row ranking window, a "
-    "10-row census with window totals.",
+    "shape: one user aggregate, decile assignment via the exact "
+    "two-phase sharded ntile (dist_rank.with_global_ntile — no "
+    "single-task window), a 10-row census with window totals.",
 )
 def q247(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.io import table_parallel
@@ -1474,12 +1475,15 @@ def q247(spark: SparkSession, sf: str) -> DataFrame:
             .alias("good"),
         )
     )
-    d = u.select(
-        "good",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("score"), "user_id"))
-        .alias("bin"),
-    )
+    from harmony_spark.operators.dist_rank import with_global_ntile
+
+    d = with_global_ntile(
+        u.withColumn("negscore", -F.col("score")),
+        "negscore",
+        ("user_id",),
+        n=10,
+        out="bin",
+    ).select("good", "bin")
     g = d.groupBy("bin").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("good").cast("long").alias("n_good"),
@@ -1555,12 +1559,10 @@ def q248(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    wall = Window.partitionBy()
-    t = kc.select(
-        "c",
-        F.sum("c").over(wall).alias("rows_total"),
-        F.count("*").over(wall).alias("n_keys"),
+    tot = kc.agg(
+        F.sum("c").alias("rows_total"), F.count("*").alias("n_keys")
     )
+    t = kc.crossJoin(F.broadcast(tot))
     share = F.col("c") * 1.0 / F.col("rows_total")
     return (
         t.groupBy("n_keys", "rows_total")
@@ -1624,8 +1626,9 @@ def q248(spark: SparkSession, sf: str) -> DataFrame:
     "the batch replica of what a streaming sliding-window count "
     "(streaming/ops.sliding_counts) maintains online. Plan shape: "
     "one user-keyed window sort (the data shuffles onto its "
-    "entity key once), a per-user max, a 20-row ranked census. "
-    "Integer second arithmetic end to end.",
+    "entity key once), a per-user max, then a bounded TakeOrdered "
+    "top-20 (per-partition heads merged on the driver — never a "
+    "global rank window). Integer second arithmetic end to end.",
 )
 def q249(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.io import table_parallel
@@ -1643,10 +1646,9 @@ def q249(spark: SparkSession, sf: str) -> DataFrame:
         F.max("in_hour").cast("long").alias("max_burst"),
         F.count("*").cast("long").alias("n_events"),
     )
-    wrank = Window.orderBy(F.desc("max_burst"), "user_id")
     return (
-        per_user.withColumn("rn", F.row_number().over(wrank))
-        .where(F.col("rn") <= 20)
+        per_user.orderBy(F.desc("max_burst"), "user_id")
+        .limit(20)
         .select("user_id", "max_burst", "n_events")
         .orderBy(F.desc("max_burst"), "user_id")
     )
@@ -2202,18 +2204,22 @@ def q275(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         "o_orderkey",
     )
-    r = v.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy(F.desc("cents"), "o_orderkey"))
-        .alias("rn"),
+    # bounded TakeOrdered top-(K+1); the threshold row is the LAST of the
+    # K+1 under (cents DESC, orderkey ASC), i.e. the minimum of the tiny
+    # set under the reversed order — no global window anywhere.
+    top = (
+        v.orderBy(F.desc("cents"), "o_orderkey")
+        .limit(_HILL_K + 1)
+        .localCheckpoint(eager=False)
     )
-    thresh = r.where(F.col("rn") == _HILL_K + 1).select(
-        F.col("cents").alias("xk")
+    thresh = (
+        top.orderBy("cents", F.desc("o_orderkey"))
+        .limit(1)
+        .select(F.col("cents").alias("xk"), F.col("o_orderkey").alias("tk"))
     )
     tail = (
-        r.where(F.col("rn") <= _HILL_K)
-        .crossJoin(F.broadcast(thresh))
+        top.crossJoin(F.broadcast(thresh))
+        .where(F.col("o_orderkey") != F.col("tk"))
         .select(F.log(F.col("cents") * 1.0 / F.col("xk")).alias("lr"))
     )
     out = tail.agg(
@@ -2316,8 +2322,10 @@ def q275(spark: SparkSession, sf: str) -> DataFrame:
     "classifier that scales to any corpus — fit is two "
     "map-side-combinable counts, scoring is two broadcast lookups "
     "per row, no iteration. Determinism: the label threshold is an "
-    "exact order statistic; the LLR sign is compared identically "
-    "from identical double arithmetic.",
+    "exact order statistic, selected by the two-phase sharded "
+    "row_number (dist_rank.with_global_rank), not a single-task "
+    "window; the LLR sign is compared identically from identical "
+    "double arithmetic.",
 )
 def q276(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.io import table_parallel
@@ -2335,12 +2343,12 @@ def q276(spark: SparkSession, sf: str) -> DataFrame:
     cust = c.join(o, "ck", "left").select(
         "ck", "seg", "nk", F.coalesce("cents0", F.lit(0)).alias("cents")
     )
-    ranked = cust.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents", "ck")).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    from harmony_spark.operators.dist_rank import with_global_rank
+
+    ranked, n_cust = with_global_rank(
+        cust.select("cents", "ck"), "cents", ("ck",), out="rn"
     )
-    med = ranked.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+    med = ranked.where(F.col("rn") == (n_cust + 1) // 2).select(
         F.col("cents").alias("m")
     )
     lab = cust.crossJoin(F.broadcast(med)).select(
@@ -2480,8 +2488,10 @@ def q276(spark: SparkSession, sf: str) -> DataFrame:
     "matching on a scalar covariate needs NO pair join at all — "
     "sort the pooled spine once by (balance, id) and every treated "
     "row's nearest control is either the last-control-before or "
-    "first-control-after (two ignore-nulls carry windows), so "
-    "matching is O(n log n) where the naive statement is an O(n^2) "
+    "first-control-after — two ignore-nulls carry windows executed "
+    "shard-parallel (range-sharded on balance, per-shard windows + "
+    "a 65-row broadcast cross-shard carry), so matching is a "
+    "distributed O(n log n) where the naive statement is an O(n^2) "
     "cross join with an argmin. Determinism: integer-cents "
     "covariate and outcome, deterministic spine order, ties prefer "
     "the preceding control on both engines.",
@@ -2512,19 +2522,79 @@ def q280(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("y0", F.lit(0)).alias("y"),
         )
     )
-    wp = Window.orderBy("bal", "ck").rowsBetween(Window.unboundedPreceding, -1)
-    wn = Window.orderBy("bal", "ck").rowsBetween(1, Window.unboundedFollowing)
+    # Two-phase sharded carry (dist_rank pattern): the spine is range-
+    # sharded on bal (ties share a shard), each shard runs the two
+    # carry windows PARTITIONED by shard, and the cross-shard carry-in
+    # (last/first control of the neighbouring shards) is a <=2*64-row
+    # driver-side prefix/suffix scan broadcast back — the global-order
+    # semantics of the single-task window without the single task.
+    from harmony_spark.operators.dist_rank import with_range_shard
+
+    cust = cust.localCheckpoint(eager=False)
+    sh = with_range_shard(cust, "bal")
+    ctrl_stats = (
+        sh.where(F.col("treated") == 0)
+        .groupBy("__shard")
+        .agg(
+            F.max_by(F.struct("bal", "y"), F.struct("bal", "ck")).alias("lc"),
+            F.min_by(F.struct("bal", "y"), F.struct("bal", "ck")).alias("fc"),
+        )
+        .collect()
+    )
+    last_c = {r["__shard"]: r["lc"] for r in ctrl_stats}
+    first_c = {r["__shard"]: r["fc"] for r in ctrl_stats}
+    max_shard = 64
+    carry_rows, prev = [], None
+    nxt, nxt_map = None, {}
+    for s in range(max_shard, -1, -1):
+        nxt_map[s] = nxt
+        if s in first_c:
+            nxt = first_c[s]
+    for s in range(0, max_shard + 1):
+        nx = nxt_map[s]
+        carry_rows.append(
+            (
+                s,
+                prev["bal"] if prev else None,
+                prev["y"] if prev else None,
+                nx["bal"] if nx else None,
+                nx["y"] if nx else None,
+            )
+        )
+        if s in last_c:
+            prev = last_c[s]
+    carry = spark.createDataFrame(
+        carry_rows, "__shard int, pbal0 long, py0 long, nbal0 long, ny0 long"
+    )
+    wp = (
+        Window.partitionBy("__shard")
+        .orderBy("bal", "ck")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("__shard")
+        .orderBy("bal", "ck")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
     cb = F.when(F.col("treated") == 0, F.col("bal"))
     cy = F.when(F.col("treated") == 0, F.col("y"))
-    spine = cust.select(
+    spine = sh.join(F.broadcast(carry), "__shard").select(
         "ck",
         "bal",
         "treated",
         "y",
-        F.last(cb, ignorenulls=True).over(wp).alias("pbal"),
-        F.last(cy, ignorenulls=True).over(wp).alias("py"),
-        F.first(cb, ignorenulls=True).over(wn).alias("nbal"),
-        F.first(cy, ignorenulls=True).over(wn).alias("ny"),
+        F.coalesce(
+            F.last(cb, ignorenulls=True).over(wp), F.col("pbal0")
+        ).alias("pbal"),
+        F.coalesce(
+            F.last(cy, ignorenulls=True).over(wp), F.col("py0")
+        ).alias("py"),
+        F.coalesce(
+            F.first(cb, ignorenulls=True).over(wn), F.col("nbal0")
+        ).alias("nbal"),
+        F.coalesce(
+            F.first(cy, ignorenulls=True).over(wn), F.col("ny0")
+        ).alias("ny"),
     )
     matched = spine.where(F.col("treated") == 1).select(
         "y",

@@ -645,9 +645,11 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
     "cents; the cumulative and total sums are exact, with ONE double "
     "division per output row, so shares are engine-stable at round "
     "6. Plan shape: one custkey-keyed aggregate collapses orders to "
-    "|customers| rows; ranking + running sums are windows over that "
-    "summary; the head join is rank<=ceil(pct*n) vs the 3-row fixed "
-    "percentile list.",
+    "|customers| rows; the global rank and running revenue sum come "
+    "from the two-phase sharded scan (dist_rank.with_global_order_"
+    "stats — no single-task window), with count/total as free "
+    "driver-side by-products; the head join is rank<=ceil(pct*n) "
+    "vs the 3-row fixed percentile list.",
 )
 def q187(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.io import table_parallel
@@ -661,15 +663,20 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
             .alias("cents")
         )
     )
-    w_ord = Window.orderBy(F.desc("cents"), "o_custkey")
-    w_all = Window.partitionBy()
-    ranked = c.select(
-        F.row_number().over(w_ord).alias("r"),
-        F.count("*").over(w_all).alias("n"),
-        F.sum("cents").over(w_all).alias("total"),
-        F.sum("cents")
-        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum"),
+    from harmony_spark.operators.dist_rank import with_global_order_stats
+
+    stats, totals = with_global_order_stats(
+        c.withColumn("negcents", -F.col("cents")),
+        "negcents",
+        ("o_custkey",),
+        rank_col="r",
+        sum_cols={"cents": "cum"},
+    )
+    ranked = stats.select(
+        "r",
+        F.lit(totals["rows"]).cast("long").alias("n"),
+        F.lit(totals["cents"]).cast("long").alias("total"),
+        "cum",
     )
     pcts = spark.range(1).select(
         F.explode(F.array(F.lit(1), F.lit(5), F.lit(20))).alias("pct")

@@ -56,6 +56,20 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # CDC family its only in-window row; q148 the eval-metrics family its
 # first; q164/q165 the as-of and packing operators theirs.
 _PROMOTED = (
+    # round-4 rotation (VERDICT r3 #3): ten family heads that had never
+    # had a driver row, swapped in for ten long-verified q0x rows whose
+    # components stay covered by the identical local oracle gate and by
+    # other in-window rows (see _ROTATED_OUT).
+    "q56_pricing_summary",
+    "q62_percentiles",
+    "q73_dedup_components",
+    "q125_grouped_regression",
+    "q128_time_rollup",
+    "q47_bpe_token_counts",
+    "q156_exact_global_median",
+    "q107_sequence_packing",
+    "q113_scd2_history",
+    "q152_markov_transitions",
     "q89_prefix_similarity_join",
     "q97_dedup_pipeline",
     "q98_semantic_dedup",
@@ -70,6 +84,26 @@ _PROMOTED = (
     "q164_asof_signup_attribution",
     "q165_sequence_packing",
     "q234_lsh_quality_eval",
+)
+# Rotated out of the driver window round-4: each was driver-green for
+# three consecutive rounds and stays pinned by the identical local
+# oracle gate at sf0.001 plus an in-window neighbour (q03/q05/q06/q07
+# by the kernel invariants + q04's L2 row; q09/q10 derive from q08
+# which stays; q14 is the vector twin of in-window q13; q19/q24 set
+# ops by in-window q22 anti-join; q25 scalar fns by q26 JSON row).
+_ROTATED_OUT = frozenset(
+    {
+        "q03_array_slice",
+        "q05_grouped_zscore_clip",
+        "q06_safe_entropy",
+        "q07_partition_softmax",
+        "q09_batch_priors",
+        "q10_level_cardinality",
+        "q14_grouped_weighted_vector_sums",
+        "q19_union_all",
+        "q24_intersect",
+        "q25_string_date_fns",
+    }
 )
 _DEMOTED = frozenset(
     {
@@ -89,18 +123,20 @@ _DEMOTED = frozenset(
 
 def _priority(name: str) -> tuple[int, int]:
     """Registry ordering: the driver's correctness gate checks the FIRST
-    50 entries. In-window (positions 1-50): the declared SURVEY §2.11
-    corpus q01-q32, the four harmony_* pipelines, and the fourteen
-    promoted queries (q89/q97/q98/q100/q101/q102/q104/q130/q132/q134/
-    q148/q164/q165/q234 — q234 is the LSH precision/recall audit,
-    promoted round-3 session-5 in place of q43, whose multimodal
-    family stays covered by the q95/q96 local gates). Out-of-window
-    (covered by the identical local gate at sf0.001 instead): q33-q47,
-    q83-q88, q90-q92, and the remaining surface q48+."""
+    50 entries. In-window (positions 1-50): the SURVEY §2.11 corpus
+    q01-q32 minus the ten _ROTATED_OUT rows, the four harmony_*
+    pipelines, and the twenty-four promoted queries — ten round-4
+    rotation heads (q47/q56/q62/q73/q107/q113/q125/q128/q152/q156,
+    families that had never had a driver row) plus the fourteen
+    round-3 promotions (q89/q97/q98/q100/q101/q102/q104/q130/q132/
+    q134/q148/q164/q165/q234). Out-of-window rows are covered by the
+    identical local oracle gate at sf0.001 instead."""
     if name in _PROMOTED:
         return (2, _PROMOTED.index(name))
     if name.startswith("q"):
         num = int(name[1:].split("_", 1)[0])  # full number: q100+ parse too
+        if name in _ROTATED_OUT:
+            return (4, num)
         if num <= 32:
             return (0, num)
         if name in _DEMOTED:

@@ -228,8 +228,16 @@ def test_spark_invariants_two_covariates(spark, spark_fixture_df):
 
 
 def test_trace_and_sink(spark, spark_fixture_df, tmp_path):
-    """C7 convergence trace + S3/S4 sink equivalent (save + per-dim sd)."""
-    from harmony_spark.core.algorithm import HarmonySpark, save_embedding
+    """C7 convergence trace + S3/S4 sink equivalent (save + per-dim sd)
+    + the round-4 additions: export_convergence artifacts
+    (HarmonyConvergencePlot equivalent, R/utils.R:50-81) and the
+    ProjectDim loadings sink (R/RunHarmony.R:113-119)."""
+    from harmony_spark.core.algorithm import (
+        HarmonySpark,
+        export_convergence,
+        project_dim,
+        save_embedding,
+    )
 
     df, Z, blob, batch = spark_fixture_df
     model = HarmonySpark(
@@ -237,15 +245,49 @@ def test_trace_and_sink(spark, spark_fixture_df, tmp_path):
         nclust=10, max_iter=2, seed=7,
     )
     result = model.run()
-    trace = model.convergence_trace().collect()
-    assert len(trace) == len(model.objective_kmeans)
-    assert trace[0]["harmony_round"] == 0
+    trace = model.convergence_trace()
+    trace_rows = trace.collect()
+    assert len(trace_rows) == len(model.objective_kmeans)
+    assert trace_rows[0]["harmony_round"] == 0
 
-    sd = save_embedding(result, str(tmp_path / "emb.parquet")).collect()
+    # convergence-plot export: CSV matches the trace rows exactly,
+    # SVG exists and draws one polyline per harmony round
+    csv_path, svg_path = export_convergence(trace, str(tmp_path / "trace"))
+    lines = open(csv_path).read().strip().splitlines()
+    assert lines[0] == "harmony_round,kmeans_step,objective"
+    assert len(lines) - 1 == len(trace_rows)
+    got = {tuple(ln.split(",")[:2]) for ln in lines[1:]}
+    assert got == {
+        (str(r["harmony_round"]), str(r["kmeans_step"])) for r in trace_rows
+    }
+    svg = open(svg_path).read()
+    assert svg.startswith("<svg") and "polyline" in svg
+
+    feats = df.select("cell_id", F.col("features").alias("feature"))
+    sd = save_embedding(
+        result, str(tmp_path / "emb.parquet"), project_features=feats
+    ).collect()
     assert len(sd) == Z.shape[1]
     assert all(r["stdev"] > 0 for r in sd)
     back = spark.read.parquet(str(tmp_path / "emb.parquet"))
     assert back.count() == Z.shape[0]
+
+    # ProjectDim: loadings parquet is G x d and matches a NumPy matmul
+    import numpy as np
+
+    loads = spark.read.parquet(str(tmp_path / "emb.parquet_loadings"))
+    d = Z.shape[1]
+    assert loads.count() == d * d  # features = the input dims here
+    zc = np.array(
+        [r["z_corr"] for r in result.orderBy("cell_id").collect()]
+    )
+    expect = Z.T @ zc  # G x d
+    got_l = {(r["g"], r["k"]): r["loading"] for r in loads.collect()}
+    for g in range(d):
+        for k in range(d):
+            assert abs(got_l[(g, k)] - expect[g, k]) < 1e-2 * max(
+                1.0, abs(expect[g, k])
+            )
 
 
 def test_model_getters_and_mllib_init(spark, spark_fixture_df):

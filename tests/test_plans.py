@@ -105,6 +105,7 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q97_dedup_pipeline",  # cross join of three single-row aggregates
     "q98_semantic_dedup",  # cross join of two single-row aggregates
     "q110_unigram_surprisal",  # cross join vs the 1-row token total
+    "q248_shuffle_skew_profile",  # cross join vs the 1-row totals aggregate
     "q111_domain_kl_drift",  # cross join vs the 1-row corpus total
     "q115_graph_centrality",  # cross join vs the 1-row node count
     "q116_embedding_covariance",  # cross join vs the 1-row vector count
@@ -240,6 +241,102 @@ def test_table_parallel_gate_no_exchange_when_split(spark, sf_dir):
     assert ensure_parallelism(spark, pre) is pre  # gate: no node added
     one = table(spark, sf_dir, "lineitem").coalesce(1)
     assert ensure_parallelism(spark, one).rdd.getNumPartitions() == target
+
+
+# Queries where an empty-partition Window IS the declared plan because
+# its input is a bounded census — a day series, a fixed bin/decile
+# table, a per-source or per-language summary — never an entity-scale
+# table. Every entry must name the bounding census; anything ranking
+# users/customers/documents/suppliers/parts through a global window
+# belongs in dist_rank's two-phase sharded pattern instead (q148/q156,
+# and the round-4 rewrites q185/q210/q221/q247/q276/q280/q68/q187/
+# q197/q204).
+_GLOBAL_WINDOW_BOUNDED_OK = {
+    "q108_domain_mix_weights": "per-source mix table (|sources| rows)",
+    "q130_full_curation": "per-source funnel summary (|sources| rows)",
+    "q149_calibration_ece": "fixed probability-bin census (10 rows)",
+    "q150_corpus_health": "per-language summary (bounded language set)",
+    "q153_new_vs_returning": "day series (calendar-bounded)",
+    "q169_temperature_mix": "per-source weight table (|sources| rows)",
+    "q171_kaplan_meier": "distinct lifetime-day census (calendar-bounded)",
+    "q176_vocab_coverage": "20-row TakeOrdered head (checkpoint hides the limit)",
+    "q182_percent_of_parent": "region x nation census (25 rows)",
+    "q190_chisq_independence": "event_type x bucket contingency cells",
+    "q195_cusum_changepoint": "day series (calendar-bounded)",
+    "q196_benford_digits": "leading-digit census (9 rows)",
+    "q201_psi_drift": "fixed PSI bin census",
+    "q209_linear_interpolation": "day grid (calendar-bounded)",
+    "q210_decile_lift": "decile census (10 rows)",
+    "q222_categorical_association": "segment x region contingency cells",
+    "q223_decision_stump": "fixed split-candidate bucket census",
+    "q226_autocorrelation": "day series (calendar-bounded)",
+    "q228_isotonic_calibration": "fixed calibration-bin census",
+    "q232_token_budget_waterfill": "per-source budget table (|sources| rows)",
+    "q237_seasonal_decomposition": "day series (calendar-bounded)",
+    "q242_mase_forecast_error": "day series (calendar-bounded)",
+    "q247_woe_iv": "decile census (10 rows)",
+    "q250_open_order_concurrency": "day series (calendar-bounded)",
+    "q253_dau_wau_stickiness": "day series (calendar-bounded)",
+    "q255_net_drawdown": "day series (calendar-bounded)",
+    "q259_cvar_tail_risk": "day series (calendar-bounded)",
+    "q260_bootstrap_ci": "fixed bootstrap-replicate census (200 rows)",
+    "q266_neyman_allocation": "per-source allocation table (|sources| rows)",
+    "q271_changepoint_binary_seg": "day series (calendar-bounded)",
+    "q283_walk_forward_backtest": "day series (calendar-bounded)",
+    "q284_spc_control_rules": "day series (calendar-bounded)",
+    "q288_sprt_sequential_test": "day series (calendar-bounded)",
+}
+
+
+def _subtree_has_limit(node) -> bool:
+    cls = node.getClass().getSimpleName()
+    if cls in ("GlobalLimit", "LocalLimit"):
+        return True
+    ch = node.children()
+    return any(_subtree_has_limit(ch.apply(i)) for i in range(ch.length()))
+
+
+def _empty_partition_windows(df) -> list[str]:
+    """Window nodes in the optimized logical plan with an EMPTY partition
+    spec and no constant LIMIT bounding their input — each one is a
+    single task sorting its whole input at scale."""
+    hits: list[str] = []
+
+    def walk(node):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+            and not _subtree_has_limit(node)
+        ):
+            hits.append(node.simpleString(120))
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+        sq = node.subqueries()
+        for i in range(sq.length()):
+            walk(sq.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return hits
+
+
+def test_no_single_task_window_anywhere(spark, sf_dir):
+    """Corpus-wide guardrail (round-4): no registered query may plan a
+    Window with an empty partition spec over an unbounded input — that
+    is one task sorting the whole table at 100 TB. Bounded censuses
+    (day series, bin tables, per-source summaries) are exempt by name
+    with a one-line justification; entity-scale global order statistics
+    must use the dist_rank two-phase sharded pattern."""
+    offenders = {}
+    for name, spec in sorted(load_all().items()):
+        if spec.oracle is None:
+            continue
+        if name in _GLOBAL_WINDOW_BOUNDED_OK:
+            continue
+        hits = _empty_partition_windows(spec.fn(spark, sf_dir))
+        if hits:
+            offenders[name] = hits[0][:160]
+    assert not offenders, f"single-task global windows: {offenders}"
 
 
 def test_no_unbounded_cartesian_anywhere(spark, sf_dir):
