@@ -2146,3 +2146,64 @@ def q279(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("true_count") - lap, 4).alias("noisy_count"),
         F.lit(_DP_EPS).alias("epsilon"),
     ).orderBy("nk")
+
+
+@register(
+    "q294_l_diversity",
+    oracle="""
+        WITH lab AS (
+          SELECT c_nationkey AS nk, c_mktsegment AS seg,
+                 CASE WHEN c_acctbal < 0 THEN 'neg'
+                      WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS sens
+          FROM customer
+        ),
+        g AS (
+          SELECT nk, seg, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT sens) AS BIGINT) AS l
+          FROM lab GROUP BY nk, seg
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(MIN(l) AS BIGINT) AS min_l,
+               CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS groups_below_3,
+               CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+                 AS rows_at_risk
+    FROM g
+    """,
+    doc="l-diversity audit over the (nation, segment) quasi-identifier "
+    "groups with account-balance tercile as the sensitive attribute: "
+    "a k-anonymous group (q257) can still leak if every member "
+    "shares the sensitive value, so the release gate is min distinct "
+    "sensitive values per QI group — reported as the corpus minimum, "
+    "the count of groups below l=3, and the rows exposed in them. "
+    "Completes the privacy family: k-anonymity (q257) bounds "
+    "re-identification, l-diversity bounds attribute disclosure, DP "
+    "noisy counts (q279) bound aggregate leakage. Plan shape: one "
+    "QI-keyed census with a distinct-count (partial aggregation "
+    "both stages), then a 1-row audit aggregate — all integers.",
+)
+def q294(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    lab = table_parallel(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("sens"),
+    )
+    g = lab.groupBy("nk", "seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("sens").cast("long").alias("l"),
+    )
+    return g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_below_3"),
+        F.sum(F.when(F.col("l") < 3, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )

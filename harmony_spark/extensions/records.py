@@ -247,3 +247,125 @@ def q273(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("entity_id")
     )
+
+
+_FS_M = 0.9  # fixed m-probability (field agreement rate among true matches)
+
+
+@register(
+    "q314_fellegi_sunter",
+    oracle=f"""
+        WITH rec AS (
+          SELECT doc_id,
+                 list_aggr(string_split_regex(lower(text), '\\s+')[1:2],
+                           'string_agg', ' ') AS blk,
+                 CAST(length(text) // 100 AS BIGINT) AS len_b,
+                 list_extract(string_split_regex(lower(text), '\\s+'),
+                              len(string_split_regex(lower(text), '\\s+')))
+                   AS last_tok
+          FROM documents
+        ),
+        n AS (SELECT COUNT(*) AS n FROM rec),
+        u_len AS (
+          SELECT SUM(POW(cnt * 1.0 / n, 2)) AS u
+          FROM (SELECT len_b, COUNT(*) AS cnt FROM rec GROUP BY len_b), n
+        ),
+        u_last AS (
+          SELECT SUM(POW(cnt * 1.0 / n, 2)) AS u
+          FROM (SELECT last_tok, COUNT(*) AS cnt FROM rec
+                GROUP BY last_tok), n
+        ),
+        pairs AS (
+          SELECT a.doc_id AS da, b.doc_id AS db,
+                 CASE WHEN a.len_b = b.len_b THEN 1 ELSE 0 END AS ag_len,
+                 CASE WHEN a.last_tok = b.last_tok THEN 1 ELSE 0 END AS ag_last
+          FROM rec a JOIN rec b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+          SELECT da, db,
+                 (CASE WHEN ag_len = 1 THEN log2({_FS_M} / ul.u)
+                       ELSE log2((1 - {_FS_M}) / (1 - ul.u)) END
+                  + CASE WHEN ag_last = 1 THEN log2({_FS_M} / ut.u)
+                         ELSE log2((1 - {_FS_M}) / (1 - ut.u)) END) AS w
+          FROM pairs, u_len ul, u_last ut
+        )
+        SELECT CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db,
+               ROUND(w, 6) AS fs_weight
+        FROM scored
+        ORDER BY ROUND(w, 6) DESC, da, db
+        LIMIT 15
+    """,
+    doc="Fellegi-Sunter probabilistic record-linkage weights over the "
+    "q167 blocking scheme (first-two-token block key): per candidate "
+    "pair, each comparison field (length bucket, final token) "
+    "contributes log2(m/u) on agreement and log2((1-m)/(1-u)) on "
+    "disagreement, with u-probabilities ESTIMATED FROM THE DATA as "
+    "the random-agreement mass sum(f_i^2) per field and a fixed "
+    "m = 0.9 — the 1969 Fellegi-Sunter decision model that turns "
+    "q167's hard edit-distance threshold into calibrated match "
+    "evidence (rare-value agreements score higher than common-value "
+    "ones, which a plain similarity score cannot express). Top-15 "
+    "pairs by the 6dp-rounded weight with (da, db) tiebreaks. Plan "
+    "shape: pair generation NEVER leaves a block bucket (equi-join "
+    "on blk, the LSH-family discipline); the two u-estimates are "
+    "1-row censuses broadcast back; TakeOrdered(15), no global "
+    "sort.",
+)
+def q314(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    rec = table_parallel(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("blk"),
+        F.floor(F.length("text") / 100).cast("long").alias("len_b"),
+        F.element_at(toks, -1).alias("last_tok"),
+    )
+    n = rec.count()
+
+    def u_of(col: str, out: str) -> DataFrame:
+        return (
+            rec.groupBy(col)
+            .agg(F.count("*").alias("cnt"))
+            .agg(F.sum(F.pow(F.col("cnt") * 1.0 / n, 2)).alias(out))
+        )
+
+    u_len = u_of("len_b", "u_len")
+    u_last = u_of("last_tok", "u_last")
+    a, b = rec.alias("a"), rec.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        (F.col("a.len_b") == F.col("b.len_b")).alias("ag_len"),
+        (F.col("a.last_tok") == F.col("b.last_tok")).alias("ag_last"),
+    )
+    m = float(_FS_M)
+    scored = (
+        pairs.crossJoin(F.broadcast(u_len))
+        .crossJoin(F.broadcast(u_last))
+        .select(
+            "da",
+            "db",
+            (
+                F.when(F.col("ag_len"), F.log2(m / F.col("u_len"))).otherwise(
+                    F.log2((1 - m) / (1 - F.col("u_len")))
+                )
+                + F.when(
+                    F.col("ag_last"), F.log2(m / F.col("u_last"))
+                ).otherwise(F.log2((1 - m) / (1 - F.col("u_last"))))
+            ).alias("w"),
+        )
+    )
+    return (
+        scored.select(
+            F.col("da").cast("long").alias("da"),
+            F.col("db").cast("long").alias("db"),
+            F.round("w", 6).alias("fs_weight"),
+        )
+        .orderBy(F.desc("fs_weight"), "da", "db")
+        .limit(15)
+    )

@@ -1791,3 +1791,82 @@ def q287(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("loo_accuracy"),
         )
     )
+
+
+@register(
+    "q297_embedding_drift",
+    oracle="""
+        WITH halves AS (
+          SELECT CAST(vec_id % 2 AS INT) AS half, s.i AS i,
+                 CAST(embedding[s.i] AS DOUBLE) AS x
+          FROM embeddings,
+               UNNEST(generate_series(1, len(embedding))) AS s(i)
+        ),
+        mu AS (
+          SELECT half, i, AVG(x) AS m FROM halves GROUP BY half, i
+        ),
+        j AS (
+          SELECT a.i, a.m AS m0, b.m AS m1
+          FROM (SELECT i, m FROM mu WHERE half = 0) a
+          JOIN (SELECT i, m FROM mu WHERE half = 1) b ON b.i = a.i
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS d,
+               ROUND(SQRT(SUM((m1 - m0) * (m1 - m0))), 6)
+                 AS centroid_shift_l2,
+               ROUND(SUM(m0 * m1) / (SQRT(SUM(m0 * m0))
+                     * SQRT(SUM(m1 * m1))), 6) AS centroid_cosine,
+               ROUND(MAX(ABS(m1 - m0)), 6) AS max_dim_shift
+        FROM j
+    """,
+    doc="Embedding-space drift between two deterministic corpus halves "
+    "(vec_id parity standing in for before/after snapshots): "
+    "per-dimension centroid means, then the L2 shift, cosine between "
+    "centroids, and the worst-moving dimension — the VECTOR-level "
+    "drift monitor that complements the scalar detectors (q201 PSI, "
+    "q191 KS, q111 KL): an embedding model regression moves "
+    "centroids even when every scalar feature distribution looks "
+    "stable. Determinism: means are exact-count averages over "
+    "identical doubles; the d-row join is on integer dim ids. Plan "
+    "shape: one posexplode census to (half, dim) means — 2d rows — "
+    "then a d-row join and a 1-row reduce; the corpus is scanned "
+    "once, narrowly.",
+)
+def q297(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    halves = e.select(
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode("embedding").alias("i0", "xf"),
+    ).select(
+        "half",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    mu = halves.groupBy("half", "i").agg(F.avg("x").alias("m"))
+    jj = (
+        mu.where(F.col("half") == 0)
+        .select("i", F.col("m").alias("m0"))
+        .join(
+            mu.where(F.col("half") == 1).select("i", F.col("m").alias("m1")),
+            "i",
+        )
+    )
+    return jj.agg(
+        F.count("*").cast("long").alias("d"),
+        F.round(
+            F.sqrt(
+                F.sum((F.col("m1") - F.col("m0")) * (F.col("m1") - F.col("m0")))
+            ),
+            6,
+        ).alias("centroid_shift_l2"),
+        F.round(
+            F.sum(F.col("m0") * F.col("m1"))
+            / (
+                F.sqrt(F.sum(F.col("m0") * F.col("m0")))
+                * F.sqrt(F.sum(F.col("m1") * F.col("m1")))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+        F.round(F.max(F.abs(F.col("m1") - F.col("m0"))), 6).alias(
+            "max_dim_shift"
+        ),
+    )

@@ -480,3 +480,285 @@ def q134(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@register(
+    "q311_ivm_window_advance",
+    oracle="""
+        WITH leavers AS (
+          SELECT o_custkey, COUNT(*) AS dn,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS dc
+          FROM orders
+          WHERE o_orderdate >= DATE '1995-01-01'
+            AND o_orderdate < DATE '1996-01-01'
+          GROUP BY o_custkey
+        ),
+        enterers AS (
+          SELECT o_custkey, COUNT(*) AS dn,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS dc
+          FROM orders
+          WHERE o_orderdate >= DATE '1998-01-01'
+            AND o_orderdate < DATE '1999-01-01'
+          GROUP BY o_custkey
+        ),
+        base AS (
+          SELECT o_custkey, COUNT(*) AS n,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders
+          WHERE o_orderdate >= DATE '1995-01-01'
+            AND o_orderdate < DATE '1998-01-01'
+          GROUP BY o_custkey
+        ),
+        merged AS (
+          SELECT COALESCE(b.o_custkey, l.o_custkey, e.o_custkey) AS o_custkey,
+                 COALESCE(b.n, 0) - COALESCE(l.dn, 0) + COALESCE(e.dn, 0)
+                   AS n,
+                 COALESCE(b.cents, 0) - COALESCE(l.dc, 0) + COALESCE(e.dc, 0)
+                   AS cents
+          FROM base b
+          FULL OUTER JOIN leavers l ON l.o_custkey = b.o_custkey
+          FULL OUTER JOIN enterers e
+            ON e.o_custkey = COALESCE(b.o_custkey, l.o_custkey)
+        ),
+        alive AS (SELECT * FROM merged WHERE n > 0),
+        digest AS (
+          SELECT c.c_mktsegment AS segment,
+                 COUNT(*) AS n_customers,
+                 SUM(a.n) AS n_orders,
+                 SUM(a.cents) AS cents
+          FROM alive a JOIN customer c ON c.c_custkey = a.o_custkey
+          GROUP BY segment
+        )
+        SELECT segment,
+               CAST(n_customers AS BIGINT) AS n_customers,
+               CAST(n_orders AS BIGINT) AS n_orders,
+               CAST(cents AS BIGINT) AS cents
+        FROM digest ORDER BY segment
+    """,
+    doc="Incremental view maintenance under a window advance: the "
+    "materialized per-customer (order count, revenue cents) view "
+    "over [1995, 1998) advances to [1996, 1999) by applying ONLY "
+    "the delta partitions — retract the leaving year, add the "
+    "entering year — via additive full-outer merges, never "
+    "rescanning the unchanged middle years; customers whose count "
+    "drops to zero fall out of the view. This is the maintenance "
+    "loop a warehouse runs nightly where recomputation would rescan "
+    "the fact table: the IVM cost is O(|delta|), not O(|view "
+    "window|). The per-segment digest of the maintained state must "
+    "equal the direct aggregate over the new window in exact "
+    "integers — the oracle replays the same incremental plan, and "
+    "the equality IS the IVM correctness property. Plan shape: "
+    "three pruned partition scans (predicate pushdown on "
+    "o_orderdate), customer-keyed aggregates and merges, one "
+    "segment digest.",
+)
+def q311(spark: SparkSession, sf: str) -> DataFrame:
+    o = table_parallel(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents1"),
+    )
+
+    def span(lo: str, hi: str) -> DataFrame:
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(lo).cast("date"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("date"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("n"), F.sum("cents1").alias("cents"))
+        )
+
+    base = span("1995-01-01", "1998-01-01")
+    leavers = span("1995-01-01", "1996-01-01").select(
+        "o_custkey", F.col("n").alias("ln"), F.col("cents").alias("lc")
+    )
+    enterers = span("1998-01-01", "1999-01-01").select(
+        "o_custkey", F.col("n").alias("en"), F.col("cents").alias("ec")
+    )
+    merged = (
+        base.join(leavers, "o_custkey", "full")
+        .join(enterers, "o_custkey", "full")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce("n", F.lit(0))
+                - F.coalesce("ln", F.lit(0))
+                + F.coalesce("en", F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce("cents", F.lit(0))
+                - F.coalesce("lc", F.lit(0))
+                + F.coalesce("ec", F.lit(0))
+            ).alias("cents"),
+        )
+        .where(F.col("n") > 0)
+    )
+    cust = table_parallel(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        merged.join(cust, "o_custkey")
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "q312_bitemporal_asof",
+    oracle="""
+        WITH known AS (
+          SELECT l_orderkey, MIN(l_shipdate) AS known_ts
+          FROM lineitem GROUP BY l_orderkey
+        ),
+        facts AS (
+          SELECT o.o_orderpriority AS priority,
+                 CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+                 k.known_ts
+          FROM orders o JOIN known k ON k.l_orderkey = o.o_orderkey
+          WHERE o.o_orderdate < DATE '1996-07-01'
+        ),
+        snap AS (
+          SELECT 'T1996-09' AS as_known_at, priority, cents FROM facts
+          WHERE known_ts < TIMESTAMP '1996-09-01 00:00:00'
+          UNION ALL
+          SELECT 'T1997-03' AS as_known_at, priority, cents FROM facts
+          WHERE known_ts < TIMESTAMP '1997-03-01 00:00:00'
+        )
+        SELECT as_known_at, priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM snap GROUP BY as_known_at, priority
+        ORDER BY as_known_at, priority
+    """,
+    doc="Bitemporal as-of reporting: VALID time = o_orderdate (when "
+    "the order economically happened), TRANSACTION time = the "
+    "order's first l_shipdate (a proxy for when the warehouse "
+    "learned it). The same valid-time question — revenue per "
+    "priority for orders valid before 1996-07 — answered at two "
+    "transaction-time cuts shows late-arriving facts accrue into a "
+    "supposedly-closed period: the difference between the two "
+    "snapshots IS the restatement a naive single-clock report "
+    "silently overwrites. Completes the temporal family next to "
+    "q134's single-clock point-in-time join and q113's SCD2 "
+    "validity intervals. Plan shape: one orderkey-keyed min "
+    "aggregate, one key-partitioned join, two filtered aggregates "
+    "over the same cached lineage; no windows.",
+)
+def q312(spark: SparkSession, sf: str) -> DataFrame:
+    known = (
+        table_parallel(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("known_ts"))
+    )
+    facts = (
+        table_parallel(spark, sf, "orders")
+        .where(F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+        .join(known, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "known_ts",
+        )
+    )
+    snaps = [
+        facts.where(F.col("known_ts") < F.lit(cut).cast("timestamp")).select(
+            F.lit(tag).alias("as_known_at"), "priority", "cents"
+        )
+        for tag, cut in (
+            ("T1996-09", "1996-09-01 00:00:00"),
+            ("T1997-03", "1997-03-01 00:00:00"),
+        )
+    ]
+    return (
+        snaps[0]
+        .unionByName(snaps[1])
+        .groupBy("as_known_at", "priority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("as_known_at", "priority")
+    )
+
+
+@register(
+    "q313_business_day_lag",
+    oracle="""
+        WITH ship AS (
+          SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+          FROM lineitem GROUP BY l_orderkey
+        ),
+        lag AS (
+          SELECT o.o_orderpriority AS priority,
+                 (5 * ((date_diff('day', DATE '1970-01-01',
+                                  CAST(s.first_ship AS DATE)) - 3) // 7)
+                  + LEAST((date_diff('day', DATE '1970-01-01',
+                                     CAST(s.first_ship AS DATE)) - 3) % 7, 5))
+                 -
+                 (5 * ((date_diff('day', DATE '1970-01-01',
+                                  o.o_orderdate) - 3) // 7)
+                  + LEAST((date_diff('day', DATE '1970-01-01',
+                                     o.o_orderdate) - 3) % 7, 5)) AS bd
+          FROM orders o JOIN ship s ON s.l_orderkey = o.o_orderkey
+        )
+        SELECT priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(bd) AS BIGINT) AS min_bd,
+               CAST(MAX(bd) AS BIGINT) AS max_bd,
+               ROUND(AVG(CAST(bd AS DOUBLE)), 6) AS avg_business_days
+        FROM lag GROUP BY priority ORDER BY priority
+    """,
+    doc="Business-day (weekend-excluding) order-to-first-ship lag per "
+    "priority, via the closed-form Monday-aligned weekday prefix "
+    "count H(u) = 5*(u//7) + LEAST(u%7, 5) with u = epoch_day - 4 "
+    "(epoch day 4 = Monday 1970-01-05): lag = H(ship) - H(order), "
+    "a pure O(1) integer expression per row — the calendar "
+    "arithmetic an SLA dashboard needs, where q52's raw date_diff "
+    "overstates lags that span weekends, computed WITHOUT a "
+    "calendar-table join or a per-day explode (the naive "
+    "implementations that cost a broadcast or an |days|-fold blowup "
+    "at scale). Plan shape: one orderkey-keyed min aggregate, one "
+    "key-partitioned join, one bounded priority aggregate; integer-"
+    "exact except the final 6dp mean.",
+)
+def q313(spark: SparkSession, sf: str) -> DataFrame:
+    ship = (
+        table_parallel(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min(F.col("l_shipdate").cast("date")).alias("first_ship"))
+    )
+
+    def weekday_prefix(datecol: Column) -> Column:
+        u = F.datediff(datecol, F.lit("1970-01-01").cast("date")) - 3
+        return 5 * F.floor(u / 7) + F.least(u % 7, F.lit(5))
+
+    lag = (
+        table_parallel(spark, sf, "orders")
+        .join(ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            (
+                weekday_prefix(F.col("first_ship"))
+                - weekday_prefix(F.col("o_orderdate").cast("date"))
+            ).alias("bd"),
+        )
+    )
+    return (
+        lag.groupBy("priority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("bd").cast("long").alias("min_bd"),
+            F.max("bd").cast("long").alias("max_bd"),
+            F.round(F.avg(F.col("bd").cast("double")), 6).alias(
+                "avg_business_days"
+            ),
+        )
+        .orderBy("priority")
+    )

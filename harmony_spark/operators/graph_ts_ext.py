@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243", "q254", "q258", "q262", "q271", "q272", "q274", "q278", "q282", "q283", "q284"]
+__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243", "q254", "q258", "q262", "q271", "q272", "q274", "q278", "q282", "q283", "q284", "q292", "q293"]
 
 _PR_ITERS = 5
 _PR_DAMP = 0.85
@@ -804,14 +804,19 @@ def q258(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
+    # checkpoint only the UNDIRECTED pairs (half the edge rows); the
+    # directed view is a shuffle-free union over the checkpoint
+    pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    )
     lp = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .persist()
     )
+    lp.count()
     for _ in range(_LPA_ITERS):
         cnt = (
             lp.join(edges.select(F.col("src").alias("node"), "dst"), "node")
@@ -821,8 +826,13 @@ def q258(spark: SparkSession, sf: str) -> DataFrame:
         # argmax-with-min-label-tiebreak as ONE aggregate: max of the
         # struct (cc, -label) picks the highest count, then the highest
         # -label = lowest label — one shuffle where the window-max +
-        # filter + re-aggregate formulation costs two
-        lp = (
+        # filter + re-aggregate formulation costs two.
+        # persist + count (not localCheckpoint): the materialized
+        # InMemoryRelation carries REAL size stats, so Catalyst
+        # broadcasts the O(#nodes) label vector into the edge join
+        # exactly when it fits — and falls back to a shuffle join at
+        # scales where it doesn't, keeping the plan 100TB-safe
+        nxt = (
             cnt.groupBy("node")
             .agg(
                 F.max(
@@ -830,8 +840,11 @@ def q258(spark: SparkSession, sf: str) -> DataFrame:
                 ).alias("m")
             )
             .select("node", (-F.col("m.nl")).alias("label"))
-            .localCheckpoint(eager=False)
+            .persist()
         )
+        nxt.count()
+        lp.unpersist()
+        lp = nxt
     return (
         lp.groupBy(F.col("label").cast("long").alias("community"))
         .agg(F.count("*").cast("long").alias("size"))
@@ -926,9 +939,17 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    g = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    # partition on u before the checkpoint: the per-round degree
+    # aggregate and the first semi-join both key on u, so they reuse
+    # the checkpointed partitioning instead of re-shuffling the edges
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    g = (
+        pairs.unionByName(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .repartition(n_shuffle, F.col("u"))
+        .localCheckpoint(eager=True)
+    )
     from harmony_spark.operators.dist_rank import with_global_rank
 
     deg0 = g.groupBy("u").agg(F.count("*").alias("d"))
@@ -938,12 +959,22 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
     )
     rows = []
     for r in range(_KCORE_ROUNDS):
+        # g is hash-partitioned on u (initial repartition; preserved by
+        # the checkpoint and by the broadcast semi-joins below), so this
+        # degree census never exchanges the edge set
         deg = g.groupBy("u").agg(F.count("*").alias("d"))
+        # persist + count the O(#surviving-nodes) census: real stats
+        # let Catalyst broadcast BOTH semi-joins when it fits (and fall
+        # back to shuffle joins at scales where it doesn't), which also
+        # preserves g's u-partitioning into the next round — the whole
+        # peel runs with zero edge-set exchanges after the first
         keep = (
             deg.crossJoin(F.broadcast(kk))
             .where(F.col("d") >= F.col("k"))
             .select("u")
+            .persist()
         )
+        keep.count()
         g = (
             g.join(keep, "u")
             .join(keep.select(F.col("u").alias("v")), "v")
@@ -1695,4 +1726,169 @@ def q284(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format(
             F.min(F.when(F.col("r1") == 1, F.col("day"))), "yyyy-MM-dd"
         ).alias("first_rule1_day"),
+    )
+
+
+@register(
+    "q292_triangle_count",
+    oracle="""
+        WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        und AS (
+          SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+        ),
+        deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+        wedges AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS w FROM deg),
+        tri AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS t
+          FROM pairs e1
+          JOIN pairs e2 ON e2.u = e1.v
+          JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT tri.t AS n_triangles, wedges.w AS n_wedges,
+               ROUND(3.0 * tri.t / NULLIF(wedges.w, 0), 6)
+                 AS global_clustering
+        FROM tri, wedges
+    """,
+    doc="Triangle census of the part co-purchase graph: exact triangle "
+    "count via the ORIENTED wedge join (edges stored u<v once, so "
+    "each triangle u<v<w is found exactly once as e1=(u,v), "
+    "e2=(v,w) closed by e3=(u,w) — two equi-joins, never an "
+    "undirected 6x overcount), plus the wedge count sum C(d,2) and "
+    "the global clustering coefficient 3T/W — the graph-density "
+    "diagnostic that separates hub-and-spoke co-purchase (low "
+    "clustering) from community structure (high), completing the "
+    "graph family next to CC (q73/q75), LPA (q258), k-core (q262), "
+    "PageRank and HITS. Scale shape: the orientation IS the "
+    "optimization — wedge generation is keyed on the shared vertex "
+    "(one shuffle), closure is an equi-join on the (u,w) pair, and "
+    "ordering vertices by id bounds each join's fan-out by the "
+    "forward degree; all-integer arithmetic, one double division.",
+)
+def q292(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    lip = table_parallel(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = lip.alias("a"), lip.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("w")
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").cast("long").alias("t"))
+    )
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        F.col("t").alias("n_triangles"),
+        F.col("w").alias("n_wedges"),
+        F.round(3.0 * F.col("t") / F.nullif(F.col("w"), F.lit(0)), 6).alias(
+            "global_clustering"
+        ),
+    )
+
+
+_HOLT_ALPHA, _HOLT_BETA = 0.5, 0.25  # exactly-representable doubles
+
+
+@register(
+    "q293_holt_smoothing",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS DOUBLE) AS x
+          FROM orders GROUP BY day
+        ),
+        seq AS (
+          SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS i,
+                 COUNT(*) OVER () AS n
+          FROM daily
+        ),
+        rec AS (
+          SELECT 2 AS i,
+                 {_HOLT_ALPHA} * s2.x
+                   + {1 - _HOLT_ALPHA} * (s1.x + (s2.x - s1.x)) AS l,
+                 {_HOLT_BETA} * ({_HOLT_ALPHA} * s2.x
+                   + {1 - _HOLT_ALPHA} * (s1.x + (s2.x - s1.x)) - s1.x)
+                   + {1 - _HOLT_BETA} * (s2.x - s1.x) AS b
+          FROM seq s1, seq s2 WHERE s1.i = 1 AND s2.i = 2
+          UNION ALL
+          SELECT seq.i,
+                 {_HOLT_ALPHA} * seq.x + {1 - _HOLT_ALPHA} * (rec.l + rec.b),
+                 {_HOLT_BETA} * ({_HOLT_ALPHA} * seq.x
+                   + {1 - _HOLT_ALPHA} * (rec.l + rec.b) - rec.l)
+                   + {1 - _HOLT_BETA} * rec.b
+          FROM rec JOIN seq ON seq.i = rec.i + 1
+        )
+        SELECT CAST(n.n AS BIGINT) AS n_days,
+               ROUND(r.l, 6) AS level_cents,
+               ROUND(r.b, 6) AS trend_cents,
+               ROUND(r.l + 7 * r.b, 6) AS forecast_7d
+        FROM (SELECT MAX(n) AS n FROM seq) n
+        JOIN rec r ON r.i = n.n
+    """,
+    doc="Holt double exponential smoothing (level + linear trend, "
+    "alpha=0.5 beta=0.25 — exactly-representable doubles so both "
+    "engines run bit-identical recurrences) over the daily revenue "
+    "census, with a 7-day-ahead linear forecast: the trend-aware "
+    "forecaster that q163's single EWMA cannot be (EWMA lags a "
+    "trending series by design), completing the forecasting family "
+    "next to seasonal decomposition (q237) and MASE evaluation "
+    "(q242). The recurrence is inherently sequential, so it runs "
+    "driver-side over the CALENDAR-BOUNDED day census (K-sized "
+    "state, the q262-median pattern — never O(rows)); the oracle "
+    "replays the identical recurrence as a recursive CTE. Plan "
+    "shape: one day-keyed aggregate (the only corpus scan), then "
+    "O(#days) driver arithmetic.",
+)
+def q293(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    daily = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    xs = [r["x"] for r in sorted(daily.collect(), key=lambda r: r["day"])]
+    a, bcoef = _HOLT_ALPHA, _HOLT_BETA
+    lvl = a * xs[1] + (1 - a) * (xs[0] + (xs[1] - xs[0]))
+    trd = bcoef * (lvl - xs[0]) + (1 - bcoef) * (xs[1] - xs[0])
+    for x in xs[2:]:
+        nl = a * x + (1 - a) * (lvl + trd)
+        trd = bcoef * (nl - lvl) + (1 - bcoef) * trd
+        lvl = nl
+    return spark.createDataFrame(
+        [(len(xs), round(lvl, 6), round(trd, 6), round(lvl + 7 * trd, 6))],
+        "n_days long, level_cents double, trend_cents double, "
+        "forecast_7d double",
     )

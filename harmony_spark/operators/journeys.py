@@ -1572,3 +1572,263 @@ def q210(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("cum_gain"),
     ).orderBy("decile")
+
+
+@register(
+    "q296_mom_yoy_growth",
+    oracle="""
+        WITH m AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY month
+        ),
+        lagged AS (
+          SELECT month, cents,
+                 LAG(cents) OVER (ORDER BY month) AS prev_m,
+                 LAG(cents, 12) OVER (ORDER BY month) AS prev_y
+          FROM m
+        )
+        SELECT strftime(month, '%Y-%m') AS month,
+               cents,
+               CAST(cents - prev_m AS BIGINT) AS mom_delta,
+               ROUND(CAST(cents AS DOUBLE) / prev_m - 1, 6) AS mom_growth,
+               ROUND(CAST(cents AS DOUBLE) / prev_y - 1, 6) AS yoy_growth
+        FROM lagged
+        WHERE prev_y IS NOT NULL
+        ORDER BY month
+    """,
+    doc="Month-over-month and year-over-year revenue growth: the "
+    "period-comparison census every business dashboard leads with — "
+    "MoM delta/growth from LAG(1), YoY growth from LAG(12) on the "
+    "calendar month census (the 12-step lag compares like-for-like "
+    "months, immune to the seasonality that makes raw MoM "
+    "misleading — the reporting-side complement of q237's seasonal "
+    "decomposition). Exact integer cents; one double division per "
+    "comparison; months without a 12-back comparator are dropped so "
+    "every emitted row has both comparisons (numeric NULLs break the "
+    "driver's pandas canonicalization). Plan "
+    "shape: one month-keyed aggregate collapses orders to a "
+    "CALENDAR-BOUNDED census; the LAG windows run on that tiny "
+    "series (allowlisted bounded global window).",
+)
+def q296(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    m = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("month")
+    lagged = m.select(
+        "month",
+        "cents",
+        F.lag("cents").over(w).alias("prev_m"),
+        F.lag("cents", 12).over(w).alias("prev_y"),
+    )
+    return (
+        lagged.where(F.col("prev_y").isNotNull())
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            "cents",
+            (F.col("cents") - F.col("prev_m")).cast("long").alias(
+                "mom_delta"
+            ),
+            F.round(
+                F.col("cents").cast("double") / F.col("prev_m") - 1, 6
+            ).alias("mom_growth"),
+            F.round(
+                F.col("cents").cast("double") / F.col("prev_y") - 1, 6
+            ).alias("yoy_growth"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "q309_nelson_aalen",
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 date_diff('microsecond', MIN(ts), MAX(ts)) // 86400000000
+                   AS lifetime_days,
+                 CASE WHEN date_diff('microsecond', MAX(ts),
+                                     TIMESTAMP '{_KM_OBS_END} 00:00:00')
+                           >= {_KM_CENSOR_DAYS} * 86400000000
+                      THEN 1 ELSE 0 END AS churned
+          FROM events GROUP BY user_id
+        ),
+        g AS (
+          SELECT lifetime_days AS t,
+                 SUM(churned) AS d,
+                 COUNT(*) - SUM(churned) AS c
+          FROM u GROUP BY lifetime_days
+        ),
+        k AS (
+          SELECT t, d, c,
+                 (SELECT COUNT(*) FROM u)
+                   - COALESCE(SUM(d + c) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+          FROM g
+        )
+        SELECT CAST(t AS BIGINT) AS t_days,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS n_churned,
+               ROUND(SUM(CAST(d AS DOUBLE) / n_risk) OVER (ORDER BY t), 6)
+                 AS cum_hazard,
+               ROUND(SUM(CAST(d AS DOUBLE)
+                         / (CAST(n_risk AS DOUBLE) * n_risk))
+                     OVER (ORDER BY t), 6) AS hazard_var
+        FROM k ORDER BY t_days
+    """,
+    doc="Nelson-Aalen cumulative-hazard estimator on the same "
+    "right-censored user-lifetime construction as q171's Kaplan-"
+    "Meier (active in the final 7 days => censored): H(t) = "
+    "sum_{{s<=t}} d_s/n_s with its variance sum d_s/n_s^2 — the "
+    "additive-hazard twin of KM's product-limit survival, preferred "
+    "when hazards are the modeling target (H = -log S only "
+    "asymptotically; NA is unbiased for H directly and is the "
+    "building block of Cox-model diagnostics). Plan shape: "
+    "identical to q171 — one user-keyed aggregate collapses events "
+    "to a distinct-lifetime-day census, the cumulative windows run "
+    "on that calendar-bounded series (allowlisted).",
+)
+def q309(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    obs_end_us = F.unix_micros(F.lit(_KM_OBS_END).cast("timestamp"))
+    day_us = 86_400_000_000
+    u = (
+        table_parallel(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / day_us
+            ).alias("lifetime_days"),
+            F.when(
+                obs_end_us - F.unix_micros(F.max("ts"))
+                >= _KM_CENSOR_DAYS * day_us,
+                1,
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    total = u.count()
+    g = u.groupBy(F.col("lifetime_days").alias("t")).agg(
+        F.sum("churned").alias("d"),
+        (F.count("*") - F.sum("churned")).alias("c"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    k = g.withColumn(
+        "n_risk",
+        F.lit(total)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    )
+    return k.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.round(
+            F.sum(F.col("d").cast("double") / F.col("n_risk")).over(w_cum), 6
+        ).alias("cum_hazard"),
+        F.round(
+            F.sum(
+                F.col("d").cast("double")
+                / (F.col("n_risk").cast("double") * F.col("n_risk"))
+            ).over(w_cum),
+            6,
+        ).alias("hazard_var"),
+    ).orderBy("t_days")
+
+
+@register(
+    "q310_ushape_attribution",
+    oracle="""
+        WITH conv AS (
+          SELECT user_id, MIN(ts) AS first_purchase
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        touches AS (
+          SELECT e.user_id, e.event_type,
+                 ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                    ORDER BY e.ts, e.event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY e.user_id) AS k
+          FROM events e JOIN conv c ON c.user_id = e.user_id
+          WHERE e.ts < c.first_purchase AND e.event_type <> 'purchase'
+        ),
+        credited AS (
+          SELECT event_type,
+                 CASE WHEN k = 1 THEN 1.0
+                      WHEN k = 2 THEN 0.5
+                      WHEN rn = 1 OR rn = k THEN 0.4
+                      ELSE 0.2 / (k - 2) END AS credit
+          FROM touches
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               ROUND(SUM(credit), 6) AS credit
+        FROM credited GROUP BY event_type ORDER BY event_type
+    """,
+    doc="U-shaped (position-based 40/20/40) multi-touch attribution: "
+    "each converting user's pre-conversion touches credit 40% to "
+    "the first touch, 40% to the last, and the remaining 20% split "
+    "across the middle (degenerating to 1.0 / 0.5-0.5 for 1- and "
+    "2-touch journeys), summed per channel — the position-based "
+    "alternative to q162's linear model, encoding the marketing "
+    "prior that introduction and closing touches matter most. "
+    "Per-user credits always sum to 1, so total credit equals the "
+    "converting-user count (a built-in invariant the oracle "
+    "replays). Plan shape: conversion census joined back, both "
+    "windows PARTITIONED BY user_id (per-key parallel at any "
+    "scale), one channel aggregate.",
+)
+def q310(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    ev = table_parallel(spark, sf, "events")
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wk = Window.partitionBy("user_id")
+    touches = (
+        ev.join(conv, "user_id")
+        .where(
+            (F.col("ts") < F.col("first_purchase"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wk).alias("k"),
+        )
+    )
+    credit = (
+        F.when(F.col("k") == 1, 1.0)
+        .when(F.col("k") == 2, 0.5)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), 0.4)
+        .otherwise(0.2 / (F.col("k") - 2))
+    )
+    return (
+        touches.select("event_type", credit.alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.round(F.sum("credit"), 6).alias("credit"),
+        )
+        .orderBy("event_type")
+    )

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308"]
 
 
 @register(
@@ -2765,3 +2765,1026 @@ def q288(spark: SparkSession, sf: str) -> DataFrame:
     )
     dec = fc.unionByName(base).limit(1)
     return dec.crossJoin(last).crossJoin(nd)
+
+
+_AA_SPLITS = 20
+
+
+@register(
+    "q295_aa_calibration",
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) >= 14
+                      THEN 1 ELSE 0 END AS conv
+          FROM events GROUP BY user_id
+        ),
+        s AS (SELECT UNNEST(generate_series(1, {_AA_SPLITS})) AS salt),
+        arms AS (
+          SELECT s.salt, u.conv,
+                 CAST(('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '#'
+                      || CAST(s.salt AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+                   AS arm
+          FROM u CROSS JOIN s
+        ),
+        g AS (
+          SELECT salt,
+                 SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS x0,
+                 SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+                 SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS x1,
+                 SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1
+          FROM arms GROUP BY salt
+        ),
+        z AS (
+          SELECT salt,
+                 (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+                 / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)) AS z
+          FROM g
+        )
+        SELECT CAST({_AA_SPLITS} AS BIGINT) AS n_splits,
+               CAST(SUM(CASE WHEN ABS(z) > 1.96 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos,
+               ROUND(MAX(ABS(z)), 6) AS max_abs_z,
+               ROUND(AVG(ABS(z)), 6) AS mean_abs_z
+        FROM z
+    """,
+    doc=f"A/A-test calibration: {_AA_SPLITS} independent md5-salted "
+    "50/50 splits of the SAME user population, each scored with the "
+    "pooled two-proportion z-test (q172's statistic), reporting how "
+    "many null splits cross |z|>1.96 — the experimentation-platform "
+    "health check that validates the assignment hash and the test's "
+    "nominal false-positive rate BEFORE anyone trusts a real A/B "
+    "readout (a biased bucketing hash or dependent units show up "
+    "here as excess false positives). Determinism: assignment is "
+    "the same md5-prefix arithmetic on both engines, counts are "
+    "exact integers, one sqrt per split. Plan shape: one user "
+    "aggregate, a x{_AA_SPLITS} salt explode (constant fan-out, "
+    "map-side), one (salt, arm) census, a {_AA_SPLITS}-row z table.",
+)
+def q295(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    u = (
+        table_parallel(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("conv")
+        )
+    )
+    salts = F.explode(
+        F.array(*[F.lit(i) for i in range(1, _AA_SPLITS + 1)])
+    ).alias("salt")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("#"),
+                        F.col("salt").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    arms = u.select("user_id", "conv", salts).select(
+        "salt", "conv", arm.alias("arm")
+    )
+    g = arms.groupBy("salt").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("x0"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("x1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    p = (F.col("x0") + F.col("x1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (
+        F.col("x1").cast("double") / F.col("n1")
+        - F.col("x0").cast("double") / F.col("n0")
+    ) / F.sqrt(p * (1 - p) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return g.select(z.alias("z")).agg(
+        F.lit(_AA_SPLITS).cast("long").alias("n_splits"),
+        F.sum(F.when(F.abs("z") > 1.96, 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+        F.round(F.avg(F.abs("z")), 6).alias("mean_abs_z"),
+    )
+
+
+# --------------------------------------------------------------------
+# Session-7 experimentation family: variance reduction (CUPED),
+# stratified pooling (CMH), empirical-Bayes shrinkage, ratio-metric
+# standard errors (delta method + jackknife), distribution drift
+# (binned Wasserstein-1), ranking/calibration metrics (average
+# precision, Brier decomposition), the SRM launch gate, quantile
+# treatment effects, and market concentration (HHI).
+
+_ARM_SQL = """CASE WHEN (CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)),
+                    1, 8)) AS BIGINT) + 1.0) / 4294967297.0 < 0.5
+          THEN {a} ELSE {b} END"""
+
+
+def _arm_col(key: str):
+    """Seedless md5-hash uniform in (0,1) — the q170/q172 bucketing
+    convention, reproducible across engines and re-runs."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / 4294967297.0
+    return u
+
+
+@register(
+    "q298_cuped_adjustment",
+    oracle=f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 {_ARM_SQL.format(key="user_id", a="'A'", b="'B'")} AS arm,
+                 SUM(CASE WHEN event_type = 'purchase'
+                           AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                          THEN value ELSE 0 END) AS pre,
+                 SUM(CASE WHEN event_type = 'purchase'
+                           AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                          THEN value ELSE 0 END) AS post
+          FROM events GROUP BY user_id
+        ),
+        prior AS (
+          SELECT COVAR_SAMP(pre, post) / VAR_SAMP(pre) AS theta,
+                 AVG(pre) AS mu_pre
+          FROM per_user
+        ),
+        adj AS (
+          SELECT arm, post, post - theta * (pre - mu_pre) AS y
+          FROM per_user, prior
+        )
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               ROUND(AVG(post), 6) AS mean_post,
+               ROUND(AVG(y), 6) AS mean_cuped,
+               ROUND(1.0 - VAR_SAMP(y) / VAR_SAMP(post), 6) AS var_reduction
+        FROM adj GROUP BY arm ORDER BY arm
+    """,
+    doc="CUPED variance reduction for the purchase-revenue A/B metric: "
+    "theta = cov(pre, post)/var(pre) fitted on the pooled pre-period "
+    "(first half of the observation month) covariate, adjusted "
+    "metric y = post - theta*(pre - mean(pre)), reported per md5-"
+    "hash arm with the achieved variance-reduction ratio — the "
+    "standard trick that lets an experiment reach significance with "
+    "a fraction of the traffic, and the natural follow-on to q172's "
+    "unadjusted z-test. Plan shape: one user-keyed aggregate, a "
+    "1-row theta/mean census broadcast back over the user vector, "
+    "then a per-arm aggregate — two shuffles total, nothing global. "
+    "Determinism: value has 2 decimals so the per-user sums are "
+    "exact on the cent grid; theta/variances are single-expression "
+    "doubles rounded at 6dp.",
+)
+def q298(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    u = _arm_col("user_id")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    is_p = F.col("event_type") == "purchase"
+    per_user = (
+        table_parallel(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(is_p & (F.col("ts") < cut), F.col("value")).otherwise(
+                    0.0
+                )
+            ).alias("pre"),
+            F.sum(
+                F.when(is_p & (F.col("ts") >= cut), F.col("value")).otherwise(
+                    0.0
+                )
+            ).alias("post"),
+        )
+        .withColumn("arm", F.when(u < 0.5, "A").otherwise("B"))
+    )
+    prior = per_user.agg(
+        (F.covar_samp("pre", "post") / F.var_samp("pre")).alias("theta"),
+        F.avg("pre").alias("mu_pre"),
+    )
+    adj = per_user.crossJoin(F.broadcast(prior)).select(
+        "arm",
+        "post",
+        (
+            F.col("post") - F.col("theta") * (F.col("pre") - F.col("mu_pre"))
+        ).alias("y"),
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(F.avg("post"), 6).alias("mean_post"),
+            F.round(F.avg("y"), 6).alias("mean_cuped"),
+            F.round(1.0 - F.var_samp("y") / F.var_samp("post"), 6).alias(
+                "var_reduction"
+            ),
+        )
+        .orderBy("arm")
+    )
+
+
+@register(
+    "q299_cmh_pooled_or",
+    oracle=f"""
+        WITH tab AS (
+          SELECT o_orderpriority AS stratum,
+                 {_ARM_SQL.format(key="o_custkey", a="1", b="0")} AS treated,
+                 CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS hit
+          FROM orders
+        ),
+        cells AS (
+          SELECT stratum,
+                 SUM(CASE WHEN treated = 1 AND hit = 1 THEN 1 ELSE 0 END) AS a,
+                 SUM(CASE WHEN treated = 1 AND hit = 0 THEN 1 ELSE 0 END) AS b,
+                 SUM(CASE WHEN treated = 0 AND hit = 1 THEN 1 ELSE 0 END) AS c,
+                 SUM(CASE WHEN treated = 0 AND hit = 0 THEN 1 ELSE 0 END) AS d
+          FROM tab GROUP BY stratum
+        ),
+        pooled AS (
+          SELECT SUM(CAST(a AS DOUBLE) * d / (a + b + c + d))
+                 / SUM(CAST(b AS DOUBLE) * c / (a + b + c + d)) AS cmh_or
+          FROM cells
+        )
+        SELECT stratum,
+               CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+               CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+               ROUND((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c), 6)
+                 AS stratum_or,
+               ROUND((SELECT cmh_or FROM pooled), 6) AS cmh_or
+        FROM cells ORDER BY stratum
+    """,
+    doc="Cochran-Mantel-Haenszel pooled odds ratio across order-"
+    "priority strata: per-stratum 2x2 tables (md5-hash treatment x "
+    "high-value outcome) with the CMH estimator sum(a*d/n)/"
+    "sum(b*c/n) — the stratified-experiment pool that cancels "
+    "confounding a naive marginal odds ratio absorbs (Simpson's "
+    "paradox guard), complementing q269's diff-in-diff. Plan shape: "
+    "one stratum-keyed aggregate (5 bounded strata), a 1-row pooled "
+    "census broadcast back — all counts exact integers, the two "
+    "double ratios rounded at 6dp.",
+)
+def q299(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    u = _arm_col("o_custkey")
+    tab = table_parallel(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.when(u < 0.5, 1).otherwise(0).alias("treated"),
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("hit"),
+    )
+    cells = tab.groupBy("stratum").agg(
+        F.sum(
+            F.when((F.col("treated") == 1) & (F.col("hit") == 1), 1).otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when((F.col("treated") == 1) & (F.col("hit") == 0), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("treated") == 0) & (F.col("hit") == 1), 1).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("treated") == 0) & (F.col("hit") == 0), 1).otherwise(0)
+        ).alias("d"),
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    pooled = cells.agg(
+        (
+            F.sum(F.col("a").cast("double") * F.col("d") / n)
+            / F.sum(F.col("b").cast("double") * F.col("c") / n)
+        ).alias("cmh_or")
+    )
+    return (
+        cells.crossJoin(F.broadcast(pooled))
+        .select(
+            "stratum",
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("c").cast("long").alias("c"),
+            F.col("d").cast("long").alias("d"),
+            F.round(
+                (F.col("a").cast("double") * F.col("d"))
+                / (F.col("b").cast("double") * F.col("c")),
+                6,
+            ).alias("stratum_or"),
+            F.round(F.col("cmh_or"), 6).alias("cmh_or"),
+        )
+        .orderBy("stratum")
+    )
+
+
+@register(
+    "q300_eb_rate_shrinkage",
+    oracle="""
+        WITH per_supp AS (
+          SELECT l_suppkey,
+                 COUNT(*) AS n,
+                 SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
+          FROM lineitem GROUP BY l_suppkey
+        ),
+        prior AS (
+          SELECT AVG(CAST(x AS DOUBLE) / n) AS m,
+                 VAR_SAMP(CAST(x AS DOUBLE) / n) AS v
+          FROM per_supp
+        ),
+        ab AS (
+          SELECT m * (m * (1 - m) / v - 1) AS alpha,
+                 (1 - m) * (m * (1 - m) / v - 1) AS beta
+          FROM prior
+        ),
+        scored AS (
+          SELECT l_suppkey, n, x,
+                 CAST(x AS DOUBLE) / n AS raw_rate,
+                 (x + alpha) / (n + alpha + beta) AS shrunk
+          FROM per_supp, ab
+        )
+        SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+               CAST(n AS BIGINT) AS n,
+               CAST(x AS BIGINT) AS x,
+               ROUND(raw_rate, 6) AS raw_rate,
+               ROUND(shrunk, 6) AS shrunk_rate,
+               ROUND(ABS(shrunk - raw_rate), 6) AS shrinkage
+        FROM scored
+        ORDER BY ROUND(ABS(shrunk - raw_rate), 6) DESC, l_suppkey
+        LIMIT 15
+    """,
+    doc="Empirical-Bayes beta-binomial shrinkage of per-supplier "
+    "return rates: a method-of-moments Beta(alpha, beta) prior "
+    "fitted on the corpus of raw rates (kappa = m(1-m)/v - 1), each "
+    "supplier's rate shrunk to (x+alpha)/(n+alpha+beta) — the "
+    "standard fix for small-n leaderboards where a 1-for-2 supplier "
+    "outranks a 40-for-100 one; top-15 movers by |shrunk - raw|. "
+    "Plan shape: one supplier-keyed aggregate, a 1-row prior census "
+    "broadcast back, TakeOrdered(15) on the rounded key with "
+    "suppkey tiebreak (never a global sort). Determinism: integer "
+    "counts; ordering on the 6dp-ROUNDED shrinkage, the "
+    "rank-on-rounded-keys oracle-portability rule.",
+)
+def q300(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    per_supp = (
+        table_parallel(spark, sf, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("x"),
+        )
+    )
+    rate = F.col("x").cast("double") / F.col("n")
+    prior = per_supp.agg(F.avg(rate).alias("m"), F.var_samp(rate).alias("v"))
+    kappa = F.col("m") * (1 - F.col("m")) / F.col("v") - 1
+    ab = prior.select(
+        (F.col("m") * kappa).alias("alpha"),
+        ((1 - F.col("m")) * kappa).alias("beta"),
+    )
+    shrunk = (F.col("x") + F.col("alpha")) / (
+        F.col("n") + F.col("alpha") + F.col("beta")
+    )
+    scored = per_supp.crossJoin(F.broadcast(ab)).select(
+        F.col("l_suppkey").cast("long").alias("l_suppkey"),
+        F.col("n").cast("long").alias("n"),
+        F.col("x").cast("long").alias("x"),
+        F.round(rate, 6).alias("raw_rate"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+        F.round(F.abs(shrunk - rate), 6).alias("shrinkage"),
+    )
+    return scored.orderBy(F.desc("shrinkage"), "l_suppkey").limit(15)
+
+
+@register(
+    "q301_delta_method_ratio",
+    oracle=f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 {_ARM_SQL.format(key="user_id", a="'A'", b="'B'")} AS arm,
+                 SUM(CASE WHEN event_type = 'purchase' THEN value
+                          ELSE 0 END) AS x,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+          FROM events GROUP BY user_id
+        )
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(y) AS BIGINT) AS n_purchases,
+               ROUND(SUM(x) / SUM(y), 6) AS ratio,
+               ROUND(SQRT((VAR_SAMP(x)
+                           + POW(SUM(x) / SUM(y), 2) * VAR_SAMP(y)
+                           - 2 * (SUM(x) / SUM(y)) * COVAR_SAMP(x, y))
+                          / COUNT(*)) / (SUM(y) / COUNT(*)), 6) AS delta_se
+        FROM per_user GROUP BY arm ORDER BY arm
+    """,
+    doc="Delta-method standard error for the ratio metric revenue-"
+    "per-purchase, per md5-hash arm: ratio metrics violate the "
+    "iid-per-unit assumption a naive t-test needs (both numerator "
+    "and denominator are random per user), so the correct SE is the "
+    "first-order Taylor expansion se = sqrt((var_x + r^2 var_y - "
+    "2 r cov_xy)/n) / mean_y over user-level (x, y) pairs — the "
+    "estimator every experimentation platform implements for "
+    "revenue-per-session metrics. Cross-validated by q302's "
+    "jackknife on the same statistic. Plan shape: one user-keyed "
+    "aggregate then one per-arm moment aggregate — two shuffles, "
+    "all moments single-pass.",
+)
+def q301(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    u = _arm_col("user_id")
+    is_p = F.col("event_type") == "purchase"
+    per_user = (
+        table_parallel(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(is_p, F.col("value")).otherwise(0.0)).alias("x"),
+            F.sum(F.when(is_p, 1).otherwise(0)).alias("y"),
+        )
+        .withColumn("arm", F.when(u < 0.5, "A").otherwise("B"))
+    )
+    r = F.sum("x") / F.sum("y")
+    return (
+        per_user.groupBy("arm")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("y").cast("long").alias("n_purchases"),
+            F.round(r, 6).alias("ratio"),
+            F.round(
+                F.sqrt(
+                    (
+                        F.var_samp("x")
+                        + F.pow(r, 2) * F.var_samp("y")
+                        - 2 * r * F.covar_samp("x", "y")
+                    )
+                    / F.count("*")
+                )
+                / (F.sum("y") / F.count("*")),
+                6,
+            ).alias("delta_se"),
+        )
+        .orderBy("arm")
+    )
+
+
+@register(
+    "q302_jackknife_ratio_se",
+    oracle=f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 {_ARM_SQL.format(key="user_id", a="'A'", b="'B'")} AS arm,
+                 SUM(CASE WHEN event_type = 'purchase' THEN value
+                          ELSE 0 END) AS x,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+          FROM events GROUP BY user_id
+        ),
+        tot AS (
+          SELECT arm, SUM(x) AS sx, SUM(y) AS sy, COUNT(*) AS n
+          FROM per_user GROUP BY arm
+        ),
+        loo AS (
+          SELECT p.arm, t.n, t.sx / t.sy AS ratio,
+                 (t.sx - p.x) / (t.sy - p.y) AS theta_i
+          FROM per_user p JOIN tot t ON t.arm = p.arm
+        ),
+        mean_t AS (SELECT arm, AVG(theta_i) AS tbar FROM loo GROUP BY arm)
+        SELECT l.arm AS arm,
+               CAST(MAX(l.n) AS BIGINT) AS n_users,
+               ROUND(MAX(l.ratio), 6) AS ratio,
+               ROUND(SQRT((MAX(l.n) - 1.0) / MAX(l.n)
+                          * SUM(POW(l.theta_i - m.tbar, 2))), 6)
+                 AS jackknife_se
+        FROM loo l JOIN mean_t m ON m.arm = l.arm
+        GROUP BY l.arm ORDER BY arm
+    """,
+    doc="Leave-one-out jackknife standard error for the same revenue-"
+    "per-purchase ratio as q301 — the closed-form delete-one "
+    "estimator theta_i = (Sx - x_i)/(Sy - y_i) needs only the arm "
+    "totals broadcast back over the user vector (no n-fold "
+    "recompute), then se^2 = (n-1)/n * sum((theta_i - mean)^2). The "
+    "resampling cross-check of q301's analytic delta method: the "
+    "two SEs agree to first order, and an experimentation platform "
+    "ships both (jackknife as the assumption-free fallback). Plan "
+    "shape: user-keyed aggregate -> 2-row totals broadcast -> "
+    "per-user LOO expression -> 2-row mean broadcast -> per-arm "
+    "moment aggregate; three shuffles, all user-partitioned.",
+)
+def q302(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    u = _arm_col("user_id")
+    is_p = F.col("event_type") == "purchase"
+    per_user = (
+        table_parallel(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(is_p, F.col("value")).otherwise(0.0)).alias("x"),
+            F.sum(F.when(is_p, 1).otherwise(0)).alias("y"),
+        )
+        .withColumn("arm", F.when(u < 0.5, "A").otherwise("B"))
+    )
+    tot = per_user.groupBy("arm").agg(
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.count("*").alias("n"),
+    )
+    loo = per_user.join(F.broadcast(tot), "arm").select(
+        "arm",
+        "n",
+        (F.col("sx") / F.col("sy")).alias("ratio"),
+        ((F.col("sx") - F.col("x")) / (F.col("sy") - F.col("y"))).alias(
+            "theta_i"
+        ),
+    )
+    mean_t = loo.groupBy("arm").agg(F.avg("theta_i").alias("tbar"))
+    return (
+        loo.join(F.broadcast(mean_t), "arm")
+        .groupBy("arm")
+        .agg(
+            F.max("n").cast("long").alias("n_users"),
+            F.round(F.max("ratio"), 6).alias("ratio"),
+            F.round(
+                F.sqrt(
+                    (F.max("n") - 1.0)
+                    / F.max("n")
+                    * F.sum(F.pow(F.col("theta_i") - F.col("tbar"), 2))
+                ),
+                6,
+            ).alias("jackknife_se"),
+        )
+        .orderBy("arm")
+    )
+
+
+_W1_BIN = 25000
+
+
+@register(
+    "q303_wasserstein_drift",
+    oracle=f"""
+        WITH tagged AS (
+          SELECT CAST(FLOOR(o_totalprice / {_W1_BIN}) AS BIGINT) AS bin,
+                 CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END
+                   AS pre
+          FROM orders
+        ),
+        bins AS (
+          SELECT bin, SUM(pre) AS n1, SUM(1 - pre) AS n2
+          FROM tagged GROUP BY bin
+        ),
+        tot AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM bins),
+        cdf AS (
+          SELECT bin,
+                 SUM(n1) OVER (ORDER BY bin) * 1.0 / t1 AS f1,
+                 SUM(n2) OVER (ORDER BY bin) * 1.0 / t2 AS f2
+          FROM bins, tot
+        )
+        SELECT CAST((SELECT t1 FROM tot) AS BIGINT) AS n_pre,
+               CAST((SELECT t2 FROM tot) AS BIGINT) AS n_post,
+               ROUND(SUM(ABS(f1 - f2)) * {_W1_BIN}, 6) AS w1_distance
+        FROM cdf
+    """,
+    doc="Binned 1-D Wasserstein-1 (earth-mover) distance between the "
+    "pre-1998 and post-1998 order-value distributions: W1 = "
+    "sum(|CDF1 - CDF2|) * bin_width over a fixed 25k-unit price "
+    "grid — the drift metric that, unlike q201's PSI or q111's KL, "
+    "is a true METRIC in value space (reports HOW FAR mass moved, "
+    "in currency units, not just that it moved), so it is the right "
+    "alarm threshold for 'did the spend distribution shift "
+    "materially'. Plan shape: one bin-keyed census collapses the "
+    "fact table to <=40 price-grid rows; the CDF window runs on "
+    "that census (allowlisted bounded global window); exact integer "
+    "bin counts, one rounded double out.",
+)
+def q303(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    tagged = table_parallel(spark, sf, "orders").select(
+        F.floor(F.col("o_totalprice") / _W1_BIN).cast("long").alias("bin"),
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"), 1)
+        .otherwise(0)
+        .alias("pre"),
+    )
+    bins = tagged.groupBy("bin").agg(
+        F.sum("pre").alias("n1"), F.sum(1 - F.col("pre")).alias("n2")
+    )
+    tot = bins.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = bins.crossJoin(F.broadcast(tot)).select(
+        "t1",
+        "t2",
+        (F.sum("n1").over(w) * 1.0 / F.col("t1")).alias("f1"),
+        (F.sum("n2").over(w) * 1.0 / F.col("t2")).alias("f2"),
+    )
+    return cdf.agg(
+        F.max("t1").cast("long").alias("n_pre"),
+        F.max("t2").cast("long").alias("n_post"),
+        F.round(F.sum(F.abs(F.col("f1") - F.col("f2"))) * _W1_BIN, 6).alias(
+            "w1_distance"
+        ),
+    )
+
+
+@register(
+    "q304_average_precision",
+    oracle="""
+        WITH lab AS (
+          SELECT c.c_custkey, c.c_acctbal,
+                 CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS label
+          FROM customer c
+          LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+            ON o.o_custkey = c.c_custkey
+        ),
+        ranked AS (
+          SELECT label,
+                 ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rk,
+                 SUM(label) OVER (ORDER BY c_acctbal DESC, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_pos
+          FROM lab
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_ranked,
+               CAST(SUM(label) AS BIGINT) AS n_relevant,
+               ROUND(SUM(CASE WHEN label = 1
+                              THEN CAST(cum_pos AS DOUBLE) / rk
+                              ELSE 0 END) / SUM(label), 6)
+                 AS average_precision
+        FROM ranked
+    """,
+    doc="Average precision (the area under the precision-recall "
+    "curve) for account balance as a has-orders classifier: AP = "
+    "mean over relevant items of precision@rank = sum(cum_pos/rk)/R "
+    "over the global (score DESC, custkey) order — the class-"
+    "imbalance-robust companion to q148's ROC-AUC (ROC-AUC stays "
+    "optimistic when positives are rare; PR-AUC does not). Plan "
+    "shape: the global rank AND the running positive count come "
+    "from ONE dist_rank sharded pass (with_global_order_stats: "
+    "range-shard on the score, per-shard partitioned windows, "
+    "broadcast prefix offsets) — never a single-task window — then "
+    "one scalar aggregate. Cites dist_rank q148/q156 as the "
+    "pattern owner.",
+)
+def q304(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+    from harmony_spark.operators.dist_rank import with_global_order_stats
+
+    cust = table_parallel(spark, sf, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    ok = (
+        table_parallel(spark, sf, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("label", F.lit(1))
+    )
+    lab = cust.join(ok, "c_custkey", "left").select(
+        "c_custkey",
+        (-F.col("c_acctbal")).alias("neg_bal"),
+        F.coalesce("label", F.lit(0)).alias("label"),
+    )
+    ranked, _totals = with_global_order_stats(
+        lab,
+        "neg_bal",
+        ("c_custkey",),
+        rank_col="rk",
+        sum_cols={"label": "cum_pos"},
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_ranked"),
+        F.sum("label").cast("long").alias("n_relevant"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("label") == 1,
+                    F.col("cum_pos").cast("double") / F.col("rk"),
+                ).otherwise(0.0)
+            )
+            / F.sum("label"),
+            6,
+        ).alias("average_precision"),
+    )
+
+
+@register(
+    "q305_brier_decomposition",
+    oracle="""
+        WITH lab AS (
+          SELECT c.c_custkey, c.c_acctbal,
+                 CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+          FROM customer c
+          LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+            ON o.o_custkey = c.c_custkey
+        ),
+        mm AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM lab),
+        fc AS (
+          SELECT y, (c_acctbal - lo) / (hi - lo) AS p,
+                 LEAST(CAST(FLOOR((c_acctbal - lo) / (hi - lo) * 10)
+                            AS BIGINT), 9) AS bin
+          FROM lab, mm
+        ),
+        per_bin AS (
+          SELECT bin, COUNT(*) AS n_k, AVG(p) AS p_k,
+                 AVG(CAST(y AS DOUBLE)) AS y_k
+          FROM fc GROUP BY bin
+        ),
+        base AS (
+          SELECT COUNT(*) AS n, AVG(CAST(y AS DOUBLE)) AS ybar,
+                 AVG(POW(p - y, 2)) AS brier
+          FROM fc
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               ROUND(brier, 6) AS brier,
+               ROUND((SELECT SUM(n_k * POW(p_k - y_k, 2)) FROM per_bin) / n,
+                     6) AS reliability,
+               ROUND((SELECT SUM(n_k * POW(y_k - ybar, 2)) FROM per_bin) / n,
+                     6) AS resolution,
+               ROUND(ybar * (1 - ybar), 6) AS uncertainty
+        FROM base
+    """,
+    doc="Murphy decomposition of the Brier score for the min-max-"
+    "normalized balance forecast of has-orders: brier = mean((p-y)^2) "
+    "alongside its three binned components — reliability (calibration "
+    "error, the part q149's ECE reports), resolution (how much the "
+    "forecast separates outcomes), uncertainty (base-rate variance "
+    "ybar(1-ybar), the irreducible floor) — the decomposition that "
+    "tells you whether a bad score means MISCALIBRATION (fix with "
+    "q228's isotonic fit) or NO SIGNAL (fix the model). Plan shape: "
+    "1-row min/max census broadcast, one 10-bin census, one scalar "
+    "aggregate — two passes over the scored vector, nothing global.",
+)
+def q305(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    cust = table_parallel(spark, sf, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    ok = (
+        table_parallel(spark, sf, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("y", F.lit(1))
+    )
+    lab = cust.join(ok, "c_custkey", "left").select(
+        "c_acctbal", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    mm = lab.agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    p = (F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    fc = lab.crossJoin(F.broadcast(mm)).select(
+        "y",
+        p.alias("p"),
+        F.least(F.floor(p * 10).cast("long"), F.lit(9)).alias("bin"),
+    )
+    per_bin = fc.groupBy("bin").agg(
+        F.count("*").alias("n_k"),
+        F.avg("p").alias("p_k"),
+        F.avg(F.col("y").cast("double")).alias("y_k"),
+    )
+    base = fc.agg(
+        F.count("*").alias("n"),
+        F.avg(F.col("y").cast("double")).alias("ybar"),
+        F.avg(F.pow(F.col("p") - F.col("y"), 2)).alias("brier"),
+    )
+    comp = per_bin.crossJoin(F.broadcast(base)).agg(
+        (
+            F.sum(F.col("n_k") * F.pow(F.col("p_k") - F.col("y_k"), 2))
+            / F.max("n")
+        ).alias("rel"),
+        (
+            F.sum(F.col("n_k") * F.pow(F.col("y_k") - F.col("ybar"), 2))
+            / F.max("n")
+        ).alias("res"),
+    )
+    return base.crossJoin(F.broadcast(comp)).select(
+        F.col("n").cast("long").alias("n"),
+        F.round("brier", 6).alias("brier"),
+        F.round("rel", 6).alias("reliability"),
+        F.round("res", 6).alias("resolution"),
+        F.round(F.col("ybar") * (1 - F.col("ybar")), 6).alias("uncertainty"),
+    )
+
+
+@register(
+    "q306_srm_check",
+    oracle=f"""
+        WITH assign AS (
+          SELECT user_id,
+                 {_ARM_SQL.format(key="user_id", a="1", b="0")} AS in_a
+          FROM (SELECT DISTINCT user_id FROM events)
+        ),
+        s AS (
+          SELECT SUM(in_a) AS n_a, COUNT(*) - SUM(in_a) AS n_b FROM assign
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               ROUND(POW(n_a - n_b, 2) * 1.0 / (n_a + n_b), 6) AS chi2,
+               CAST(CASE WHEN POW(n_a - n_b, 2) * 1.0 / (n_a + n_b) > 3.841
+                         THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+        FROM s
+    """,
+    doc="Sample-ratio-mismatch gate for the 50/50 md5-hash split: "
+    "chi-square with 1 df reduces to (n_a - n_b)^2/(n_a + n_b) "
+    "under equal expected counts, flagged at the 3.841 critical "
+    "value (p < 0.05) — the FIRST validity check an experimentation "
+    "platform runs before reading any metric, because assignment "
+    "skew silently invalidates q172/q298/q301 downstream. Plan "
+    "shape: distinct users -> one scalar census; exact integer "
+    "counts, one rounded double.",
+)
+def q306(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    u = _arm_col("user_id")
+    assign = (
+        table_parallel(spark, sf, "events")
+        .select("user_id")
+        .distinct()
+        .select(F.when(u < 0.5, 1).otherwise(0).alias("in_a"))
+    )
+    s = assign.agg(
+        F.sum("in_a").alias("n_a"),
+        (F.count("*") - F.sum("in_a")).alias("n_b"),
+    )
+    chi2 = F.pow(F.col("n_a") - F.col("n_b"), 2) * 1.0 / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return s.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).cast("long").alias("srm_flag"),
+    )
+
+
+@register(
+    "q307_quantile_treatment_effect",
+    oracle=f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 {_ARM_SQL.format(key="user_id", a="'A'", b="'B'")} AS arm,
+                 SUM(CASE WHEN event_type = 'purchase' THEN value
+                          ELSE 0 END) AS y
+          FROM events GROUP BY user_id
+        ),
+        ranked AS (
+          SELECT arm, y,
+                 ROW_NUMBER() OVER (PARTITION BY arm
+                                    ORDER BY y, user_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY arm) AS n
+          FROM per_user
+        ),
+        q AS (
+          SELECT d.k, r.arm, r.y
+          FROM ranked r
+          JOIN (SELECT UNNEST([1,2,3,4,5,6,7,8,9]) AS k) d
+            ON r.rn = CAST(CEIL(d.k * r.n / 10.0) AS BIGINT)
+        )
+        SELECT k,
+               ROUND(MAX(CASE WHEN arm = 'A' THEN y END), 6) AS q_a,
+               ROUND(MAX(CASE WHEN arm = 'B' THEN y END), 6) AS q_b,
+               ROUND(MAX(CASE WHEN arm = 'B' THEN y END)
+                     - MAX(CASE WHEN arm = 'A' THEN y END), 6) AS qte
+        FROM q GROUP BY k ORDER BY k
+    """,
+    doc="Quantile treatment effects: the per-decile difference of the "
+    "two arms' exact order statistics of per-user purchase revenue "
+    "(type-1 quantile at rank ceil(k*n/10)) — the distributional "
+    "view a mean-difference test (q172/q298) cannot give: a "
+    "treatment can leave the mean flat while moving the tails, and "
+    "QTE is how you see it. Plan shape: the per-arm exact ranks "
+    "come from dist_rank's sharded pass with partition_by=('arm',) "
+    "(bounded group count, never a single-task window); the 9-row "
+    "decile grid joins via a broadcast nested loop against the "
+    "rank equation (tiny side, allowlisted).",
+)
+def q307(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+    from harmony_spark.operators.dist_rank import with_global_rank
+
+    u = _arm_col("user_id")
+    is_p = F.col("event_type") == "purchase"
+    per_user = (
+        table_parallel(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.sum(F.when(is_p, F.col("value")).otherwise(0.0)).alias("y"))
+        .withColumn("arm", F.when(u < 0.5, "A").otherwise("B"))
+    )
+    ranked, _ = with_global_rank(
+        per_user,
+        "y",
+        ("user_id",),
+        partition_by=("arm",),
+        out="rn",
+        count_col="n",
+    )
+    grid = ranked.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("k")
+    )
+    q = ranked.join(
+        F.broadcast(grid),
+        F.col("rn") == F.ceil(F.col("k") * F.col("n") / 10.0).cast("long"),
+    )
+    return (
+        q.groupBy("k")
+        .agg(
+            F.round(F.max(F.when(F.col("arm") == "A", F.col("y"))), 6).alias(
+                "q_a"
+            ),
+            F.round(F.max(F.when(F.col("arm") == "B", F.col("y"))), 6).alias(
+                "q_b"
+            ),
+            F.round(
+                F.max(F.when(F.col("arm") == "B", F.col("y")))
+                - F.max(F.when(F.col("arm") == "A", F.col("y"))),
+                6,
+            ).alias("qte"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "q308_hhi_concentration",
+    oracle="""
+        WITH rev AS (
+          SELECT n.n_name AS nation, l.l_suppkey,
+                 SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000) AS BIGINT)) AS rev_e4
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          GROUP BY nation, l.l_suppkey
+        ),
+        tot AS (SELECT nation, SUM(rev_e4) AS t FROM rev GROUP BY nation)
+        SELECT r.nation AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               ROUND(SUM(POW(r.rev_e4 * 1.0 / t.t, 2)), 6) AS hhi
+        FROM rev r JOIN tot t ON t.nation = r.nation
+        GROUP BY r.nation ORDER BY r.nation
+    """,
+    doc="Herfindahl-Hirschman market-concentration index per supplier "
+    "nation: HHI = sum of squared revenue shares within each "
+    "nation's supplier market — the antitrust-standard scalar "
+    "(1/n_eff) that complements q268's Gini (inequality of the "
+    "whole distribution) and q187's Pareto cut (top-k share) with "
+    "the measure regulators actually threshold (0.15/0.25 bands). "
+    "Plan shape: lineitem collapses through two broadcast dims to a "
+    "(nation, supplier) revenue census; shares divide by the "
+    "25-row nation total joined back broadcast. Exact integer 1e-4 "
+    "revenue units; one rounded double per nation.",
+)
+def q308(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    li = table_parallel(spark, sf, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long")
+        .alias("rev_e4"),
+    )
+    s = table_parallel(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    n = table_parallel(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    rev = (
+        li.join(F.broadcast(s), "l_suppkey")
+        .join(F.broadcast(n), "s_nationkey")
+        .groupBy("nation", "l_suppkey")
+        .agg(F.sum("rev_e4").alias("rev_e4"))
+    )
+    tot = rev.groupBy("nation").agg(F.sum("rev_e4").alias("t"))
+    return (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy("nation")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.round(
+                F.sum(F.pow(F.col("rev_e4") * 1.0 / F.col("t"), 2)), 6
+            ).alias("hhi"),
+        )
+        .orderBy("nation")
+    )

@@ -31,6 +31,7 @@ __all__ = [
     "q216",
     "q217",
     "q218",
+    "q291",
 ]
 
 
@@ -574,4 +575,56 @@ def q218(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(s), F.col("late_supp") == s["s_suppkey"])
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.desc("numwait"), "s_suppkey")
+    )
+
+
+@register(
+    "q291_tpch_q6",
+    oracle="""
+        SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+                             AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 (forecast revenue change) — the last of the 22 TPC-H "
+    "shapes, completing the suite: a pure scan-filter-aggregate with "
+    "THREE pushable predicates (date range, discount band, quantity "
+    "cap) and no join, the query every columnar engine uses to "
+    "demonstrate predicate pushdown + vectorized aggregation. "
+    "Determinism: both engines compute the identical double product "
+    "from the same parquet values and apply the same half-away-from-"
+    "zero ROUND per item BEFORE the integer SUM, so summation order "
+    "cannot move a boundary. Plan "
+    "shape: all three predicates in PushedFilters, one partial+final "
+    "aggregate, zero shuffles beyond the 1-row reduce.",
+)
+def q291(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    li = table_parallel(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_discount") * 100
+                    ).cast("long")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count("*").cast("long").alias("n_items"),
+        )
     )

@@ -106,6 +106,7 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q98_semantic_dedup",  # cross join of two single-row aggregates
     "q110_unigram_surprisal",  # cross join vs the 1-row token total
     "q248_shuffle_skew_profile",  # cross join vs the 1-row totals aggregate
+    "q292_triangle_count",  # cross join vs the 1-row wedge-count aggregate
     "q111_domain_kl_drift",  # cross join vs the 1-row corpus total
     "q115_graph_centrality",  # cross join vs the 1-row node count
     "q116_embedding_covariance",  # cross join vs the 1-row vector count
@@ -153,6 +154,13 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q286_grid_density_clusters",  # cross join vs the 1-row point total
     "q288_sprt_sequential_test",  # cross joins of 1-row decision rows
     "q289_geometric_median",  # per-iteration 1-row center broadcasts
+    "q298_cuped_adjustment",  # cross join vs the 1-row theta/mean prior
+    "q299_cmh_pooled_or",  # cross join vs the 1-row pooled-OR census
+    "q300_eb_rate_shrinkage",  # cross join vs the 1-row beta-prior row
+    "q303_wasserstein_drift",  # cross join vs the 1-row bin totals
+    "q305_brier_decomposition",  # cross joins vs 1-row min/max + components
+    "q307_quantile_treatment_effect",  # rank-equation join vs 9-row decile grid
+    "q314_fellegi_sunter",  # cross joins vs the two 1-row u-probability rows
 }
 
 
@@ -285,6 +293,9 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     "q283_walk_forward_backtest": "day series (calendar-bounded)",
     "q284_spc_control_rules": "day series (calendar-bounded)",
     "q288_sprt_sequential_test": "day series (calendar-bounded)",
+    "q296_mom_yoy_growth": "month series (calendar-bounded)",
+    "q303_wasserstein_drift": "fixed price-grid bin census (<=40 rows)",
+    "q309_nelson_aalen": "distinct lifetime-day census (calendar-bounded)",
 }
 
 
