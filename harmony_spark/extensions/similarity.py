@@ -1870,3 +1870,126 @@ def q297(spark: SparkSession, sf: str) -> DataFrame:
             "max_dim_shift"
         ),
     )
+
+
+_HP_BITS = 6
+_HP_DIM = 64
+
+
+def _hyperplanes() -> list[list[int]]:
+    """Deterministic +-1 random hyperplanes from md5(p_d) first hex
+    digits — reproducible in any engine / any run, no RNG state, the
+    same seedless-hash trick q36's text SimHash uses."""
+    import hashlib as _hl
+
+    out = []
+    for p in range(_HP_BITS):
+        out.append(
+            [
+                1 if int(_hl.md5(f"{p}_{d}".encode()).hexdigest()[0], 16) >= 8
+                else -1
+                for d in range(_HP_DIM)
+            ]
+        )
+    return out
+
+
+_HP_PLANES = _hyperplanes()
+
+
+def _hplsh_bucket_sql() -> str:
+    bits = []
+    for p in range(_HP_BITS):
+        terms = " + ".join(
+            f"({w}) * CAST(embedding[{d + 1}] AS DOUBLE)"
+            for d, w in enumerate(_HP_PLANES[p])
+        )
+        bits.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+@register(
+    "q318_hyperplane_lsh",
+    oracle=f"""
+        WITH sk AS (
+          SELECT vec_id, embedding, {_hplsh_bucket_sql()} AS bucket
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT a.vec_id AS da, b.vec_id AS db,
+                 list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))))
+                   AS cos,
+                 a.bucket AS bucket
+          FROM sk a JOIN sk b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db,
+               CAST(bucket AS BIGINT) AS bucket,
+               ROUND(cos, 6) AS cosine
+        FROM pairs
+        ORDER BY ROUND(cos, 6) DESC, da, db
+        LIMIT 10
+    """,
+    doc="Random-hyperplane (sign-random-projection) LSH over the "
+    "embedding table: each vector's 6-bit sketch is the sign pattern "
+    "of dot products against md5-derived +-1 hyperplanes (two "
+    "vectors collide on a bit with probability 1 - angle/pi, the "
+    "SimHash guarantee in EMBEDDING space where q36 works in token "
+    "space), candidate pairs form ONLY inside a sketch bucket and "
+    "are then exactly cosine-verified — the third ANN family next "
+    "to IVF (q65/q78, centroid-partition) and PQ (q101, compressed "
+    "re-rank): hyperplane LSH needs NO training stage at all, the "
+    "property that matters when the corpus distribution shifts "
+    "faster than an IVF codebook can be refit. Top-10 verified "
+    "pairs. Scale: more bits shrink buckets (collision mass falls "
+    "geometrically); pair generation never leaves a bucket, the "
+    "corpus-wide cartesian guard pins it. Dot products accumulate "
+    "in double on BOTH engines (float32 accumulation diverges at "
+    "the 6dp round).",
+)
+def q318(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    emb = table_parallel(spark, sf, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bucket = None
+    for p in range(_HP_BITS):
+        plane = F.array(*[F.lit(float(w)) for w in _HP_PLANES[p]])
+        dot = F.aggregate(
+            F.zip_with("embedding", plane, lambda e, w: e * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        term = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    sk = emb.withColumn("bucket", bucket)
+
+    def _dot(left: Column, right: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(left, right, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a, b = sk.alias("a"), sk.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.sqrt(_dot(F.col("a.embedding"), F.col("a.embedding")))
+        * F.sqrt(_dot(F.col("b.embedding"), F.col("b.embedding")))
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").cast("long").alias("da"),
+        F.col("b.vec_id").cast("long").alias("db"),
+        F.col("a.bucket").cast("long").alias("bucket"),
+        F.round(cos, 6).alias("cosine"),
+    )
+    return pairs.orderBy(F.desc("cosine"), "da", "db").limit(10)

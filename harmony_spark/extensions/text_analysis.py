@@ -1352,3 +1352,119 @@ def q285(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(n_or)
         .select("term1", "term2", "df1", "df2", "n_and", "n_or")
     )
+
+
+_RAKE_STOP = (
+    "the", "a", "of", "and", "to", "in", "is", "for", "on", "with"
+)
+_RAKE_STOP_SQL = "(" + ",".join(f"'{w}'" for w in _RAKE_STOP) + ")"
+
+
+@register(
+    "q316_rake_keyphrases",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, t.tok AS tok, t.pos AS pos,
+                 CASE WHEN t.tok IN {_RAKE_STOP_SQL} THEN 1 ELSE 0 END AS stop
+          FROM documents,
+               LATERAL (SELECT UNNEST(string_split_regex(lower(text),
+                                      '[^a-z]+')) AS tok,
+                        generate_subscripts(
+                          string_split_regex(lower(text), '[^a-z]+'), 1)
+                          AS pos
+               ) t
+          WHERE t.tok <> ''
+        ),
+        isl AS (
+          SELECT doc_id, tok, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS island
+          FROM (SELECT * FROM tok WHERE stop = 0)
+        ),
+        phr AS (
+          SELECT doc_id, island,
+                 string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                 COUNT(*) AS plen
+          FROM isl GROUP BY doc_id, island
+        ),
+        wscore AS (
+          SELECT tok, SUM(plen) * 1.0 / COUNT(*) AS score
+          FROM isl i JOIN phr p ON p.doc_id = i.doc_id
+                                AND p.island = i.island
+          GROUP BY tok
+        ),
+        pscore AS (
+          SELECT p.phrase, SUM(w.score) AS score
+          FROM isl i
+          JOIN phr p ON p.doc_id = i.doc_id AND p.island = i.island
+          JOIN wscore w ON w.tok = i.tok
+          WHERE p.plen BETWEEN 2 AND 4
+          GROUP BY p.doc_id, p.island, p.phrase
+        )
+        SELECT phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               ROUND(MAX(score), 6) AS rake_score
+        FROM pscore
+        GROUP BY phrase
+        ORDER BY ROUND(MAX(score), 6) DESC, phrase
+        LIMIT 15
+    """,
+    doc="RAKE keyphrase extraction (Rose et al. 2010): candidate "
+    "phrases are maximal runs of non-stopword tokens (gaps-and-"
+    "islands per document on a fixed 10-word stoplist), each word "
+    "scored degree/frequency (degree = total length of phrases "
+    "containing it), each 2-4-word phrase scored as the sum of its "
+    "word scores — the unsupervised keyphrase baseline that, unlike "
+    "q46's TF-IDF unigrams or q200's PMI bigrams, surfaces "
+    "MULTI-WORD terms without needing document frequency at all. "
+    "Top-15 phrases by rounded score with phrase tiebreak. Plan "
+    "shape: tokenize-explode, the island window is PARTITIONED BY "
+    "doc_id (per-key parallel), then three keyed aggregates/joins "
+    "on phrase/word censuses; TakeOrdered(15), no global sort.",
+)
+def q316(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from harmony_spark.io import table_parallel
+
+    toks = F.split(F.lower(F.col("text")), r"[^a-z]+")
+    tok = (
+        table_parallel(spark, sf, "documents")
+        .select("doc_id", F.posexplode(toks).alias("pos0", "tok"))
+        .where(F.col("tok") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    nonstop = tok.where(~F.col("tok").isin(*_RAKE_STOP))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = nonstop.withColumn("island", F.col("pos") - F.row_number().over(w))
+    phr = isl.groupBy("doc_id", "island").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    wscore = (
+        isl.join(phr, ["doc_id", "island"])
+        .groupBy("tok")
+        .agg((F.sum("plen") * 1.0 / F.count("*")).alias("score"))
+    )
+    pscore = (
+        isl.join(phr, ["doc_id", "island"])
+        .where(F.col("plen").between(2, 4))
+        .join(wscore, "tok")
+        .groupBy("doc_id", "island", "phrase")
+        .agg(F.sum("score").alias("score"))
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.round(F.max("score"), 6).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(15)
+    )

@@ -1832,3 +1832,150 @@ def q310(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q315_logrank_test",
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 CASE WHEN (CAST(('0x' || substr(md5(CAST(user_id
+                                  AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+                           / 4294967297.0 < 0.5
+                      THEN 1 ELSE 0 END AS grp,
+                 date_diff('microsecond', MIN(ts), MAX(ts)) // 86400000000
+                   AS t,
+                 CASE WHEN date_diff('microsecond', MAX(ts),
+                                     TIMESTAMP '{_KM_OBS_END} 00:00:00')
+                           >= {_KM_CENSOR_DAYS} * 86400000000
+                      THEN 1 ELSE 0 END AS churned
+          FROM events GROUP BY user_id
+        ),
+        g AS (
+          SELECT t,
+                 SUM(CASE WHEN grp = 1 THEN churned ELSE 0 END) AS d1,
+                 SUM(churned) AS d,
+                 SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS m1,
+                 COUNT(*) AS m
+          FROM u GROUP BY t
+        ),
+        k AS (
+          SELECT t, d1, d,
+                 (SELECT SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) FROM u)
+                   - COALESCE(SUM(m1) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n1,
+                 (SELECT COUNT(*) FROM u)
+                   - COALESCE(SUM(m) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n
+          FROM g
+        ),
+        s AS (
+          SELECT SUM(d1) AS o1,
+                 SUM(d * n1 * 1.0 / n) AS e1,
+                 SUM(CASE WHEN n > 1
+                          THEN d * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n)
+                               * (n - d) / (n - 1.0)
+                          ELSE 0 END) AS v
+          FROM k WHERE d > 0
+        )
+        SELECT CAST(COALESCE(o1, 0) AS BIGINT) AS observed_a,
+               ROUND(COALESCE(e1, 0), 6) AS expected_a,
+               ROUND(CASE WHEN COALESCE(v, 0) > 0
+                          THEN POW(o1 - e1, 2) / v ELSE 0 END, 6)
+                 AS logrank_chi2
+        FROM s
+    """,
+    doc="Log-rank test comparing the two md5-hash arms' survival on "
+    "the q171/q309 right-censored lifetime construction: at each "
+    "event day the hypergeometric expectation e1 = d*n1/n and "
+    "variance d*(n1/n)(1-n1/n)(n-d)/(n-1) accumulate into chi2 = "
+    "(O1-E1)^2/V — the standard whole-curve significance test that "
+    "completes the survival family (q171 KM estimates the curves, "
+    "q309 NA the hazards, q315 decides whether they DIFFER), "
+    "weighting every event day equally rather than comparing one "
+    "arbitrary horizon like a fixed-day z-test. Degenerate no-event "
+    "inputs report zeros (COALESCE on both sides). Plan shape: "
+    "user-keyed aggregate -> day census -> at-risk windows on the "
+    "calendar-bounded census (allowlisted) -> 1-row reduce; the "
+    "2-value group totals collect to the driver like q171's.",
+)
+def q315(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    obs_end_us = F.unix_micros(F.lit(_KM_OBS_END).cast("timestamp"))
+    day_us = 86_400_000_000
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / 4294967297.0
+    u = (
+        table_parallel(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / day_us
+            ).alias("t"),
+            F.when(
+                obs_end_us - F.unix_micros(F.max("ts"))
+                >= _KM_CENSOR_DAYS * day_us,
+                1,
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+        .withColumn("grp", F.when(arm < 0.5, 1).otherwise(0))
+    )
+    tot = u.agg(
+        F.sum("grp").alias("tot1"), F.count("*").alias("totn")
+    ).collect()[0]
+    g = u.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("churned")).otherwise(0)).alias(
+            "d1"
+        ),
+        F.sum("churned").alias("d"),
+        F.sum("grp").alias("m1"),
+        F.count("*").alias("m"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    k = g.select(
+        "t",
+        "d1",
+        "d",
+        (
+            F.lit(tot["tot1"]) - F.coalesce(F.sum("m1").over(w_prev), F.lit(0))
+        ).alias("n1"),
+        (
+            F.lit(tot["totn"]) - F.coalesce(F.sum("m").over(w_prev), F.lit(0))
+        ).alias("n"),
+    ).where(F.col("d") > 0)
+    frac = F.col("n1") * 1.0 / F.col("n")
+    s = k.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(F.col("d") * frac).alias("e1"),
+        F.sum(
+            F.when(
+                F.col("n") > 1,
+                F.col("d")
+                * frac
+                * (1 - frac)
+                * (F.col("n") - F.col("d"))
+                / (F.col("n") - 1.0),
+            ).otherwise(0.0)
+        ).alias("v"),
+    )
+    return s.select(
+        F.coalesce(F.col("o1"), F.lit(0)).cast("long").alias("observed_a"),
+        F.round(F.coalesce(F.col("e1"), F.lit(0.0)), 6).alias("expected_a"),
+        F.round(
+            F.when(
+                F.coalesce(F.col("v"), F.lit(0.0)) > 0,
+                F.pow(F.col("o1") - F.col("e1"), 2) / F.col("v"),
+            ).otherwise(0.0),
+            6,
+        ).alias("logrank_chi2"),
+    )

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319"]
 
 
 @register(
@@ -3787,4 +3787,257 @@ def q308(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("hhi"),
         )
         .orderBy("nation")
+    )
+
+
+@register(
+    "q317_chapman_estimate",
+    oracle="""
+        WITH s1 AS (
+          SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= DATE '1995-01-01'
+            AND o_orderdate < DATE '1996-01-01'
+        ),
+        s2 AS (
+          SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= DATE '1996-01-01'
+            AND o_orderdate < DATE '1997-01-01'
+        ),
+        truth AS (
+          SELECT COUNT(DISTINCT o_custkey) AS n_true FROM orders
+          WHERE o_orderdate >= DATE '1995-01-01'
+            AND o_orderdate < DATE '1997-01-01'
+        ),
+        c AS (
+          SELECT (SELECT COUNT(*) FROM s1) AS n1,
+                 (SELECT COUNT(*) FROM s2) AS n2,
+                 (SELECT COUNT(*) FROM s1 JOIN s2 USING (o_custkey)) AS m
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1,
+               CAST(n2 AS BIGINT) AS n2,
+               CAST(m AS BIGINT) AS n_recaptured,
+               ROUND((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1, 6)
+                 AS chapman_estimate,
+               CAST((SELECT n_true FROM truth) AS BIGINT) AS n_true
+        FROM c
+    """,
+    doc="Chapman capture-recapture estimate of the active-customer "
+    "population: the 1995 and 1996 order years act as two 'capture' "
+    "samples; N-hat = (n1+1)(n2+1)/(m+1) - 1 from the recapture "
+    "overlap m, reported next to the directly-counted truth — the "
+    "ecology estimator data teams use to size what they CANNOT "
+    "enumerate (how many customers exist beyond the ones either "
+    "period saw, coverage of a crawl, dark traffic), and the "
+    "honesty check is exactly this query's truth column. Plan "
+    "shape: two pruned distinct censuses, one key-partitioned "
+    "semi-join for the overlap, three 1-row counts cross-joined "
+    "(tiny, allowlisted); integer-exact except the estimator.",
+)
+def q317(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    o = table_parallel(spark, sf, "orders").select("o_custkey", "o_orderdate")
+
+    def span(lo: str, hi: str) -> DataFrame:
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(lo).cast("date"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("date"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    s1 = span("1995-01-01", "1996-01-01")
+    s2 = span("1996-01-01", "1997-01-01")
+    truth = span("1995-01-01", "1997-01-01").agg(F.count("*").alias("n_true"))
+    c = (
+        s1.agg(F.count("*").alias("n1"))
+        .crossJoin(s2.agg(F.count("*").alias("n2")))
+        .crossJoin(s1.join(s2, "o_custkey").agg(F.count("*").alias("m")))
+        .crossJoin(truth)
+    )
+    return c.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("m").cast("long").alias("n_recaptured"),
+        F.round(
+            (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0)
+            - 1,
+            6,
+        ).alias("chapman_estimate"),
+        F.col("n_true").cast("long").alias("n_true"),
+    )
+
+
+_BH_ALPHA = 0.1
+
+
+def _pval_sql(zcol: str) -> str:
+    """Two-sided normal p-value via the Abramowitz-Stegun 7.1.26 erf
+    approximation — the identical elementary-arithmetic expression the
+    Spark side evaluates, so both engines agree to the last ulp of
+    exp() and the 6dp round is stable."""
+    x = f"(ABS({zcol}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (
+        f"(0.254829592 * {t} - 0.284496736 * POW({t}, 2)"
+        f" + 1.421413741 * POW({t}, 3) - 1.453152027 * POW({t}, 4)"
+        f" + 1.061405429 * POW({t}, 5))"
+    )
+    return f"({poly} * exp(-{x} * {x}))"
+
+
+@register(
+    "q319_bh_fdr",
+    oracle=f"""
+        WITH lab AS (
+          SELECT c.c_nationkey AS nk,
+                 {_ARM_SQL.format(key="c.c_custkey", a="1", b="0")}
+                   AS treated,
+                 CASE WHEN o.n_orders >= 12 THEN 1 ELSE 0 END AS hit
+          FROM customer c
+          JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                FROM orders GROUP BY o_custkey) o
+            ON o.o_custkey = c.c_custkey
+        ),
+        cells AS (
+          SELECT nk,
+                 SUM(treated) AS na,
+                 SUM(treated * hit) AS xa,
+                 SUM(1 - treated) AS nb,
+                 SUM((1 - treated) * hit) AS xb
+          FROM lab GROUP BY nk
+          HAVING SUM(treated) > 0 AND SUM(1 - treated) > 0
+             AND SUM(treated * hit) + SUM((1 - treated) * hit) > 0
+             AND SUM(treated * hit) + SUM((1 - treated) * hit)
+                 < SUM(treated) + SUM(1 - treated)
+        ),
+        zs AS (
+          SELECT nk,
+                 (CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                 / SQRT((CAST(xa + xb AS DOUBLE) / (na + nb))
+                        * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                        * (1.0 / na + 1.0 / nb)) AS z
+          FROM cells
+        ),
+        ps AS (SELECT nk, z, {{p}} AS p FROM zs),
+        ranked AS (
+          SELECT nk, z, p,
+                 ROW_NUMBER() OVER (ORDER BY p, nk) AS rk,
+                 COUNT(*) OVER () AS m
+          FROM ps
+        ),
+        cut AS (
+          SELECT COALESCE(MAX(CASE WHEN p <= rk * {_BH_ALPHA} / m
+                                   THEN rk END), 0) AS k_star
+          FROM ranked
+        )
+        SELECT CAST(nk AS BIGINT) AS nationkey,
+               ROUND(z, 6) AS z,
+               ROUND(p, 6) AS p_value,
+               CAST(rk AS BIGINT) AS p_rank,
+               ROUND(rk * {_BH_ALPHA} / m, 6) AS bh_threshold,
+               CAST(CASE WHEN rk <= (SELECT k_star FROM cut)
+                         THEN 1 ELSE 0 END AS BIGINT) AS rejected
+        FROM ranked ORDER BY p_rank
+    """.replace("{p}", _pval_sql("z")),
+    doc="Benjamini-Hochberg step-up FDR control over the family of 25 "
+    "per-nation two-proportion z-tests (md5-hash treatment vs the "
+    ">= 12-order engagement outcome): p-values from the shared A&S "
+    "erf approximation, ranked ascending; k* = the largest rank with "
+    "p_(k) <= k/m * alpha (alpha = 0.1) and every rank <= k* is "
+    "rejected — the multiple-testing discipline that keeps a "
+    "25-segment drill-down from reporting ~1-2 false winners by "
+    "chance, the gap q172's single z-test leaves open. Plan shape: "
+    "customer-keyed aggregate -> 25-row nation census; the rank "
+    "window runs on that bounded census (allowlisted) and the 1-row "
+    "k* census broadcasts back (allowlisted tiny cross join).",
+)
+def q319(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    arm = _arm_col("c_custkey")
+    cust = table_parallel(spark, sf, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nk")
+    )
+    oc = (
+        table_parallel(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    lab = cust.join(oc, cust["c_custkey"] == oc["o_custkey"]).select(
+        "nk",
+        F.when(arm < 0.5, 1).otherwise(0).alias("treated"),
+        F.when(F.col("n_orders") >= 12, 1).otherwise(0).alias("hit"),
+    )
+    cells = (
+        lab.groupBy("nk")
+        .agg(
+            F.sum("treated").alias("na"),
+            F.sum(F.col("treated") * F.col("hit")).alias("xa"),
+            F.sum(1 - F.col("treated")).alias("nb"),
+            F.sum((1 - F.col("treated")) * F.col("hit")).alias("xb"),
+        )
+        .where(
+            (F.col("na") > 0)
+            & (F.col("nb") > 0)
+            & (F.col("xa") + F.col("xb") > 0)
+            & (F.col("xa") + F.col("xb") < F.col("na") + F.col("nb"))
+        )
+    )
+    pp = (F.col("xa") + F.col("xb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    z = (
+        F.col("xa").cast("double") / F.col("na")
+        - F.col("xb").cast("double") / F.col("nb")
+    ) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    zs = cells.select("nk", z.alias("z"))
+    x = F.abs(F.col("z")) / F.sqrt(F.lit(2.0))
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (
+        0.254829592 * t
+        - 0.284496736 * F.pow(t, 2)
+        + 1.421413741 * F.pow(t, 3)
+        - 1.453152027 * F.pow(t, 4)
+        + 1.061405429 * F.pow(t, 5)
+    )
+    ps = zs.select("nk", "z", (poly * F.exp(-x * x)).alias("p"))
+    w = Window.orderBy("p", "nk")
+    m = Window.partitionBy()
+    ranked = ps.select(
+        "nk",
+        "z",
+        "p",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(m).alias("m"),
+    )
+    cut = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p") <= F.col("rk") * _BH_ALPHA / F.col("m"),
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k_star")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .select(
+            F.col("nk").cast("long").alias("nationkey"),
+            F.round("z", 6).alias("z"),
+            F.round("p", 6).alias("p_value"),
+            F.col("rk").cast("long").alias("p_rank"),
+            F.round(F.col("rk") * _BH_ALPHA / F.col("m"), 6).alias(
+                "bh_threshold"
+            ),
+            F.when(F.col("rk") <= F.col("k_star"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("rejected"),
+        )
+        .orderBy("p_rank")
     )

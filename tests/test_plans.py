@@ -161,6 +161,8 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q305_brier_decomposition",  # cross joins vs 1-row min/max + components
     "q307_quantile_treatment_effect",  # rank-equation join vs 9-row decile grid
     "q314_fellegi_sunter",  # cross joins vs the two 1-row u-probability rows
+    "q317_chapman_estimate",  # cross joins of four 1-row census counts
+    "q319_bh_fdr",  # cross join vs the 1-row k* cutoff census
 }
 
 
@@ -296,6 +298,8 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     "q296_mom_yoy_growth": "month series (calendar-bounded)",
     "q303_wasserstein_drift": "fixed price-grid bin census (<=40 rows)",
     "q309_nelson_aalen": "distinct lifetime-day census (calendar-bounded)",
+    "q315_logrank_test": "distinct event-day census (calendar-bounded)",
+    "q319_bh_fdr": "nation-level p-value census (25 rows)",
 }
 
 
