@@ -1720,3 +1720,151 @@ def q264(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.desc("containment"), "a_id", "b_id")
     )
+
+
+_WIN_K = 4  # winnowing k-gram size (tokens)
+_WIN_W = 4  # winnowing window of consecutive k-gram hashes
+_WIN_MIN_SHARED = 2
+
+
+@register(
+    "q322_winnowing_fingerprints",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, t.tok AS tok, t.pos AS pos
+          FROM documents,
+               LATERAL (SELECT UNNEST(string_split_regex(lower(text),
+                                      '[^a-z]+')) AS tok,
+                        generate_subscripts(
+                          string_split_regex(lower(text), '[^a-z]+'), 1)
+                          AS pos
+               ) t
+          WHERE t.tok <> ''
+        ),
+        seq AS (
+          SELECT doc_id, pos,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+          FROM tok
+        ),
+        gram AS (
+          SELECT s.doc_id, s.rn,
+                 CAST(('0x' || substr(md5(string_agg(t2.tok, ' '
+                         ORDER BY t2.rn)), 1, 12)) AS BIGINT) AS h
+          FROM seq s
+          JOIN (SELECT q.doc_id, q.rn, k.tok
+                FROM seq q JOIN tok k
+                  ON k.doc_id = q.doc_id AND k.pos = q.pos) t2
+            ON t2.doc_id = s.doc_id
+           AND t2.rn BETWEEN s.rn AND s.rn + {_WIN_K} - 1
+          GROUP BY s.doc_id, s.rn
+          HAVING COUNT(*) = {_WIN_K}
+        ),
+        win AS (
+          SELECT doc_id,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY rn
+                              ROWS BETWEEN CURRENT ROW
+                              AND {_WIN_W - 1} FOLLOWING) AS fp,
+                 rn,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS ng
+          FROM gram
+        ),
+        fps AS (
+          SELECT DISTINCT doc_id, fp
+          FROM win WHERE rn <= ng - {_WIN_W} + 1
+        ),
+        pairs AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY da, db
+          HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+        )
+        SELECT CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db,
+               CAST(shared AS BIGINT) AS shared_fingerprints
+        FROM pairs
+        ORDER BY shared DESC, da, db
+        LIMIT 15
+    """,
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken "
+    "2003, the MOSS algorithm): hash every {_WIN_K}-token gram, keep "
+    "the MINIMUM hash of each window of {_WIN_W} consecutive grams — "
+    "the guarantee is that any shared substring of length >= "
+    "k + w - 1 tokens produces at least one shared fingerprint, so "
+    "LOCAL plagiarism/quotation overlap is caught where q41's "
+    "whole-document bag hash (document must match entirely) and "
+    "q34's MinHash (global set similarity must be high) both miss "
+    "it; density is ~2/(w+1) of all grams, so the index is a "
+    "fraction of a full k-gram posting list. Top-15 pairs by shared "
+    "fingerprints. Plan shape: tokenize-explode, k-grams via "
+    "doc-partitioned LEAD windows (per-key parallel), window-min "
+    "selection, distinct fingerprint census, pair generation ONLY "
+    "through the fingerprint equi-join (the LSH-family bucket "
+    "discipline, cartesian guard pinned).",
+)
+def q322(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from harmony_spark.io import table_parallel
+
+    toks = F.split(F.lower(F.col("text")), r"[^a-z]+")
+    tok = (
+        table_parallel(spark, sf, "documents")
+        .select("doc_id", F.posexplode(toks).alias("pos0", "tok"))
+        .where(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    gram_txt = F.concat_ws(
+        " ",
+        F.col("tok"),
+        *[F.lead("tok", i).over(w) for i in range(1, _WIN_K)],
+    )
+    gram = (
+        tok.select(
+            "doc_id",
+            F.row_number().over(w).alias("rn"),
+            gram_txt.alias("g"),
+            F.lead("tok", _WIN_K - 1).over(w).alias("last_tok"),
+        )
+        .where(F.col("last_tok").isNotNull())
+        .select(
+            "doc_id",
+            "rn",
+            F.conv(F.substring(F.md5("g"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    wf = Window.partitionBy("doc_id").orderBy("rn").rowsBetween(
+        0, _WIN_W - 1
+    )
+    wc = Window.partitionBy("doc_id")
+    win = gram.select(
+        "doc_id",
+        "rn",
+        F.min("h").over(wf).alias("fp"),
+        F.count("*").over(wc).alias("ng"),
+    )
+    fps = (
+        win.where(F.col("rn") <= F.col("ng") - _WIN_W + 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= _WIN_MIN_SHARED)
+    )
+    return (
+        pairs.select(
+            F.col("da").cast("long").alias("da"),
+            F.col("db").cast("long").alias("db"),
+            F.col("shared").cast("long").alias("shared_fingerprints"),
+        )
+        .orderBy(F.desc("shared_fingerprints"), "da", "db")
+        .limit(15)
+    )

@@ -762,3 +762,112 @@ def q313(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "q321_idempotent_replay",
+    oracle="""
+        WITH feed AS (
+          SELECT o_orderkey AS k, o_custkey,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+          WHERE o_orderdate >= DATE '1997-01-01'
+            AND o_orderdate < DATE '1998-01-01'
+        ),
+        redelivered AS (
+          SELECT * FROM feed
+          UNION ALL SELECT * FROM feed WHERE k % 3 = 0
+          UNION ALL SELECT * FROM feed WHERE k % 7 = 0
+        ),
+        applied AS (
+          SELECT k, MIN(o_custkey) AS o_custkey, MIN(cents) AS cents
+          FROM redelivered GROUP BY k
+        ),
+        base AS (
+          SELECT o_custkey, COUNT(*) AS n,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders WHERE o_orderdate < DATE '1997-01-01'
+          GROUP BY o_custkey
+        ),
+        delta AS (
+          SELECT o_custkey, COUNT(*) AS n, SUM(cents) AS cents
+          FROM applied GROUP BY o_custkey
+        ),
+        merged AS (
+          SELECT COALESCE(b.o_custkey, d.o_custkey) AS o_custkey,
+                 COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
+                 COALESCE(b.cents, 0) + COALESCE(d.cents, 0) AS cents
+          FROM base b FULL OUTER JOIN delta d ON d.o_custkey = b.o_custkey
+        )
+        SELECT c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(m.n) AS BIGINT) AS n_orders,
+               CAST(SUM(m.cents) AS BIGINT) AS cents
+        FROM merged m JOIN customer c ON c.c_custkey = m.o_custkey
+        GROUP BY segment ORDER BY segment
+    """,
+    doc="Idempotent change-feed replay under at-least-once delivery: "
+    "the 1997 order feed arrives with deliberate duplicate "
+    "redeliveries (every k%3 and k%7 key re-sent, the retry pattern "
+    "a real bus produces), is deduplicated to exactly-once by "
+    "event-key BEFORE accumulation, then additively merged into the "
+    "pre-1997 per-customer state — naive accumulation without the "
+    "dedup would double-count ~43%% of the delta, and the "
+    "per-segment digest (which must equal a clean single-delivery "
+    "run) is the invariant a pipeline replay test asserts. "
+    "Completes the CDC family: q114 merges keyed upserts, q311 "
+    "retracts/advances windows, q321 makes the APPLY step safe to "
+    "retry. Plan shape: event-key dedup aggregate, customer-keyed "
+    "delta + full-outer merge, one segment digest — all "
+    "key-partitioned.",
+)
+def q321(spark: SparkSession, sf: str) -> DataFrame:
+    o = table_parallel(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents1"),
+    )
+    feed = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        "o_custkey",
+        F.col("cents1").alias("cents"),
+    )
+    redelivered = feed.unionByName(
+        feed.where(F.col("k") % 3 == 0)
+    ).unionByName(feed.where(F.col("k") % 7 == 0))
+    applied = redelivered.groupBy("k").agg(
+        F.min("o_custkey").alias("o_custkey"), F.min("cents").alias("cents")
+    )
+    base = (
+        o.where(F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("bn"), F.sum("cents1").alias("bc"))
+    )
+    delta = applied.groupBy("o_custkey").agg(
+        F.count("*").alias("dn"), F.sum("cents").alias("dc")
+    )
+    merged = base.join(delta, "o_custkey", "full").select(
+        "o_custkey",
+        (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+        (F.coalesce("bc", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias(
+            "cents"
+        ),
+    )
+    cust = table_parallel(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        merged.join(cust, "o_custkey")
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("segment")
+    )

@@ -1979,3 +1979,224 @@ def q315(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("logrank_chi2"),
     )
+
+
+_MK_CHANNELS = ["click", "error", "signup", "view"]
+_MK_STEPS = 12
+
+
+def _mk_trans_sql() -> str:
+    """Transition census from per-user journeys truncated at the first
+    purchase: start->first touch, touch->touch, last touch->conv/null."""
+    return """
+        seqd AS (
+          SELECT user_id, event_type, ts, event_id,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   OVER (PARTITION BY user_id) AS conv_ts
+          FROM events
+        ),
+        pre AS (
+          SELECT user_id, event_type, ts, event_id,
+                 conv_ts IS NOT NULL AS converted
+          FROM seqd
+          WHERE event_type <> 'purchase'
+            AND (conv_ts IS NULL OR ts < conv_ts)
+        ),
+        hops AS (
+          SELECT user_id, event_type AS src,
+                 COALESCE(LEAD(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id),
+                          CASE WHEN converted THEN 'conv'
+                               ELSE 'null' END) AS dst,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM pre
+        ),
+        starts AS (
+          SELECT 'start' AS src, src AS dst FROM hops WHERE rn = 1
+        ),
+        alltrans AS (
+          SELECT src, dst FROM hops
+          UNION ALL SELECT src, dst FROM starts
+        ),
+        census AS (
+          SELECT src, dst, COUNT(*) AS c FROM alltrans GROUP BY src, dst
+        ),
+        rowsum AS (SELECT src, SUM(c) AS n FROM census GROUP BY src),
+        pmat AS MATERIALIZED (
+          SELECT census.src AS src, census.dst AS dst,
+                 census.c * 1.0 / rowsum.n AS prob
+          FROM census JOIN rowsum ON rowsum.src = census.src
+        )"""
+
+
+def _mk_chain_sql(tag: str, removed: str | None) -> str:
+    """Unrolled absorbing-chain iteration v_{t+1} = P v_t for one
+    transition matrix; removal redirects edges into `removed` to null.
+    MATERIALIZED is load-bearing: without it DuckDB re-inlines the
+    CTE chain and the 12-step unroll goes exponential (~300 s)."""
+    if removed is None:
+        pm = f"pm_{tag} AS MATERIALIZED (SELECT src, dst, prob FROM pmat)"
+    else:
+        pm = f"""pm_{tag} AS MATERIALIZED (
+          SELECT src,
+                 CASE WHEN dst = '{removed}' THEN 'null' ELSE dst END AS dst,
+                 prob
+          FROM pmat WHERE src <> '{removed}'
+        )"""
+    steps = [
+        pm,
+        f"""v_{tag}_0 AS MATERIALIZED (
+          SELECT 'conv' AS s, 1.0 AS v
+          UNION ALL SELECT 'null', 0.0
+        )""",
+    ]
+    for t in range(_MK_STEPS):
+        steps.append(
+            f"""v_{tag}_{t + 1} AS MATERIALIZED (
+          SELECT p.src AS s, SUM(p.prob * COALESCE(v.v,
+                 CASE WHEN p.dst = 'conv' THEN 1.0 ELSE 0.0 END)) AS v
+          FROM pm_{tag} p LEFT JOIN v_{tag}_{t} v ON v.s = p.dst
+          WHERE p.src NOT IN ('conv', 'null')
+          GROUP BY p.src
+          UNION ALL SELECT 'conv', 1.0
+          UNION ALL SELECT 'null', 0.0
+        )"""
+        )
+    return ",\n        ".join(steps)
+
+
+def _mk_oracle() -> str:
+    chains = [_mk_chain_sql("full", None)]
+    for ch in _MK_CHANNELS:
+        chains.append(_mk_chain_sql(ch, ch))
+    finals = ",\n        ".join(
+        f"""p_{tag} AS (
+          SELECT COALESCE((SELECT v FROM v_{tag}_{_MK_STEPS}
+                           WHERE s = 'start'), 0.0) AS p)"""
+        for tag in ["full"] + _MK_CHANNELS
+    )
+    effects = " UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, "
+        f"(SELECT p FROM p_full) - (SELECT p FROM p_{ch}) AS eff"
+        for ch in _MK_CHANNELS
+    )
+    return f"""
+        WITH {_mk_trans_sql()},
+        {",".join(chains)},
+        {finals},
+        eff AS ({effects}),
+        tot AS (SELECT SUM(CASE WHEN eff > 0 THEN eff ELSE 0 END) AS t
+                FROM eff)
+        SELECT channel,
+               ROUND((SELECT p FROM p_full), 6) AS p_conversion,
+               ROUND(eff, 6) AS removal_effect,
+               ROUND(CASE WHEN (SELECT t FROM tot) > 0
+                          THEN (CASE WHEN eff > 0 THEN eff ELSE 0 END)
+                               / (SELECT t FROM tot)
+                          ELSE 0 END, 6) AS attribution_share
+        FROM eff ORDER BY channel
+    """
+
+
+@register(
+    "q323_markov_attribution",
+    oracle=_mk_oracle(),
+    doc=f"Markov removal-effect attribution: per-user journeys "
+    "(truncated at first purchase, absorbed into conv/null) collapse "
+    "to a first-order transition matrix; the conversion probability "
+    "from 'start' comes from {_MK_STEPS} absorbing-chain power steps, "
+    "and each channel's credit is its REMOVAL EFFECT — how much "
+    "p(conversion) drops when that channel's incoming edges are "
+    "redirected to null — normalized into attribution shares. This "
+    "is the data-driven attribution model that, unlike the "
+    "positional heuristics (q162 linear, q310 U-shaped), credits a "
+    "channel by its causal role IN THE OBSERVED GRAPH: a channel "
+    "visited often but always bypassable earns little. Plan shape: "
+    "one user-partitioned LEAD window builds the hop census "
+    "(entity-scale work, key-parallel); everything after operates "
+    "on the <=7x7 transition census collected to the driver — the "
+    "bounded-K state pattern the harmony core uses — and the "
+    "fixed-order Python float iteration matches the oracle's "
+    "unrolled CTE arithmetic exactly.",
+)
+def q323(spark: SparkSession, sf: str) -> DataFrame:
+    from collections import defaultdict
+
+    from harmony_spark.io import table_parallel
+
+    ev = table_parallel(spark, sf, "events")
+    wconv = Window.partitionBy("user_id")
+    seqd = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .over(wconv)
+        .alias("conv_ts"),
+    )
+    pre = seqd.where(
+        (F.col("event_type") != "purchase")
+        & (F.col("conv_ts").isNull() | (F.col("ts") < F.col("conv_ts")))
+    ).withColumn("converted", F.col("conv_ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = pre.select(
+        F.col("event_type").alias("src"),
+        F.coalesce(
+            F.lead("event_type").over(w),
+            F.when(F.col("converted"), "conv").otherwise("null"),
+        ).alias("dst"),
+        F.row_number().over(w).alias("rn"),
+    )
+    starts = hops.where(F.col("rn") == 1).select(
+        F.lit("start").alias("src"), F.col("src").alias("dst")
+    )
+    census = (
+        hops.select("src", "dst")
+        .unionByName(starts)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    rowsum: dict = defaultdict(int)
+    for r in census:
+        rowsum[r["src"]] += r["c"]
+    pmat: dict = {}
+    for r in census:
+        pmat[(r["src"], r["dst"])] = r["c"] * 1.0 / rowsum[r["src"]]
+
+    def absorb(removed: str | None) -> float:
+        edges: dict = defaultdict(float)
+        for (s, d), p in sorted(pmat.items()):
+            if removed is not None and s == removed:
+                continue
+            if removed is not None and d == removed:
+                d = "null"
+            edges[(s, d)] += p
+        v = {"conv": 1.0, "null": 0.0}
+        for _ in range(_MK_STEPS):
+            acc: dict = defaultdict(float)
+            for (s, d), p in sorted(edges.items()):
+                if s in ("conv", "null"):
+                    continue
+                acc[s] += p * v.get(d, 1.0 if d == "conv" else 0.0)
+            nxt = {"conv": 1.0, "null": 0.0}
+            nxt.update(acc)
+            v = nxt
+        return v.get("start", 0.0)
+
+    p_full = absorb(None)
+    effs = {ch: p_full - absorb(ch) for ch in _MK_CHANNELS}
+    tot = sum(e for e in effs.values() if e > 0)
+    rows = []
+    for ch in _MK_CHANNELS:
+        share = (max(effs[ch], 0.0) / tot) if tot > 0 else 0.0
+        rows.append(
+            (ch, round(p_full, 6), round(effs[ch], 6), round(share, 6))
+        )
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_conversion double, removal_effect double, "
+        "attribution_share double",
+    ).orderBy("channel")

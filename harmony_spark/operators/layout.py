@@ -517,3 +517,90 @@ def q277(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_misplaced"),
     )
+
+
+_JS_HH = 20
+
+
+@register(
+    "q320_join_size_advisor",
+    oracle=f"""
+        WITH cnt AS (
+          SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY l_partkey
+        ),
+        hh AS (
+          SELECT l_partkey, c FROM cnt
+          ORDER BY c DESC, l_partkey LIMIT {_JS_HH}
+        ),
+        hh_est AS (SELECT COALESCE(SUM(c * c), 0) AS e FROM hh),
+        rest AS (
+          SELECT COUNT(*) AS nd, COALESCE(SUM(c), 0) AS s
+          FROM cnt WHERE l_partkey NOT IN (SELECT l_partkey FROM hh)
+        ),
+        truth AS (SELECT SUM(c * c) AS t FROM cnt)
+        SELECT CAST((SELECT t FROM truth) AS BIGINT) AS true_size,
+               CAST((SELECT e FROM hh_est)
+                    + CASE WHEN (SELECT nd FROM rest) > 0
+                           THEN CAST(FLOOR(CAST((SELECT s FROM rest)
+                                AS BIGINT)
+                                * (SELECT s FROM rest) * 1.0
+                                / (SELECT nd FROM rest)) AS BIGINT)
+                           ELSE 0 END AS BIGINT) AS estimated_size,
+               ROUND(ABS(((SELECT e FROM hh_est)
+                    + CASE WHEN (SELECT nd FROM rest) > 0
+                           THEN CAST(FLOOR(CAST((SELECT s FROM rest)
+                                AS BIGINT)
+                                * (SELECT s FROM rest) * 1.0
+                                / (SELECT nd FROM rest)) AS BIGINT)
+                           ELSE 0 END) * 1.0
+                    / (SELECT t FROM truth) - 1), 6) AS rel_error
+    """,
+    doc="Join-size advisor: estimate |lineitem JOIN lineitem ON "
+    "l_partkey| (the self-join cardinality sum(c_k^2) that explodes "
+    "under key skew) from per-key statistics WITHOUT executing the "
+    "join — the top-20 heavy hitters contribute exactly, the "
+    "residual mass under the uniform-frequency assumption "
+    "(rest_sum^2 / rest_distinct), the estimator every "
+    "cost-based optimizer and the q248/q76 skew tooling need before "
+    "deciding broadcast/salt/sort-merge; reported against the exact "
+    "truth with relative error. Plan shape: one key census, "
+    "TakeOrdered(20) heavy-hitter head, an anti-join residual "
+    "census, three 1-row reductions cross-joined (allowlisted); "
+    "integer-exact except the error ratio. The truth itself is "
+    "computed from the census (sum of squared counts), never by "
+    "materializing the quadratic join.",
+)
+def q320(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    cnt = (
+        table_parallel(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+    )
+    hh = cnt.orderBy(F.desc("c"), "l_partkey").limit(_JS_HH)
+    hh_est = hh.agg(
+        F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0)).alias("e")
+    )
+    rest = cnt.join(hh.select("l_partkey"), "l_partkey", "left_anti").agg(
+        F.count("*").alias("nd"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("s"),
+    )
+    truth = cnt.agg(F.sum(F.col("c") * F.col("c")).alias("t"))
+    est = F.col("e") + F.when(
+        F.col("nd") > 0,
+        F.floor(
+            F.col("s").cast("long") * F.col("s") * 1.0 / F.col("nd")
+        ).cast("long"),
+    ).otherwise(0)
+    return (
+        truth.crossJoin(F.broadcast(hh_est))
+        .crossJoin(F.broadcast(rest))
+        .select(
+            F.col("t").cast("long").alias("true_size"),
+            est.cast("long").alias("estimated_size"),
+            F.round(F.abs(est * 1.0 / F.col("t") - 1), 6).alias(
+                "rel_error"
+            ),
+        )
+    )

@@ -163,6 +163,7 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q314_fellegi_sunter",  # cross joins vs the two 1-row u-probability rows
     "q317_chapman_estimate",  # cross joins of four 1-row census counts
     "q319_bh_fdr",  # cross join vs the 1-row k* cutoff census
+    "q320_join_size_advisor",  # cross joins of three 1-row estimator rows
 }
 
 
