@@ -2207,3 +2207,120 @@ def q294(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("rows_at_risk"),
     )
+
+
+_TC_BUCKET = 2000
+
+
+@register(
+    "q324_t_closeness",
+    oracle=f"""
+        WITH lab AS (
+          SELECT c_nationkey AS nk, c_mktsegment AS seg,
+                 CAST(FLOOR(c_acctbal / {_TC_BUCKET}) AS BIGINT) AS b
+          FROM customer
+        ),
+        gtot AS (SELECT COUNT(*) AS n FROM lab),
+        gdist AS (
+          SELECT b, COUNT(*) * 1.0 / (SELECT n FROM gtot) AS g
+          FROM lab GROUP BY b
+        ),
+        classes AS (
+          SELECT nk, seg, COUNT(*) AS n_class FROM lab GROUP BY nk, seg
+        ),
+        grid AS (
+          SELECT c.nk, c.seg, c.n_class, d.b, d.g
+          FROM classes c CROSS JOIN gdist d
+        ),
+        cdist AS (
+          SELECT nk, seg, b, COUNT(*) AS cnt FROM lab GROUP BY nk, seg, b
+        ),
+        diff AS (
+          SELECT g.nk, g.seg, g.n_class, g.b,
+                 COALESCE(c.cnt, 0) * 1.0 / g.n_class - g.g AS d
+          FROM grid g LEFT JOIN cdist c
+            ON c.nk = g.nk AND c.seg = g.seg AND c.b = g.b
+        ),
+        emd AS (
+          SELECT nk, seg, MAX(n_class) AS n_class,
+                 SUM(ABS(cum)) / (COUNT(*) - 1.0) AS t
+          FROM (
+            SELECT nk, seg, n_class, b,
+                   SUM(d) OVER (PARTITION BY nk, seg ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+            FROM diff
+          ) GROUP BY nk, seg
+        )
+        SELECT CAST(nk AS BIGINT) AS nationkey, seg AS segment,
+               CAST(n_class AS BIGINT) AS n_class,
+               ROUND(t, 6) AS emd_t,
+               CAST(CASE WHEN t > 0.25 THEN 1 ELSE 0 END AS BIGINT)
+                 AS violates
+        FROM emd
+        ORDER BY ROUND(t, 6) DESC, nationkey, segment
+        LIMIT 12
+    """,
+    doc="t-closeness audit (Li/Li/Venkatasubramanian 2007), completing "
+    "the anonymization triad next to k-anonymity (q257: classes big "
+    "enough) and l-diversity (q294: classes varied enough): each "
+    "(nation, segment) equivalence class's ORDERED sensitive-"
+    "attribute distribution (account-balance buckets) must stay "
+    "within EMD t of the global one — the property that kills the "
+    "skewness attack l-diversity misses (a class can hold l distinct "
+    "values yet be 95% 'negative-balance', leaking the attribute "
+    "anyway). EMD over the ordered buckets is the normalized "
+    "|cumulative-difference| sum, the same 1-D transport integral "
+    "q303's Wasserstein drift uses. Worst 12 classes by rounded t "
+    "with deterministic tiebreaks. Plan shape: two bounded censuses "
+    "(global buckets, class x bucket grid), the cumulative window "
+    "PARTITIONED BY class (per-key parallel), TakeOrdered(12).",
+)
+def q324(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from harmony_spark.io import table_parallel
+
+    lab = table_parallel(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / _TC_BUCKET).cast("long").alias("b"),
+    )
+    n = lab.count()
+    gdist = lab.groupBy("b").agg((F.count("*") * 1.0 / n).alias("g"))
+    classes = lab.groupBy("nk", "seg").agg(F.count("*").alias("n_class"))
+    grid = classes.crossJoin(F.broadcast(gdist))
+    cdist = lab.groupBy("nk", "seg", "b").agg(F.count("*").alias("cnt"))
+    diff = grid.join(cdist, ["nk", "seg", "b"], "left").select(
+        "nk",
+        "seg",
+        "n_class",
+        "b",
+        (
+            F.coalesce("cnt", F.lit(0)) * 1.0 / F.col("n_class") - F.col("g")
+        ).alias("d"),
+    )
+    w = Window.partitionBy("nk", "seg").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    emd = (
+        diff.withColumn("cum", F.sum("d").over(w))
+        .groupBy("nk", "seg")
+        .agg(
+            F.max("n_class").alias("n_class"),
+            (F.sum(F.abs("cum")) / (F.count("*") - 1.0)).alias("t"),
+        )
+    )
+    return (
+        emd.select(
+            F.col("nk").cast("long").alias("nationkey"),
+            F.col("seg").alias("segment"),
+            F.col("n_class").cast("long").alias("n_class"),
+            F.round("t", 6).alias("emd_t"),
+            F.when(F.col("t") > 0.25, 1).otherwise(0).cast("long").alias(
+                "violates"
+            ),
+        )
+        .orderBy(F.desc("emd_t"), "nationkey", "segment")
+        .limit(12)
+    )

@@ -1794,13 +1794,33 @@ def q292(spark: SparkSession, sf: str) -> DataFrame:
     wedges = deg.agg(
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("w")
     )
-    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    # Schank-Wagner degree orientation (the q139 pattern): direct each
+    # edge from the lower-(degree, id) endpoint, which bounds the wedge
+    # fan-out by O(sqrt(m)) on skewed graphs where the id-ordered
+    # 3-way join fans out quadratically on hub parts. Orientation
+    # changes the plan, never the count — the oracle keeps the plain
+    # id-ordered join.
+    ed = pairs.join(
+        deg.select(F.col("u").alias("du_key"), F.col("d").alias("deg_u")),
+        F.col("u") == F.col("du_key"),
+    ).join(
+        deg.select(F.col("u").alias("dv_key"), F.col("d").alias("deg_v")),
+        F.col("v") == F.col("dv_key"),
+    )
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    ).localCheckpoint(eager=False)
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
     tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        o1.join(o2, F.col("o2.s") == F.col("o1.t"))
         .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u"))
-            & (F.col("e3.v") == F.col("e2.v")),
+            o3,
+            (F.col("o3.s") == F.col("o1.s"))
+            & (F.col("o3.t") == F.col("o2.t")),
         )
         .agg(F.count("*").cast("long").alias("t"))
     )

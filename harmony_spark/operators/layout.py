@@ -604,3 +604,58 @@ def q320(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q325_equidepth_histogram",
+    oracle="""
+        WITH ranked AS (
+          SELECT o_totalprice,
+                 NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS bucket
+          FROM orders
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(MIN(o_totalprice), 2) AS lo,
+               ROUND(MAX(o_totalprice), 2) AS hi
+        FROM ranked GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Equi-depth (equal-height) histogram of order values, the "
+    "optimizer-statistics structure ANALYZE builds for selectivity "
+    "estimation: ten buckets with EXACT type-1 boundaries (NTILE "
+    "semantics with orderkey tiebreak), each holding n/10 rows, so "
+    "a range predicate's selectivity reads off the covered buckets "
+    "regardless of skew — where the equal-WIDTH bins q303/q156 use "
+    "collapse under a heavy tail (one bin holds everything). "
+    "Complements q320 (join-size estimate) and q256 (layout "
+    "advisor) as the third optimizer-statistics primitive. Plan "
+    "shape: exact global ntile via dist_rank's range-sharded "
+    "two-phase pass (never a single-task window), then one bucket "
+    "census.",
+)
+def q325(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+    from harmony_spark.operators.dist_rank import with_global_ntile
+
+    o = table_parallel(spark, sf, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    d = with_global_ntile(
+        o, "o_totalprice", ("o_orderkey",), n=10, out="bucket"
+    )
+    return (
+        d.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_rows",
+            "lo",
+            "hi",
+        )
+        .orderBy("bucket")
+    )

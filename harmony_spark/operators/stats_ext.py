@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327"]
 
 
 @register(
@@ -4040,4 +4040,196 @@ def q319(spark: SparkSession, sf: str) -> DataFrame:
             .alias("rejected"),
         )
         .orderBy("p_rank")
+    )
+
+
+_TE_M = 10.0
+
+
+@register(
+    "q326_loo_target_encoding",
+    oracle=f"""
+        WITH lab AS (
+          SELECT c.c_nationkey AS nk,
+                 CASE WHEN o.n_orders >= 12 THEN 1 ELSE 0 END AS hit
+          FROM customer c
+          JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                FROM orders GROUP BY o_custkey) o
+            ON o.o_custkey = c.c_custkey
+        ),
+        prior AS (SELECT AVG(CAST(hit AS DOUBLE)) AS p FROM lab),
+        g AS (
+          SELECT nk, COUNT(*) AS n, SUM(hit) AS s FROM lab GROUP BY nk
+        )
+        SELECT CAST(nk AS BIGINT) AS nationkey,
+               CAST(n AS BIGINT) AS n,
+               CAST(s AS BIGINT) AS n_hits,
+               ROUND((s - 1 + {_TE_M} * (SELECT p FROM prior))
+                     / (n - 1 + {_TE_M}), 6) AS encoded_when_hit,
+               ROUND((s + {_TE_M} * (SELECT p FROM prior))
+                     / (n - 1 + {_TE_M}), 6) AS encoded_when_miss,
+               ROUND(((CAST(s AS DOUBLE)
+                       * ((s - 1 + {_TE_M} * (SELECT p FROM prior))
+                          / (n - 1 + {_TE_M})))
+                      + ((n - s) * ((s + {_TE_M} * (SELECT p FROM prior))
+                                    / (n - 1 + {_TE_M})))) / n, 6)
+                 AS mean_encoded
+        FROM g ORDER BY nationkey
+    """,
+    doc="Leave-one-out target encoding of the nation feature against "
+    "the >= 12-order engagement outcome, with additive (m = "
+    f"{_TE_M:g}) smoothing toward the global prior: each row's "
+    "encoded value excludes ITS OWN label — (s - y_i + m*prior)/"
+    "(n - 1 + m) — the closed form that makes the encoding "
+    "leakage-free without an n-fold refit, which is exactly the "
+    "target-leak q117's split guard exists to catch when done "
+    "naively. Since LOO over a binary target takes only two values "
+    "per group, the per-nation census reports both plus the "
+    "group-weighted mean. Plan shape: customer-keyed label join, "
+    "one 25-row nation census, 1-row prior broadcast (allowlisted); "
+    "closed-form arithmetic only.",
+)
+def q326(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    cust = table_parallel(spark, sf, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nk")
+    )
+    oc = (
+        table_parallel(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    lab = cust.join(oc, cust["c_custkey"] == oc["o_custkey"]).select(
+        "nk", F.when(F.col("n_orders") >= 12, 1).otherwise(0).alias("hit")
+    )
+    prior = lab.agg(F.avg(F.col("hit").cast("double")).alias("p"))
+    g = lab.groupBy("nk").agg(F.count("*").alias("n"), F.sum("hit").alias("s"))
+    gp = g.crossJoin(F.broadcast(prior))
+    enc_hit = (F.col("s") - 1 + _TE_M * F.col("p")) / (F.col("n") - 1 + _TE_M)
+    enc_miss = (F.col("s") + _TE_M * F.col("p")) / (F.col("n") - 1 + _TE_M)
+    return gp.select(
+        F.col("nk").cast("long").alias("nationkey"),
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("n_hits"),
+        F.round(enc_hit, 6).alias("encoded_when_hit"),
+        F.round(enc_miss, 6).alias("encoded_when_miss"),
+        F.round(
+            (
+                F.col("s").cast("double") * enc_hit
+                + (F.col("n") - F.col("s")) * enc_miss
+            )
+            / F.col("n"),
+            6,
+        ).alias("mean_encoded"),
+    ).orderBy("nationkey")
+
+
+_GS_C = 2.04  # O'Brien-Fleming shape constant for K=5 looks
+
+
+@register(
+    "q327_group_sequential",
+    oracle=f"""
+        WITH base AS (
+          SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+                 {_ARM_SQL.format(key="o_custkey", a="1", b="0")} AS treated,
+                 CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS hit
+          FROM orders
+          WHERE o_orderdate >= DATE '1995-01-01'
+            AND o_orderdate < DATE '2000-01-01'
+        ),
+        looks AS (
+          SELECT k FROM (SELECT UNNEST([1, 2, 3, 4, 5]) AS k)
+        ),
+        cum AS (
+          SELECT l.k,
+                 SUM(b.treated) AS na,
+                 SUM(b.treated * b.hit) AS xa,
+                 SUM(1 - b.treated) AS nb,
+                 SUM((1 - b.treated) * b.hit) AS xb
+          FROM looks l JOIN base b ON b.y < 1995 + l.k
+          GROUP BY l.k
+        ),
+        zs AS (
+          SELECT k, na, nb,
+                 (CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                 / SQRT((CAST(xa + xb AS DOUBLE) / (na + nb))
+                        * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                        * (1.0 / na + 1.0 / nb)) AS z
+          FROM cum
+        )
+        SELECT k AS look,
+               CAST(na + nb AS BIGINT) AS n_cum,
+               ROUND(z, 6) AS z,
+               ROUND({_GS_C} * SQRT(5.0 / k), 6) AS obf_boundary,
+               CAST(CASE WHEN ABS(z) > {_GS_C} * SQRT(5.0 / k)
+                         THEN 1 ELSE 0 END AS BIGINT) AS crossed
+        FROM zs ORDER BY look
+    """,
+    doc="Group-sequential monitoring with O'Brien-Fleming-shaped "
+    "boundaries: the same two-proportion z-statistic evaluated at "
+    "five cumulative yearly looks, each compared to the "
+    "spend-shaped critical value C*sqrt(K/k) (C = 2.04 for K = 5, "
+    "two-sided alpha ~ 0.05) — strict early, near-nominal at the "
+    "final look — the batch-world interim-analysis discipline next "
+    "to q288's fully-sequential SPRT: peeking at a fixed-alpha test "
+    "five times inflates false positives ~3x, and OBF boundaries "
+    "are how real experiment platforms let you look anyway. Plan "
+    "shape: one pruned scan, a 5-row look spine broadcast against "
+    "the year column (cumulative inequality join on a bounded "
+    "spine), one look-keyed aggregate; deterministic arithmetic "
+    "throughout.",
+)
+def q327(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    u = _arm_col("o_custkey")
+    base = (
+        table_parallel(spark, sf, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("2000-01-01").cast("date"))
+        )
+        .select(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.when(u < 0.5, 1).otherwise(0).alias("treated"),
+            F.when(F.col("o_totalprice") > 150000, 1)
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    looks = base.sparkSession.range(1, 6).select(
+        F.col("id").cast("long").alias("k")
+    )
+    cum = (
+        F.broadcast(looks)
+        .join(base, base["y"] < 1995 + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum("treated").alias("na"),
+            F.sum(F.col("treated") * F.col("hit")).alias("xa"),
+            F.sum(1 - F.col("treated")).alias("nb"),
+            F.sum((1 - F.col("treated")) * F.col("hit")).alias("xb"),
+        )
+    )
+    pp = (F.col("xa") + F.col("xb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    z = (
+        F.col("xa").cast("double") / F.col("na")
+        - F.col("xb").cast("double") / F.col("nb")
+    ) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    bound = _GS_C * F.sqrt(5.0 / F.col("k"))
+    return (
+        cum.select(
+            F.col("k").alias("look"),
+            (F.col("na") + F.col("nb")).cast("long").alias("n_cum"),
+            F.round(z, 6).alias("z"),
+            F.round(bound, 6).alias("obf_boundary"),
+            F.when(F.abs(z) > bound, 1).otherwise(0).cast("long").alias(
+                "crossed"
+            ),
+        )
+        .orderBy("look")
     )

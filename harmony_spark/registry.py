@@ -60,6 +60,19 @@ _PROMOTED = (
     # had a driver row, swapped in for ten long-verified q0x rows whose
     # components stay covered by the identical local oracle gate and by
     # other in-window rows (see _ROTATED_OUT).
+    # round-4 session-7 heads: one driver row for each family added
+    # this round (experimentation depth, distribution drift, PR-AUC,
+    # IVM temporality, probabilistic linkage, winnowing local overlap,
+    # Markov attribution), swapped in for seven more long-green q0x
+    # kernel rows that stay pinned by the invariant + local gates (see
+    # _ROTATED_OUT).
+    "q298_cuped_adjustment",
+    "q303_wasserstein_drift",
+    "q304_average_precision",
+    "q311_ivm_window_advance",
+    "q314_fellegi_sunter",
+    "q322_winnowing_fingerprints",
+    "q323_markov_attribution",
     "q56_pricing_summary",
     "q62_percentiles",
     "q73_dedup_components",
@@ -94,6 +107,13 @@ _PROMOTED = (
 _ROTATED_OUT = frozenset(
     {
         "q03_array_slice",
+        "q04_l2_norm",
+        "q08_batch_counts",
+        "q11_contingency",
+        "q12_expected_counts",
+        "q13_grouped_weighted_sums",
+        "q20_multiway_join",
+        "q21_left_outer_join",
         "q05_grouped_zscore_clip",
         "q06_safe_entropy",
         "q07_partition_softmax",
@@ -124,8 +144,9 @@ _DEMOTED = frozenset(
 def _priority(name: str) -> tuple[int, int]:
     """Registry ordering: the driver's correctness gate checks the FIRST
     50 entries. In-window (positions 1-50): the SURVEY §2.11 corpus
-    q01-q32 minus the ten _ROTATED_OUT rows, the four harmony_*
-    pipelines, and the twenty-four promoted queries — ten round-4
+    q01-q32 minus the seventeen _ROTATED_OUT rows, the four harmony_*
+    pipelines, and the thirty-one promoted queries — seven session-7
+    family heads (q298/q303/q304/q311/q314/q322/q323), ten round-4
     rotation heads (q47/q56/q62/q73/q107/q113/q125/q128/q152/q156,
     families that had never had a driver row) plus the fourteen
     round-3 promotions (q89/q97/q98/q100/q101/q102/q104/q130/q132/

@@ -164,6 +164,9 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q317_chapman_estimate",  # cross joins of four 1-row census counts
     "q319_bh_fdr",  # cross join vs the 1-row k* cutoff census
     "q320_join_size_advisor",  # cross joins of three 1-row estimator rows
+    "q324_t_closeness",  # class census x the ~11-row global bucket census
+    "q326_loo_target_encoding",  # cross join vs the 1-row global prior
+    "q327_group_sequential",  # cumulative inequality join vs 5-row look spine
 }
 
 
