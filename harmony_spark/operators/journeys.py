@@ -2200,3 +2200,81 @@ def q323(spark: SparkSession, sf: str) -> DataFrame:
         "channel string, p_conversion double, removal_effect double, "
         "attribution_share double",
     ).orderBy("channel")
+
+
+_TD_TAU_S = 7 * 86400.0
+
+
+@register(
+    "q328_timedecay_attribution",
+    oracle=f"""
+        WITH conv AS (
+          SELECT user_id, MIN(ts) AS first_purchase
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        touches AS (
+          SELECT e.user_id, e.event_type,
+                 EXP(-date_diff('microsecond', e.ts, c.first_purchase)
+                     / 1000000.0 / {_TD_TAU_S}) AS wgt
+          FROM events e JOIN conv c ON c.user_id = e.user_id
+          WHERE e.ts < c.first_purchase AND e.event_type <> 'purchase'
+        ),
+        usum AS (
+          SELECT user_id, SUM(wgt) AS tot FROM touches GROUP BY user_id
+        )
+        SELECT t.event_type AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               ROUND(SUM(t.wgt / u.tot), 6) AS credit
+        FROM touches t JOIN usum u ON u.user_id = t.user_id
+        GROUP BY t.event_type ORDER BY t.event_type
+    """,
+    doc="Time-decay multi-touch attribution (7-day half-life scale): "
+    "each pre-conversion touch earns weight exp(-dt/tau) by its "
+    "recency to the user's first purchase, normalized so every "
+    "converting journey distributes exactly 1 credit — the third "
+    "heuristic in the attribution family (q162 linear = equal "
+    "weights, q310 U-shaped = positional prior, q328 = recency "
+    "prior, q323 Markov = data-driven), the one retail dashboards "
+    "default to because recent touches dominate purchase intent. "
+    "Per-journey credits summing to 1 means total credit equals the "
+    "converting-user count, the same invariant as q310. Plan shape: "
+    "conversion census joined back, per-user weight-sum aggregate "
+    "joined back (both user-keyed, per-key parallel), one channel "
+    "census; exp() is per-row arithmetic both engines evaluate "
+    "identically.",
+)
+def q328(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    ev = table_parallel(spark, sf, "events")
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    touches = (
+        ev.join(conv, "user_id")
+        .where(
+            (F.col("ts") < F.col("first_purchase"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.exp(
+                -(F.unix_micros("first_purchase") - F.unix_micros("ts"))
+                / 1000000.0
+                / _TD_TAU_S
+            ).alias("wgt"),
+        )
+    )
+    usum = touches.groupBy("user_id").agg(F.sum("wgt").alias("tot"))
+    return (
+        touches.join(usum, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.round(F.sum(F.col("wgt") / F.col("tot")), 6).alias("credit"),
+        )
+        .orderBy("event_type")
+    )

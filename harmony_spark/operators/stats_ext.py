@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327", "q329", "q330", "q331"]
 
 
 @register(
@@ -4232,4 +4232,288 @@ def q327(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
         .orderBy("look")
+    )
+
+
+@register(
+    "q329_kruskal_wallis",
+    oracle="""
+        WITH x AS (
+          SELECT o_orderpriority AS grp, o_totalprice AS v, o_orderkey
+          FROM orders
+        ),
+        rr AS (
+          SELECT grp, v,
+                 ROW_NUMBER() OVER (ORDER BY v, o_orderkey) AS rn
+          FROM x
+        ),
+        mid AS (SELECT v, AVG(rn * 1.0) AS midrank FROM rr GROUP BY v),
+        ranked AS (
+          SELECT rr.grp, mid.midrank FROM rr JOIN mid ON mid.v = rr.v
+        ),
+        n_tot AS (SELECT COUNT(*) AS n FROM x),
+        per_g AS (
+          SELECT grp, COUNT(*) AS ng, AVG(midrank) AS rbar
+          FROM ranked GROUP BY grp
+        ),
+        ties AS (
+          SELECT COALESCE(SUM(POW(t, 3) - t), 0) AS tsum
+          FROM (SELECT COUNT(*) AS t FROM x GROUP BY v
+                HAVING COUNT(*) > 1)
+        ),
+        h AS (
+          SELECT (12.0 / ((SELECT n FROM n_tot)
+                          * ((SELECT n FROM n_tot) + 1.0))
+                  * SUM(ng * POW(rbar
+                                 - ((SELECT n FROM n_tot) + 1.0) / 2, 2)))
+                 / (1 - (SELECT tsum FROM ties)
+                        / (POW((SELECT n FROM n_tot), 3)
+                           - (SELECT n FROM n_tot))) AS stat
+          FROM per_g
+        )
+        SELECT p.grp AS grp,
+               CAST(p.ng AS BIGINT) AS n,
+               ROUND(p.rbar, 6) AS mean_rank,
+               ROUND((SELECT stat FROM h), 6) AS kw_h,
+               CAST((SELECT COUNT(*) - 1 FROM per_g) AS BIGINT) AS df
+        FROM per_g p ORDER BY grp
+    """,
+    doc="Kruskal-Wallis H test across the five order-priority groups "
+    "on order value: the k-sample generalization of q221's "
+    "Mann-Whitney — pooled MIDRANKS (tied values share the average "
+    "of their row numbers), H = 12/(N(N+1)) * sum n_g (Rbar_g - "
+    "(N+1)/2)^2 with the ties correction 1 - sum(t^3 - t)/(N^3 - N) "
+    "— the omnibus distribution-free alternative to q330's ANOVA "
+    "when order values are heavy-tailed (they are: ANOVA's F "
+    "assumes equal-variance normal residuals the revenue tail "
+    "violates). Plan shape: the pooled global rank comes from "
+    "dist_rank's range-sharded pass (never a single-task window), "
+    "midranks from one value-keyed aggregate joined back, then a "
+    "5-row group census and two 1-row reductions (allowlisted).",
+)
+def q329(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+    from harmony_spark.operators.dist_rank import with_global_rank
+
+    x = table_parallel(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+    )
+    rr, n = with_global_rank(x, "v", ("o_orderkey",), out="rn")
+    mid = rr.groupBy("v").agg(F.avg(F.col("rn") * 1.0).alias("midrank"))
+    ranked = rr.join(mid, "v")
+    per_g = ranked.groupBy("grp").agg(
+        F.count("*").alias("ng"), F.avg("midrank").alias("rbar")
+    )
+    ties = (
+        rr.groupBy("v")
+        .agg(F.count("*").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.pow(F.col("t"), 3) - F.col("t")), F.lit(0.0)
+            ).alias("tsum")
+        )
+    )
+    h = per_g.crossJoin(F.broadcast(ties)).agg(
+        (
+            (
+                12.0
+                / (n * (n + 1.0))
+                * F.sum(
+                    F.col("ng") * F.pow(F.col("rbar") - (n + 1.0) / 2, 2)
+                )
+            )
+            / (1 - F.max("tsum") / (float(n) ** 3 - n))
+        ).alias("stat"),
+        (F.count("*") - 1).alias("df"),
+    )
+    return (
+        per_g.crossJoin(F.broadcast(h))
+        .select(
+            "grp",
+            F.col("ng").cast("long").alias("n"),
+            F.round("rbar", 6).alias("mean_rank"),
+            F.round("stat", 6).alias("kw_h"),
+            F.col("df").cast("long").alias("df"),
+        )
+        .orderBy("grp")
+    )
+
+
+@register(
+    "q330_oneway_anova",
+    oracle="""
+        WITH x AS (
+          SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders
+        ),
+        g AS (
+          SELECT grp, COUNT(*) AS ng, AVG(v) AS m, VAR_SAMP(v) AS s2
+          FROM x GROUP BY grp
+        ),
+        tot AS (SELECT COUNT(*) AS n, AVG(v) AS gm FROM x),
+        comp AS (
+          SELECT SUM(ng * POW(m - (SELECT gm FROM tot), 2)) AS ssb,
+                 SUM((ng - 1) * s2) AS ssw,
+                 COUNT(*) AS k
+          FROM g
+        )
+        SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+               CAST(k AS BIGINT) AS k_groups,
+               ROUND((ssb / (k - 1))
+                     / (ssw / ((SELECT n FROM tot) - k)), 6) AS f_stat,
+               ROUND(ssb / (ssb + ssw), 6) AS eta_squared,
+               ROUND(SQRT(ssb / ssw), 6) AS cohens_f
+        FROM comp
+    """,
+    doc="One-way ANOVA of order value across the five priority groups, "
+    "with effect sizes: F = MSB/MSW from per-group streaming moments "
+    "(count/mean/variance — one hash aggregate, no second pass), "
+    "eta-squared (share of variance explained) and Cohen's f — the "
+    "omnibus k-group mean test that q144's two-sample Welch t-test "
+    "does not cover, and the effect sizes that keep a huge-N "
+    "trivially-significant F honest (at N = 15k everything is "
+    "'significant'; eta^2 says whether it MATTERS). Pairs with "
+    "q329: ANOVA tests means under normality, Kruskal-Wallis tests "
+    "stochastic dominance assumption-free. Plan shape: one group "
+    "census + one 1-row total (allowlisted tiny cross joins); "
+    "entirely map-side-combinable moments.",
+)
+def q330(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    x = table_parallel(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+    )
+    g = x.groupBy("grp").agg(
+        F.count("*").alias("ng"),
+        F.avg("v").alias("m"),
+        F.var_samp("v").alias("s2"),
+    )
+    tot = x.agg(F.count("*").alias("n"), F.avg("v").alias("gm"))
+    comp = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("ng") * F.pow(F.col("m") - F.col("gm"), 2)).alias("ssb"),
+        F.sum((F.col("ng") - 1) * F.col("s2")).alias("ssw"),
+        F.count("*").alias("k"),
+        F.max("n").alias("n"),
+    )
+    return comp.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias(
+            "eta_squared"
+        ),
+        F.round(F.sqrt(F.col("ssb") / F.col("ssw")), 6).alias("cohens_f"),
+    )
+
+
+@register(
+    "q331_brown_forsythe",
+    oracle="""
+        WITH x AS (
+          SELECT o_orderpriority AS grp, o_totalprice AS v, o_orderkey
+          FROM orders
+        ),
+        rk AS (
+          SELECT grp, v,
+                 ROW_NUMBER() OVER (PARTITION BY grp
+                                    ORDER BY v, o_orderkey) AS rn,
+                 COUNT(*) OVER (PARTITION BY grp) AS ng
+          FROM x
+        ),
+        med AS (
+          SELECT grp, AVG(v) AS med
+          FROM rk
+          WHERE rn IN ((ng + 1) // 2, (ng + 2) // 2)
+          GROUP BY grp
+        ),
+        z AS (
+          SELECT x.grp, ABS(x.v - med.med) AS z
+          FROM x JOIN med ON med.grp = x.grp
+        ),
+        g AS (
+          SELECT grp, COUNT(*) AS ng, AVG(z) AS m, VAR_SAMP(z) AS s2
+          FROM z GROUP BY grp
+        ),
+        tot AS (SELECT COUNT(*) AS n, AVG(z) AS gm FROM z),
+        comp AS (
+          SELECT SUM(ng * POW(m - (SELECT gm FROM tot), 2)) AS ssb,
+                 SUM((ng - 1) * s2) AS ssw,
+                 COUNT(*) AS k
+          FROM g
+        )
+        SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+               CAST(k AS BIGINT) AS k_groups,
+               ROUND((ssb / (k - 1))
+                     / (ssw / ((SELECT n FROM tot) - k)), 6) AS bf_stat
+        FROM comp
+    """,
+    doc="Brown-Forsythe variance-homogeneity test across the priority "
+    "groups: ANOVA on |x - group MEDIAN| — the robust Levene variant "
+    "whose median centering survives the heavy revenue tail that "
+    "breaks mean-centered Levene — the PRECONDITION check for "
+    "q330's equal-variance MSW pooling (if BF rejects, trust q329 "
+    "or Welch instead). Exact per-group medians come from "
+    "dist_rank's sharded rank with partition_by=('grp',) (bounded "
+    "group count, never one task per group's full sort): the "
+    "middle-rank rows are picked by the type-2 rule (avg of the two "
+    "central order statistics). Plan shape: sharded per-group rank, "
+    "5-row median census broadcast back, one moment census, two "
+    "1-row reductions (allowlisted).",
+)
+def q331(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+    from harmony_spark.operators.dist_rank import with_global_rank
+
+    x = table_parallel(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+    )
+    rk, _ = with_global_rank(
+        x,
+        "v",
+        ("o_orderkey",),
+        partition_by=("grp",),
+        out="rn",
+        count_col="ng",
+    )
+    med = (
+        rk.where(
+            (F.col("rn") == F.floor((F.col("ng") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("ng") + 2) / 2))
+        )
+        .groupBy("grp")
+        .agg(F.avg("v").alias("med"))
+    )
+    z = x.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("grp").agg(
+        F.count("*").alias("ng"),
+        F.avg("z").alias("m"),
+        F.var_samp("z").alias("s2"),
+    )
+    tot = z.agg(F.count("*").alias("n"), F.avg("z").alias("gm"))
+    comp = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("ng") * F.pow(F.col("m") - F.col("gm"), 2)).alias("ssb"),
+        F.sum((F.col("ng") - 1) * F.col("s2")).alias("ssw"),
+        F.count("*").alias("k"),
+        F.max("n").alias("n"),
+    )
+    return comp.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("bf_stat"),
     )

@@ -167,6 +167,9 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q324_t_closeness",  # class census x the ~11-row global bucket census
     "q326_loo_target_encoding",  # cross join vs the 1-row global prior
     "q327_group_sequential",  # cumulative inequality join vs 5-row look spine
+    "q329_kruskal_wallis",  # cross joins vs 1-row ties/H reductions
+    "q330_oneway_anova",  # cross join vs the 1-row grand-mean total
+    "q331_brown_forsythe",  # cross join vs the 1-row grand-mean total
 }
 
 
