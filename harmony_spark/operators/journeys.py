@@ -2278,3 +2278,198 @@ def q328(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q332_smr_standardization",
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 CASE WHEN (CAST(('0x' || substr(md5(CAST(user_id
+                                  AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+                           / 4294967297.0 < 0.5
+                      THEN 'A' ELSE 'B' END AS cohort,
+                 date_diff('microsecond', MIN(ts), MAX(ts))
+                   // (7 * 86400000000) AS tenure_wk,
+                 CASE WHEN date_diff('microsecond', MAX(ts),
+                                     TIMESTAMP '{_KM_OBS_END} 00:00:00')
+                           >= {_KM_CENSOR_DAYS} * 86400000000
+                      THEN 1 ELSE 0 END AS churned
+          FROM events GROUP BY user_id
+        ),
+        strata AS (
+          SELECT tenure_wk, AVG(CAST(churned AS DOUBLE)) AS global_rate
+          FROM u GROUP BY tenure_wk
+        ),
+        coh AS (
+          SELECT c.cohort,
+                 COUNT(*) AS n_users,
+                 SUM(c.churned) AS observed,
+                 SUM(s.global_rate) AS expected
+          FROM u c JOIN strata s ON s.tenure_wk = c.tenure_wk
+          GROUP BY c.cohort
+        )
+        SELECT cohort,
+               CAST(n_users AS BIGINT) AS n_users,
+               CAST(observed AS BIGINT) AS observed_churn,
+               ROUND(expected, 6) AS expected_churn,
+               ROUND(CASE WHEN expected > 0 THEN observed / expected
+                          ELSE 0 END, 6) AS smr
+        FROM coh ORDER BY cohort
+    """,
+    doc="Indirectly-standardized churn ratio (the epidemiologists' "
+    "SMR applied to retention): each cohort's expected churn is the "
+    "sum of GLOBAL per-tenure-week rates over its own tenure mix, "
+    "and SMR = observed/expected — the adjustment that separates "
+    "'this cohort churns more' from 'this cohort is just newer' "
+    "(raw churn-rate comparisons q153/q119 cannot distinguish the "
+    "two when tenure mixes differ; Simpson's paradox in time). "
+    "Same censored-churn construction as q171/q309/q315. Plan "
+    "shape: one user census, a tenure-week stratum table broadcast "
+    "back, one 2-row cohort reduce; deterministic per-stratum "
+    "rates, guarded ratio.",
+)
+def q332(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / 4294967297.0
+    obs_end_us = F.unix_micros(F.lit(_KM_OBS_END).cast("timestamp"))
+    day_us = 86_400_000_000
+    u = (
+        table_parallel(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / (7 * day_us)
+            ).alias("tenure_wk"),
+            F.when(
+                obs_end_us - F.unix_micros(F.max("ts"))
+                >= _KM_CENSOR_DAYS * day_us,
+                1,
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+        .withColumn("cohort", F.when(arm < 0.5, "A").otherwise("B"))
+    )
+    strata = u.groupBy("tenure_wk").agg(
+        F.avg(F.col("churned").cast("double")).alias("global_rate")
+    )
+    coh = (
+        u.join(F.broadcast(strata), "tenure_wk")
+        .groupBy("cohort")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("churned").alias("observed"),
+            F.sum("global_rate").alias("expected"),
+        )
+    )
+    return coh.select(
+        "cohort",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("observed").cast("long").alias("observed_churn"),
+        F.round("expected", 6).alias("expected_churn"),
+        F.round(
+            F.when(
+                F.col("expected") > 0, F.col("observed") / F.col("expected")
+            ).otherwise(0.0),
+            6,
+        ).alias("smr"),
+    ).orderBy("cohort")
+
+
+@register(
+    "q334_customer_alive",
+    oracle="""
+        WITH u AS (
+          SELECT user_id,
+                 COUNT(*) AS k,
+                 date_diff('microsecond', MAX(ts),
+                           TIMESTAMP '2024-01-31 00:00:00') // 86400000000
+                   AS recency_d,
+                 date_diff('microsecond', MIN(ts), MAX(ts)) // 86400000000
+                   AS span_d
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        rate AS (
+          SELECT user_id, k, recency_d,
+                 CASE WHEN span_d > 0 THEN (k - 1.0) / span_d ELSE 0 END
+                   AS lam
+          FROM u
+        ),
+        scored AS (
+          SELECT user_id, k, recency_d,
+                 CASE WHEN lam > 0 THEN EXP(-lam * recency_d) ELSE 1.0 END
+                   AS p_alive
+          FROM rate
+        ),
+        bucketed AS (
+          SELECT CAST(LEAST(FLOOR(p_alive * 10), 9) AS BIGINT) AS decile,
+                 p_alive, k
+          FROM scored
+        )
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               ROUND(AVG(p_alive), 6) AS mean_p_alive,
+               ROUND(AVG(k * 1.0), 6) AS mean_purchases
+        FROM bucketed GROUP BY decile ORDER BY decile
+    """,
+    doc="Customer-alive probability under the exponential-recency "
+    "heuristic (the closed-form BG/NBD stand-in a warehouse can "
+    "compute in one pass): each purchaser's individual rate lambda "
+    "= (k-1)/span from their own history, P(alive) = exp(-lambda * "
+    "recency) — a frequent buyer gone quiet for a week scores LOWER "
+    "than a yearly buyer gone quiet for a month, which recency-only "
+    "cuts (q185 RFM's R quintile) invert. Reported as the decile "
+    "census with mean purchase counts (the CRM targeting table). "
+    "Plan shape: one purchase-keyed user aggregate, row-local "
+    "arithmetic, one bounded decile census; exp() evaluated "
+    "identically by both engines.",
+)
+def q334(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    day_us = 86_400_000_000
+    obs = F.unix_micros(F.lit("2024-01-31 00:00:00").cast("timestamp"))
+    u = (
+        table_parallel(spark, sf, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.floor((obs - F.unix_micros(F.max("ts"))) / day_us).alias(
+                "recency_d"
+            ),
+            F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / day_us
+            ).alias("span_d"),
+        )
+    )
+    lam = F.when(
+        F.col("span_d") > 0, (F.col("k") - 1.0) / F.col("span_d")
+    ).otherwise(0.0)
+    p_alive = F.when(lam > 0, F.exp(-lam * F.col("recency_d"))).otherwise(1.0)
+    scored = u.select("k", p_alive.alias("p_alive"))
+    return (
+        scored.select(
+            F.least(F.floor(F.col("p_alive") * 10), F.lit(9))
+            .cast("long")
+            .alias("decile"),
+            "p_alive",
+            "k",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(F.avg("p_alive"), 6).alias("mean_p_alive"),
+            F.round(F.avg(F.col("k") * 1.0), 6).alias("mean_purchases"),
+        )
+        .orderBy("decile")
+    )

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327", "q329", "q330", "q331"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327", "q329", "q330", "q331", "q333"]
 
 
 @register(
@@ -4516,4 +4516,78 @@ def q331(spark: SparkSession, sf: str) -> DataFrame:
             / (F.col("ssw") / (F.col("n") - F.col("k"))),
             6,
         ).alias("bf_stat"),
+    )
+
+
+@register(
+    "q333_cochran_armitage",
+    oracle="""
+        WITH x AS (
+          SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS score,
+                 CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS hit
+          FROM orders
+        ),
+        g AS (
+          SELECT score, COUNT(*) AS n, SUM(hit) AS r FROM x GROUP BY score
+        ),
+        tot AS (
+          SELECT SUM(n) AS nn, SUM(r) AS rr,
+                 SUM(n * score) AS sn1, SUM(n * score * score) AS sn2
+          FROM g
+        ),
+        stat AS (
+          SELECT (SELECT SUM(r * score) FROM g)
+                 - (SELECT rr FROM tot) * 1.0 * (SELECT sn1 FROM tot)
+                   / (SELECT nn FROM tot) AS t_num,
+                 (SELECT rr FROM tot) * 1.0 / (SELECT nn FROM tot)
+                   * (1 - (SELECT rr FROM tot) * 1.0
+                          / (SELECT nn FROM tot))
+                   * ((SELECT sn2 FROM tot)
+                      - POW((SELECT sn1 FROM tot), 2) * 1.0
+                        / (SELECT nn FROM tot)) AS t_var
+        )
+        SELECT CAST((SELECT nn FROM tot) AS BIGINT) AS n,
+               CAST((SELECT rr FROM tot) AS BIGINT) AS n_hits,
+               ROUND(t_num, 6) AS trend_numerator,
+               ROUND(t_num / SQRT(t_var), 6) AS ca_z
+        FROM stat
+    """,
+    doc="Cochran-Armitage trend test: is the high-value-order "
+    "proportion MONOTONE in the ordered priority score (1-URGENT .. "
+    "5-LOW)? z = [sum r_i s_i - R*sum(n_i s_i)/N] / sqrt(p(1-p) * "
+    "(sum n_i s_i^2 - (sum n_i s_i)^2/N)) — the one-degree-of-"
+    "freedom dose-response test that q190's omnibus chi-square "
+    "dilutes across k-1 df (a clean monotone gradient can be "
+    "'insignificant' in the omnibus test while CA flags it, and "
+    "vice versa for non-monotone structure). Plan shape: one "
+    "5-row score census, a single moment reduce — everything "
+    "map-side-combinable, one row out.",
+)
+def q333(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    x = table_parallel(spark, sf, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("score"),
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("hit"),
+    )
+    g = x.groupBy("score").agg(
+        F.count("*").alias("n"), F.sum("hit").alias("r")
+    )
+    stat = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("r").alias("rr"),
+        F.sum(F.col("n") * F.col("score")).alias("sn1"),
+        F.sum(F.col("n") * F.col("score") * F.col("score")).alias("sn2"),
+        F.sum(F.col("r") * F.col("score")).alias("rs"),
+    )
+    p = F.col("rr") * 1.0 / F.col("nn")
+    t_num = F.col("rs") - F.col("rr") * 1.0 * F.col("sn1") / F.col("nn")
+    t_var = p * (1 - p) * (
+        F.col("sn2") - F.pow(F.col("sn1"), 2) * 1.0 / F.col("nn")
+    )
+    return stat.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("rr").cast("long").alias("n_hits"),
+        F.round(t_num, 6).alias("trend_numerator"),
+        F.round(t_num / F.sqrt(t_var), 6).alias("ca_z"),
     )
