@@ -1468,3 +1468,104 @@ def q316(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(15)
     )
+
+
+_KN_D = 0.75
+
+
+@register(
+    "q335_kneser_ney",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, t.tok AS tok, t.pos AS pos
+          FROM documents,
+               LATERAL (SELECT UNNEST(string_split_regex(lower(text),
+                                      '[^a-z]+')) AS tok,
+                        generate_subscripts(
+                          string_split_regex(lower(text), '[^a-z]+'), 1)
+                          AS pos
+               ) t
+          WHERE t.tok <> ''
+        ),
+        big AS (
+          SELECT doc_id, tok AS w1,
+                 LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM tok
+        ),
+        bc AS (
+          SELECT w1, w2, COUNT(*) AS c FROM big WHERE w2 IS NOT NULL
+          GROUP BY w1, w2
+        ),
+        uc AS (SELECT w1, SUM(c) AS cu, COUNT(*) AS types
+               FROM bc GROUP BY w1),
+        cont AS (SELECT w2, COUNT(*) AS nc FROM bc GROUP BY w2),
+        nbig AS (SELECT COUNT(*) AS nb FROM bc),
+        kn AS (
+          SELECT bc.w1, bc.w2, bc.c,
+                 GREATEST(bc.c - {_KN_D}, 0) / uc.cu
+                 + ({_KN_D} / uc.cu) * uc.types
+                   * (cont.nc * 1.0 / (SELECT nb FROM nbig)) AS p_kn
+          FROM bc
+          JOIN uc ON uc.w1 = bc.w1
+          JOIN cont ON cont.w2 = bc.w2
+          WHERE bc.c >= 5
+        )
+        SELECT w1, w2, CAST(c AS BIGINT) AS c, ROUND(p_kn, 6) AS p_kn
+        FROM kn
+        ORDER BY ROUND(p_kn, 6) DESC, w1, w2
+        LIMIT 20
+    """,
+    doc="Interpolated Kneser-Ney bigram probabilities (absolute "
+    "discount D = 0.75): P(w2|w1) = max(c-D,0)/c(w1) + backoff mass "
+    "* continuation probability, where the continuation prob counts "
+    "DISTINCT LEFT CONTEXTS (N1+(.,w2)/N1+(.,.)) rather than raw "
+    "frequency — the smoothing insight ('Francisco' is frequent but "
+    "only ever follows 'San', so its unigram backoff should be "
+    "tiny) that made KN the standard n-gram LM before neural LMs, "
+    "and still the scoring backbone of fast corpus-quality filters "
+    "next to q110's unsmoothed surprisal and q230's Markov "
+    "perplexity. Top-20 bigrams (count >= 5) by smoothed "
+    "probability. Plan shape: doc-partitioned LEAD windows for "
+    "bigrams, three keyed censuses (bigram, left-context, "
+    "continuation) joined back, one 1-row distinct-bigram total; "
+    "TakeOrdered(20).",
+)
+def q335(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from harmony_spark.io import table_parallel
+
+    toks = F.split(F.lower(F.col("text")), r"[^a-z]+")
+    tok = (
+        table_parallel(spark, sf, "documents")
+        .select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .where(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2")
+    ).where(F.col("w2").isNotNull())
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    uc = bc.groupBy("w1").agg(
+        F.sum("c").alias("cu"), F.count("*").alias("types")
+    )
+    cont = bc.groupBy("w2").agg(F.count("*").alias("nc"))
+    nb = bc.count()
+    kn = (
+        bc.where(F.col("c") >= 5)
+        .join(uc, "w1")
+        .join(cont, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("c"),
+            F.round(
+                F.greatest(F.col("c") - _KN_D, F.lit(0.0)) / F.col("cu")
+                + (_KN_D / F.col("cu"))
+                * F.col("types")
+                * (F.col("nc") * 1.0 / nb),
+                6,
+            ).alias("p_kn"),
+        )
+    )
+    return kn.orderBy(F.desc("p_kn"), "w1", "w2").limit(20)

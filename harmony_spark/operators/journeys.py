@@ -2473,3 +2473,187 @@ def q334(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+_WF_WINDOW_H = 72
+
+
+@register(
+    "q337_window_funnel",
+    oracle=f"""
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN s1 ON s1.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+            AND date_diff('microsecond', s1.t1, e.ts)
+                <= {_WF_WINDOW_H} * 3600000000
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN s2 ON s2.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            AND date_diff('microsecond', s2.t2, e.ts)
+                <= {_WF_WINDOW_H} * 3600000000
+          GROUP BY e.user_id
+        ),
+        lv AS (
+          SELECT u.user_id,
+                 CASE WHEN s3.user_id IS NOT NULL THEN 3
+                      WHEN s2.user_id IS NOT NULL THEN 2
+                      WHEN s1.user_id IS NOT NULL THEN 1
+                      ELSE 0 END AS level
+          FROM (SELECT DISTINCT user_id FROM events) u
+          LEFT JOIN s1 ON s1.user_id = u.user_id
+          LEFT JOIN s2 ON s2.user_id = u.user_id
+          LEFT JOIN s3 ON s3.user_id = u.user_id
+        )
+        SELECT CAST(level AS BIGINT) AS level,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM lv GROUP BY level ORDER BY level
+    """,
+    doc="Deadline-constrained funnel (ClickHouse windowFunnel "
+    "semantics): view -> click -> purchase where EACH step must land "
+    "within 72 h of the previous step's first completion — the "
+    "campaign-attribution cut that q161's unconstrained ordered "
+    "funnel overstates (a click three weeks after the view still "
+    "counts there; a deadline funnel says the journey went cold). "
+    "Greedy earliest-completion per step; reported as the level "
+    "census (0..3). Plan shape: three user-keyed min-aggregates "
+    "chained by key-partitioned joins (no per-event window state), "
+    "then a 4-row census — each stage's table shrinks, so the chain "
+    "costs three small shuffles at any scale.",
+)
+def q337(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    ev = table_parallel(spark, sf, "events")
+    win_us = _WF_WINDOW_H * 3_600_000_000
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (F.unix_micros("ts") - F.unix_micros("t1") <= win_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (F.unix_micros("ts") - F.unix_micros("t2") <= win_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    lv = (
+        users.join(
+            s1.select("user_id", F.lit(1).alias("l1")), "user_id", "left"
+        )
+        .join(s2.select("user_id", F.lit(1).alias("l2")), "user_id", "left")
+        .join(s3.select("user_id", F.lit(1).alias("l3")), "user_id", "left")
+        .select(
+            F.when(F.col("l3").isNotNull(), 3)
+            .when(F.col("l2").isNotNull(), 2)
+            .when(F.col("l1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("level")
+        )
+    )
+    return (
+        lv.groupBy("level")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(F.col("level").cast("long").alias("level"), "n_users")
+        .orderBy("level")
+    )
+
+
+@register(
+    "q338_revenue_bridge",
+    oracle="""
+        WITH base AS (
+          SELECT c.c_mktsegment AS segment,
+                 CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS y,
+                 CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+          WHERE o.o_orderdate >= DATE '1996-01-01'
+            AND o.o_orderdate < DATE '1998-01-01'
+        ),
+        g AS (
+          SELECT segment,
+                 SUM(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS n0,
+                 SUM(CASE WHEN y = 1997 THEN 1 ELSE 0 END) AS n1,
+                 SUM(CASE WHEN y = 1996 THEN cents ELSE 0 END) AS c0,
+                 SUM(CASE WHEN y = 1997 THEN cents ELSE 0 END) AS c1
+          FROM base GROUP BY segment
+        )
+        SELECT segment,
+               CAST(n0 AS BIGINT) AS n_1996,
+               CAST(n1 AS BIGINT) AS n_1997,
+               CAST(c1 - c0 AS BIGINT) AS delta_cents,
+               ROUND((n1 - n0) * (CAST(c0 AS DOUBLE) / n0), 6)
+                 AS volume_effect,
+               ROUND(n1 * (CAST(c1 AS DOUBLE) / n1
+                           - CAST(c0 AS DOUBLE) / n0), 6) AS rate_effect
+        FROM g ORDER BY segment
+    """,
+    doc="Revenue bridge (volume/rate decomposition) per market "
+    "segment, 1996 -> 1997: delta revenue splits EXACTLY into "
+    "(n1-n0)*aov0 (volume effect: more orders at old value) + "
+    "n1*(aov1-aov0) (rate effect: new value on new volume) — the "
+    "FP&A waterfall that answers 'did revenue move because we sold "
+    "MORE or sold BIGGER', which a plain q296-style delta cannot "
+    "say; the two effects reconcile to delta_cents by construction "
+    "(an identity the oracle replays). Plan shape: one broadcast "
+    "dim join, one segment census with conditional sums — exact "
+    "integer cents, two rounded doubles.",
+)
+def q338(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    o = table_parallel(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    c = table_parallel(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    base = o.join(F.broadcast(c), "o_custkey").select(
+        "segment",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = base.groupBy("segment").agg(
+        F.sum(F.when(F.col("y") == 1996, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("y") == 1997, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("y") == 1996, F.col("cents")).otherwise(0)).alias(
+            "c0"
+        ),
+        F.sum(F.when(F.col("y") == 1997, F.col("cents")).otherwise(0)).alias(
+            "c1"
+        ),
+    )
+    a0 = F.col("c0").cast("double") / F.col("n0")
+    a1 = F.col("c1").cast("double") / F.col("n1")
+    return g.select(
+        "segment",
+        F.col("n0").cast("long").alias("n_1996"),
+        F.col("n1").cast("long").alias("n_1997"),
+        (F.col("c1") - F.col("c0")).cast("long").alias("delta_cents"),
+        F.round((F.col("n1") - F.col("n0")) * a0, 6).alias("volume_effect"),
+        F.round(F.col("n1") * (a1 - a0), 6).alias("rate_effect"),
+    ).orderBy("segment")

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327", "q329", "q330", "q331", "q333"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327", "q329", "q330", "q331", "q333", "q336"]
 
 
 @register(
@@ -4590,4 +4590,86 @@ def q333(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rr").cast("long").alias("n_hits"),
         F.round(t_num, 6).alias("trend_numerator"),
         F.round(t_num / F.sqrt(t_var), 6).alias("ca_z"),
+    )
+
+
+@register(
+    "q336_group_kfold_audit",
+    oracle="""
+        WITH naive AS (
+          SELECT o_custkey, COUNT(DISTINCT o_orderkey % 5) AS nf
+          FROM orders GROUP BY o_custkey
+        ),
+        grouped AS (
+          SELECT o_custkey,
+                 COUNT(DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey
+                        AS VARCHAR)), 1, 8)) AS BIGINT) % 5) AS nf
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT 'group_kfold' AS method,
+               CAST((SELECT COUNT(*) FROM grouped) AS BIGINT)
+                 AS n_customers,
+               CAST((SELECT SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END)
+                     FROM grouped) AS BIGINT) AS n_leaky,
+               ROUND((SELECT SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) * 1.0
+                      / COUNT(*) FROM grouped), 6) AS leaky_share
+        UNION ALL
+        SELECT 'row_hash' AS method,
+               CAST((SELECT COUNT(*) FROM naive) AS BIGINT),
+               CAST((SELECT SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END)
+                     FROM naive) AS BIGINT),
+               ROUND((SELECT SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) * 1.0
+                      / COUNT(*) FROM naive), 6)
+        ORDER BY method
+    """,
+    doc="Group k-fold leakage audit: under row-level fold assignment "
+    "(orderkey % 5) nearly every multi-order customer STRADDLES "
+    "folds — their test orders share a customer with training "
+    "orders, the cross-validation leak that inflates q241's CV "
+    "score whenever rows within an entity correlate — while "
+    "md5(custkey)-keyed GROUP folds pin every customer to exactly "
+    "one fold by construction (0 leaky). The audit quantifies the "
+    "difference as the straddling-customer share, the number to "
+    "check before trusting any per-row CV split; complements "
+    "q117's time-based leakage-free split with the entity-based "
+    "one. Plan shape: two customer-keyed distinct-fold censuses, "
+    "two 1-row reductions unioned.",
+)
+def q336(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    o = table_parallel(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    naive = o.groupBy("o_custkey").agg(
+        F.countDistinct(F.col("o_orderkey") % 5).alias("nf")
+    )
+    gf = (
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    grouped = o.groupBy("o_custkey").agg(F.countDistinct(gf).alias("nf"))
+
+    def census(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("method"),
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(F.when(F.col("nf") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaky"),
+            F.round(
+                F.sum(F.when(F.col("nf") > 1, 1).otherwise(0)) * 1.0
+                / F.count("*"),
+                6,
+            ).alias("leaky_share"),
+        )
+
+    return (
+        census(grouped, "group_kfold")
+        .unionByName(census(naive, "row_hash"))
+        .orderBy("method")
     )
