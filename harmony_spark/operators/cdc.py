@@ -871,3 +871,84 @@ def q321(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+_DUP_DAYS = 30
+_DUP_TOL = 0.05
+
+
+@register(
+    "q339_duplicate_charges",
+    oracle=f"""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, o_orderdate,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        pairs AS (
+          SELECT a.o_custkey,
+                 a.o_orderkey AS k1, b.o_orderkey AS k2,
+                 a.cents,
+                 ABS(b.cents - a.cents) AS dc,
+                 date_diff('day', a.o_orderdate, b.o_orderdate) AS gap_d
+          FROM o a JOIN o b
+            ON b.o_custkey = a.o_custkey
+           AND a.o_orderkey < b.o_orderkey
+           AND b.o_orderdate >= a.o_orderdate
+           AND date_diff('day', a.o_orderdate, b.o_orderdate)
+               <= {_DUP_DAYS}
+           AND ABS(b.cents - a.cents) * 1.0 <= {_DUP_TOL} * a.cents
+        )
+        SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(k1 AS BIGINT) AS k1,
+               CAST(k2 AS BIGINT) AS k2,
+               CAST(cents AS BIGINT) AS cents,
+               CAST(dc AS BIGINT) AS diff_cents,
+               CAST(gap_d AS BIGINT) AS gap_days
+        FROM pairs
+        ORDER BY o_custkey, k1, k2
+    """,
+    doc="Duplicate-charge candidate detection: same customer, order "
+    "values within 5%, placed within 30 days — the billing-audit "
+    "sweep that surfaces double submissions, retry artifacts and "
+    "split-then-resubmitted charges, which exact-key dedup (q29/"
+    "q30's hash identity) misses by construction because a retried "
+    "charge rarely reproduces the identical amount. Every candidate "
+    "pair is emitted with the amount gap and day gap for triage. "
+    "Plan shape: the self-join is EQUI on o_custkey (the blocking "
+    "key — pair generation never leaves a customer partition, whose "
+    "size is bounded by per-customer order cadence), with the "
+    "amount band and date band as residual filters; the amount "
+    "comparison is done in doubles identically on both engines.",
+)
+def q339(spark: SparkSession, sf: str) -> DataFrame:
+    o = table_parallel(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.o_custkey") == F.col("a.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.col("b.d") >= F.col("a.d"))
+        & (F.datediff(F.col("b.d"), F.col("a.d")) <= _DUP_DAYS)
+        & (
+            F.abs(F.col("b.cents") - F.col("a.cents")) * 1.0
+            <= _DUP_TOL * F.col("a.cents")
+        ),
+    ).select(
+        F.col("a.o_custkey").cast("long").alias("o_custkey"),
+        F.col("a.o_orderkey").cast("long").alias("k1"),
+        F.col("b.o_orderkey").cast("long").alias("k2"),
+        F.col("a.cents").cast("long").alias("cents"),
+        F.abs(F.col("b.cents") - F.col("a.cents"))
+        .cast("long")
+        .alias("diff_cents"),
+        F.datediff(F.col("b.d"), F.col("a.d")).cast("long").alias(
+            "gap_days"
+        ),
+    )
+    return pairs.orderBy("o_custkey", "k1", "k2")

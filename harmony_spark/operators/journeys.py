@@ -2657,3 +2657,155 @@ def q338(spark: SparkSession, sf: str) -> DataFrame:
         F.round((F.col("n1") - F.col("n0")) * a0, 6).alias("volume_effect"),
         F.round(F.col("n1") * (a1 - a0), 6).alias("rate_effect"),
     ).orderBy("segment")
+
+
+_AGING_CUT = "1998-08-01"
+
+
+@register(
+    "q340_open_order_aging",
+    oracle=f"""
+        WITH open_o AS (
+          SELECT c.c_mktsegment AS segment,
+                 date_diff('day', o.o_orderdate, DATE '{_AGING_CUT}')
+                   AS age_d,
+                 CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+          WHERE o.o_orderstatus = 'O'
+            AND o.o_orderdate <= DATE '{_AGING_CUT}'
+        ),
+        bucketed AS (
+          SELECT segment,
+                 CASE WHEN age_d <= 30 THEN '0-30'
+                      WHEN age_d <= 60 THEN '31-60'
+                      WHEN age_d <= 90 THEN '61-90'
+                      ELSE '90+' END AS age_bucket,
+                 cents
+          FROM open_o
+        )
+        SELECT segment, age_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM bucketed GROUP BY segment, age_bucket
+        ORDER BY segment, age_bucket
+    """,
+    doc="Open-order aging report (the accounts-receivable aging "
+    "shape): every order still in status 'O' at the snapshot date, "
+    "bucketed into the canonical 0-30/31-60/61-90/90+ day bands per "
+    "market segment with exact outstanding cents — the operational "
+    "backlog report that complements q250's day-by-day concurrency "
+    "census with the point-in-time cut finance actually closes "
+    "books on. Plan shape: pruned status+date scan, one broadcast "
+    "dim join, one (segment x band) census; integer-exact.",
+)
+def q340(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    cut = F.lit(_AGING_CUT).cast("date")
+    o = table_parallel(spark, sf, "orders").where(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderdate") <= cut)
+    )
+    c = table_parallel(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    age = F.datediff(cut, F.col("o_orderdate").cast("date"))
+    bucketed = o.join(F.broadcast(c), "o_custkey").select(
+        "segment",
+        F.when(age <= 30, "0-30")
+        .when(age <= 60, "31-60")
+        .when(age <= 90, "61-90")
+        .otherwise("90+")
+        .alias("age_bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        bucketed.groupBy("segment", "age_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("segment", "age_bucket")
+    )
+
+
+@register(
+    "q341_segment_migration",
+    oracle="""
+        WITH h AS (
+          SELECT o_custkey,
+                 CASE WHEN o_orderdate < DATE '1998-01-01' THEN 0
+                      ELSE 1 END AS period,
+                 COUNT(*) AS n
+          FROM orders
+          WHERE o_orderdate >= DATE '1996-01-01'
+          GROUP BY o_custkey, period
+        ),
+        w AS (
+          SELECT o_custkey,
+                 MAX(CASE WHEN period = 0 THEN n END) AS n0,
+                 MAX(CASE WHEN period = 1 THEN n END) AS n1
+          FROM h GROUP BY o_custkey
+        ),
+        labeled AS (
+          SELECT CASE WHEN n0 IS NULL THEN 'new'
+                      WHEN n0 >= 5 THEN 'heavy' ELSE 'light' END
+                   AS seg_from,
+                 CASE WHEN n1 IS NULL THEN 'churned'
+                      WHEN n1 >= 3 THEN 'heavy' ELSE 'light' END AS seg_to
+          FROM w
+        )
+        SELECT seg_from, seg_to,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM labeled GROUP BY seg_from, seg_to
+        ORDER BY seg_from, seg_to
+    """,
+    doc="Engagement-segment migration matrix between two periods "
+    "(1996-97 vs 1998+): each customer is labeled heavy/light by "
+    "order count in each period (new = absent before, churned = "
+    "absent after), and the flow census counts every (from, to) "
+    "cell — the customer-base waterfall that explains WHERE a "
+    "top-line change came from (q244's period movers ranks "
+    "individual movement; the migration matrix shows the aggregate "
+    "flows, including the new/churned boundary a rank view has no "
+    "row for). Plan shape: one (customer, period) census pivoted by "
+    "conditional MAX, one bounded 4x3 flow census — two "
+    "customer-keyed shuffles total.",
+)
+def q341(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    o = table_parallel(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("date")
+    )
+    h = (
+        o.select(
+            "o_custkey",
+            F.when(
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("date"), 0
+            )
+            .otherwise(1)
+            .alias("period"),
+        )
+        .groupBy("o_custkey", "period")
+        .agg(F.count("*").alias("n"))
+    )
+    w = h.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("period") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("period") == 1, F.col("n"))).alias("n1"),
+    )
+    labeled = w.select(
+        F.when(F.col("n0").isNull(), "new")
+        .when(F.col("n0") >= 5, "heavy")
+        .otherwise("light")
+        .alias("seg_from"),
+        F.when(F.col("n1").isNull(), "churned")
+        .when(F.col("n1") >= 3, "heavy")
+        .otherwise("light")
+        .alias("seg_to"),
+    )
+    return (
+        labeled.groupBy("seg_from", "seg_to")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("seg_from", "seg_to")
+    )
