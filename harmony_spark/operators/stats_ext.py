@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327", "q329", "q330", "q331", "q333", "q336"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327", "q329", "q330", "q331", "q333", "q336", "q342", "q343"]
 
 
 @register(
@@ -4672,4 +4672,144 @@ def q336(spark: SparkSession, sf: str) -> DataFrame:
         census(grouped, "group_kfold")
         .unionByName(census(naive, "row_hash"))
         .orderBy("method")
+    )
+
+
+@register(
+    "q342_price_elasticity",
+    oracle="""
+        WITH pq AS (
+          SELECT p.p_type AS ptype,
+                 LN(l.l_extendedprice / l.l_quantity) AS log_p,
+                 LN(l.l_quantity) AS log_q
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+        )
+        SELECT ptype,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(REGR_SLOPE(log_q, log_p), 6) AS elasticity,
+               ROUND(REGR_R2(log_q, log_p), 6) AS r2
+        FROM pq GROUP BY ptype ORDER BY ptype
+    """,
+    doc="Log-log price elasticity of demand per part type: the OLS "
+    "slope of ln(quantity) on ln(unit price) — the constant-"
+    "elasticity estimate whose coefficient reads directly as "
+    "%-quantity change per %-price change, the pricing-analytics "
+    "primitive q198's raw-scale trend cannot give (raw slopes "
+    "conflate level with response). REGR_SLOPE/REGR_R2 are five "
+    "streaming moments, so the whole fit is one map-side-combinable "
+    "aggregate per part type; R2 is reported because a near-zero "
+    "fit means the 'elasticity' is noise (the honest-reporting rule "
+    "q330 applies to its effect sizes). Plan shape: one broadcast "
+    "dim join, one grouped moment aggregate; per-row LN is "
+    "identical arithmetic on both engines.",
+)
+def q342(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    li = table_parallel(spark, sf, "lineitem").where(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    p = table_parallel(spark, sf, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_type").alias("ptype"),
+    )
+    pq = li.join(F.broadcast(p), "l_partkey").select(
+        "ptype",
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("log_p"),
+        F.log(F.col("l_quantity")).alias("log_q"),
+    )
+    return (
+        pq.groupBy("ptype")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.regr_slope("log_q", "log_p"), 6).alias("elasticity"),
+            F.round(F.regr_r2("log_q", "log_p"), 6).alias("r2"),
+        )
+        .orderBy("ptype")
+    )
+
+
+@register(
+    "q343_abc_classes",
+    oracle="""
+        WITH rev AS (
+          SELECT l_partkey,
+                 SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                          AS BIGINT)) AS rev_e4
+          FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (SELECT SUM(rev_e4) AS t, COUNT(*) AS np FROM rev),
+        ranked AS (
+          SELECT l_partkey, rev_e4,
+                 SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM rev
+        ),
+        classed AS (
+          SELECT CASE WHEN cum * 1.0 / (SELECT t FROM tot) <= 0.8 THEN 'A'
+                      WHEN cum * 1.0 / (SELECT t FROM tot) <= 0.95 THEN 'B'
+                      ELSE 'C' END AS abc_class,
+                 rev_e4
+          FROM ranked
+        )
+        SELECT abc_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(rev_e4) AS BIGINT) AS rev_e4,
+               ROUND(SUM(rev_e4) * 1.0 / (SELECT t FROM tot), 6)
+                 AS rev_share,
+               ROUND(COUNT(*) * 1.0 / (SELECT np FROM tot), 6)
+                 AS part_share
+        FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+    doc="ABC inventory classification: parts ranked by exact revenue, "
+    "class A = the head covering 80% of cumulative revenue, B = the "
+    "next 15%, C = the tail — the warehouse-operations cut (count A "
+    "items daily, C items yearly) that q187's Pareto whale curve "
+    "describes but does not MATERIALIZE as an assignment. The "
+    "cumulative revenue over the part ranking is entity-scale, so "
+    "it runs through dist_rank's sharded order-stats pass (running "
+    "integer sums with broadcast shard offsets — exact e4 units, "
+    "never a single-task window); the class census is 3 rows. The "
+    "oracle replays the same cumulative with a plain window.",
+)
+def q343(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+    from harmony_spark.operators.dist_rank import with_global_order_stats
+
+    rev = (
+        table_parallel(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 10000
+                ).cast("long")
+            ).alias("rev_e4")
+        )
+        .withColumn("neg_rev", -F.col("rev_e4"))
+    )
+    ranked, totals = with_global_order_stats(
+        rev, "neg_rev", ("l_partkey",), sum_cols={"rev_e4": "cum"}
+    )
+    t = totals["rev_e4"]
+    n_parts = totals["rows"]
+    classed = ranked.select(
+        F.when(F.col("cum") * 1.0 / t <= 0.8, "A")
+        .when(F.col("cum") * 1.0 / t <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_e4",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev_e4").cast("long").alias("rev_e4"),
+            F.round(F.sum("rev_e4") * 1.0 / t, 6).alias("rev_share"),
+            F.round(F.count("*") * 1.0 / n_parts, 6).alias("part_share"),
+        )
+        .orderBy("abc_class")
     )
