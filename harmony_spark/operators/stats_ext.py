@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327", "q329", "q330", "q331", "q333", "q336", "q342", "q343"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327", "q329", "q330", "q331", "q333", "q336", "q342", "q343", "q344", "q345"]
 
 
 @register(
@@ -4813,3 +4813,184 @@ def q343(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+def _phi_approx_sql(zcol: str) -> str:
+    """Standard normal CDF via the A&S 7.1.26 erf approximation — the
+    identical elementary-arithmetic expression the Spark side builds,
+    the q319 p-value convention."""
+    x = f"(ABS({zcol}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (
+        f"(0.254829592 * {t} - 0.284496736 * POW({t}, 2)"
+        f" + 1.421413741 * POW({t}, 3) - 1.453152027 * POW({t}, 4)"
+        f" + 1.061405429 * POW({t}, 5))"
+    )
+    erf = f"(1.0 - {poly} * exp(-{x} * {x}))"
+    return (
+        f"(CASE WHEN {zcol} >= 0 THEN 0.5 * (1.0 + {erf})"
+        f" ELSE 0.5 * (1.0 - {erf}) END)"
+    )
+
+
+_LN_Z = "((lx - (SELECT mu FROM fit)) / (SELECT sigma FROM fit))"
+
+
+@register(
+    "q344_lognormal_ks",
+    oracle=f"""
+        WITH x AS (
+          SELECT LN(o_totalprice) AS lx, o_orderkey FROM orders
+          WHERE o_totalprice > 0
+        ),
+        fit AS (
+          SELECT AVG(lx) AS mu, STDDEV_SAMP(lx) AS sigma, COUNT(*) AS n
+          FROM x
+        ),
+        ranked AS (
+          SELECT lx, ROW_NUMBER() OVER (ORDER BY lx, o_orderkey) AS rn
+          FROM x
+        ),
+        dev AS (
+          SELECT GREATEST(
+                   ABS(rn * 1.0 / (SELECT n FROM fit)
+                       - {_phi_approx_sql(_LN_Z)}),
+                   ABS((rn - 1.0) / (SELECT n FROM fit)
+                       - {_phi_approx_sql(_LN_Z)})
+                 ) AS d
+          FROM ranked
+        )
+        SELECT CAST((SELECT n FROM fit) AS BIGINT) AS n,
+               ROUND((SELECT mu FROM fit), 6) AS mu,
+               ROUND((SELECT sigma FROM fit), 6) AS sigma,
+               ROUND(MAX(d), 6) AS ks_stat
+        FROM dev
+    """,
+    doc="Lognormal distribution fit of order values with the "
+    "Kolmogorov-Smirnov goodness-of-fit statistic: MLE parameters "
+    "(mu, sigma) = moments of ln(x) in one streaming aggregate, "
+    "then D = sup over BOTH one-sided ECDF gaps (rn/n and (rn-1)/n "
+    "envelopes) against Phi((ln x - mu)/sigma) — the "
+    "distribution-FITTING companion to q191's two-SAMPLE KS: it "
+    "answers 'is spend actually lognormal', the assumption every "
+    "parametric revenue model and q344-style simulation quietly "
+    "makes. The global ECDF rank is dist_rank's sharded pass, the "
+    "normal CDF is the shared A&S erf approximation. Plan shape: "
+    "one moment census broadcast, one sharded rank, per-row "
+    "arithmetic, one max-reduce.",
+)
+def q344(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+    from harmony_spark.operators.dist_rank import with_global_rank
+
+    x = (
+        table_parallel(spark, sf, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(F.log("o_totalprice").alias("lx"), "o_orderkey")
+    )
+    fit = x.agg(
+        F.avg("lx").alias("mu"),
+        F.stddev_samp("lx").alias("sigma"),
+        F.count("*").alias("n"),
+    )
+    ranked, _n = with_global_rank(x, "lx", ("o_orderkey",), out="rn")
+    z = (F.col("lx") - F.col("mu")) / F.col("sigma")
+    xx = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = 1.0 / (1.0 + 0.3275911 * xx)
+    poly = (
+        0.254829592 * t
+        - 0.284496736 * F.pow(t, 2)
+        + 1.421413741 * F.pow(t, 3)
+        - 1.453152027 * F.pow(t, 4)
+        + 1.061405429 * F.pow(t, 5)
+    )
+    erf = 1.0 - poly * F.exp(-xx * xx)
+    phi = F.when(z >= 0, 0.5 * (1.0 + erf)).otherwise(0.5 * (1.0 - erf))
+    dev = ranked.crossJoin(F.broadcast(fit)).select(
+        F.greatest(
+            F.abs(F.col("rn") * 1.0 / F.col("n") - phi),
+            F.abs((F.col("rn") - 1.0) / F.col("n") - phi),
+        ).alias("d"),
+        "mu",
+        "sigma",
+        "n",
+    )
+    return dev.agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(F.max("mu"), 6).alias("mu"),
+        F.round(F.max("sigma"), 6).alias("sigma"),
+        F.round(F.max("d"), 6).alias("ks_stat"),
+    )
+
+
+@register(
+    "q345_metric_correlations",
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 COUNT(*) * 1.0 AS n_orders,
+                 SUM(o_totalprice) AS revenue,
+                 AVG(o_totalprice) AS aov,
+                 COUNT(DISTINCT o_custkey) * 1.0 AS n_customers
+          FROM orders GROUP BY day
+        ),
+        pairs AS (
+          SELECT 'aov' AS m1, 'n_customers' AS m2,
+                 CORR(aov, n_customers) AS r FROM daily
+          UNION ALL
+          SELECT 'aov', 'n_orders', CORR(aov, n_orders) FROM daily
+          UNION ALL
+          SELECT 'aov', 'revenue', CORR(aov, revenue) FROM daily
+          UNION ALL
+          SELECT 'n_customers', 'n_orders', CORR(n_customers, n_orders)
+          FROM daily
+          UNION ALL
+          SELECT 'n_customers', 'revenue', CORR(n_customers, revenue)
+          FROM daily
+          UNION ALL
+          SELECT 'n_orders', 'revenue', CORR(n_orders, revenue)
+          FROM daily
+        )
+        SELECT m1, m2, ROUND(r, 6) AS pearson_r
+        FROM pairs ORDER BY m1, m2
+    """,
+    doc="Pairwise Pearson correlation matrix of the four daily "
+    "business metrics (orders, revenue, AOV, active customers) over "
+    "the calendar-day census — the metric-health screen that "
+    "catches redundant KPIs (orders vs customers here correlate "
+    "~0.999: one is the other renamed) and surprising decouplings "
+    "(AOV vs volume near zero: price and traffic move "
+    "independently), which decides what q147's lead-lag analysis "
+    "is even worth running on. All six CORR pairs compute in ONE "
+    "pass over the day census (Spark plans the multi-agg as one "
+    "aggregate; the per-pair moments are streaming); the output "
+    "unpivots via stack(). Plan shape: one day-keyed census (the "
+    "distinct count is the only shuffle-heavy term), one 1-row "
+    "multi-moment reduce, a 6-row unpivot.",
+)
+def q345(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    daily = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            (F.count("*") * 1.0).alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+            F.avg("o_totalprice").alias("aov"),
+            (F.countDistinct("o_custkey") * 1.0).alias("n_customers"),
+        )
+    )
+    metrics = sorted(["n_orders", "revenue", "aov", "n_customers"])
+    aggs = []
+    names = []
+    for i, m1 in enumerate(metrics):
+        for m2 in metrics[i + 1 :]:
+            aggs.append(F.corr(m1, m2).alias(f"{m1}__{m2}"))
+            names.append((m1, m2))
+    row = daily.agg(*aggs)
+    stack = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in names)
+    out = row.selectExpr(f"stack({len(names)}, {stack}) as (m1, m2, r)")
+    return out.select(
+        "m1", "m2", F.round("r", 6).alias("pearson_r")
+    ).orderBy("m1", "m2")

@@ -170,6 +170,7 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q329_kruskal_wallis",  # cross joins vs 1-row ties/H reductions
     "q330_oneway_anova",  # cross join vs the 1-row grand-mean total
     "q331_brown_forsythe",  # cross join vs the 1-row grand-mean total
+    "q344_lognormal_ks",  # cross join vs the 1-row (mu, sigma, n) fit
 }
 
 
