@@ -61,6 +61,7 @@ def with_global_rank(
     shards: int = DEFAULT_SHARDS,
     partition_by: tuple[str, ...] = (),
     count_col: str | None = None,
+    persist: bool = False,
 ) -> tuple[DataFrame, int]:
     """Exact ``row_number()`` (or ``rank()``) ordered by (``key`` ASC,
     ``*tiebreaks`` ASC) — globally, or within each ``partition_by``
@@ -105,7 +106,9 @@ def with_global_rank(
     )
     cond = sh["__shard"] == off["__shard_r"]
     for i, c in enumerate(pcols):
-        cond = cond & (sh[c] == off[f"__pk_{i}"])
+        # eqNullSafe: a NULL partition key must keep its group's rows
+        # (a plain == join would silently drop them).
+        cond = cond & sh[c].eqNullSafe(off[f"__pk_{i}"])
     w = Window.partitionBy(*pcols, "__shard").orderBy(key, *tiebreaks)
     fn = F.row_number() if kind == "row_number" else F.rank()
     ranked = sh.join(F.broadcast(off), cond).withColumn(
@@ -116,7 +119,16 @@ def with_global_rank(
     drop = ["__shard", "__shard_r", "__off", "__tot"] + [
         f"__pk_{i}" for i in range(len(pcols))
     ]
-    return ranked.drop(*drop), total_all
+    ranked = ranked.drop(*drop)
+    if persist:
+        # Fan-out callers (the rank-stat family references the ranked
+        # output from 2-3 consumers: midranks, tie census, group means)
+        # must pay the shard-join + window exactly once — at 100 TB an
+        # unpersisted fan-out is N full passes instead of one.  Opt-in
+        # because measured at sf0.1 the materialization *costs* ~1 s for
+        # single-consumer callers with zero reuse to amortize it.
+        ranked = ranked.localCheckpoint(eager=False)
+    return ranked, total_all
 
 
 def with_global_order_stats(
@@ -127,6 +139,7 @@ def with_global_order_stats(
     rank_col: str | None = None,
     sum_cols: dict[str, str] | None = None,
     shards: int = DEFAULT_SHARDS,
+    persist: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Exact global order statistics in one sharded pass: an optional
     row_number (``rank_col``) plus running sums (inclusive frame) of
@@ -173,6 +186,9 @@ def with_global_order_stats(
             dst, (F.sum(src).over(w_cum) + F.col(f"__so_{src}")).cast("long")
         )
     out = out.drop("__shard", "__off", *[f"__so_{c}" for c in sum_cols])
+    if persist:
+        # Same opt-in fan-out persistence as with_global_rank.
+        out = out.localCheckpoint(eager=False)
     totals = {"rows": rn_off, **s_off}
     return out, totals
 

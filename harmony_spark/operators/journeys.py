@@ -929,15 +929,61 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
-    from harmony_spark.operators.dist_rank import with_global_ntile
+    from harmony_spark.operators.dist_rank import with_global_rank
 
-    m = m.withColumn("negf", -F.col("frequency")).withColumn(
-        "negm", -F.col("monetary_cents")
+    # ONE sharded rank pass for all three quintiles: stack the three
+    # (metric, value) pairs per user and rank partitioned by metric —
+    # replaces three sequential with_global_ntile passes (each paying
+    # its own quantile sketch + counts collect + window) with a single
+    # sketch/collect/window over 3N rows.  The ntile(5) bucket math is
+    # then column arithmetic on (rn, n): first N mod 5 buckets get the
+    # extra row, identical to NTILE on both engines.
+    stacked = m.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    F.col("recency_days").cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("f").alias("metric"),
+                    (-F.col("frequency")).cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("m").alias("metric"),
+                    (-F.col("monetary_cents")).cast("long").alias("v"),
+                ),
+            )
+        ).alias("s"),
+    ).select("user_id", "s.metric", "s.v")
+    ranked, _ = with_global_rank(
+        stacked,
+        "v",
+        ("user_id",),
+        partition_by=("metric",),
+        out="rn",
+        count_col="n",
     )
-    m = with_global_ntile(m, "recency_days", ("user_id",), n=5, out="r_q")
-    m = with_global_ntile(m, "negf", ("user_id",), n=5, out="f_q")
-    m = with_global_ntile(m, "negm", ("user_id",), n=5, out="m_q")
-    q = m.select("r_q", "f_q", "m_q")
+    base = F.expr("n DIV 5")
+    rem = F.col("n") % 5
+    cut = rem * (base + 1)
+    rn = F.col("rn")
+    tile = (
+        F.when(base == 0, rn)
+        .when(rn <= cut, F.expr("(rn + (n DIV 5)) DIV ((n DIV 5) + 1)"))
+        .otherwise(rem + F.expr("(rn - (n % 5) * ((n DIV 5) + 1) + (n DIV 5) - 1) DIV (n DIV 5)"))
+    )
+    q = (
+        ranked.withColumn("tile", tile)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("metric") == "r", F.col("tile"))).alias("r_q"),
+            F.max(F.when(F.col("metric") == "f", F.col("tile"))).alias("f_q"),
+            F.max(F.when(F.col("metric") == "m", F.col("tile"))).alias("m_q"),
+        )
+        .select("r_q", "f_q", "m_q")
+    )
     return (
         q.groupBy(
             F.col("r_q").cast("long").alias("r_q"),

@@ -4300,7 +4300,7 @@ def q329(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_totalprice").alias("v"),
         "o_orderkey",
     )
-    rr, n = with_global_rank(x, "v", ("o_orderkey",), out="rn")
+    rr, n = with_global_rank(x, "v", ("o_orderkey",), out="rn", persist=True)
     mid = rr.groupBy("v").agg(F.avg(F.col("rn") * 1.0).alias("midrank"))
     ranked = rr.join(mid, "v")
     per_g = ranked.groupBy("grp").agg(
