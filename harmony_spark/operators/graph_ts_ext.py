@@ -929,74 +929,124 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
     li = table_parallel(spark, sf, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
+    # Per-order pair EXPLOSION instead of a lineitem self-join: orders
+    # are bounded-width (7 items in TPC-H; a capped basket generally),
+    # so collecting each order's part set and emitting its ordered
+    # pairs JVM-side is one groupBy shuffle — no sort-merge join, no
+    # join-output distinct shuffle.  Both directions are emitted at
+    # once (i != j), so the symmetric union is free too.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    # partition on u before the checkpoint: the per-round degree
-    # aggregate and the first semi-join both key on u, so they reuse
-    # the checkpointed partitioning instead of re-shuffling the edges
+    sym = per_order.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x: F.transform(
+                            F.col("ps"),
+                            lambda y: F.struct(
+                                x.alias("u"), y.alias("v")
+                            ),
+                        ),
+                    )
+                ),
+                lambda s: s["u"] != s["v"],
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    # partition on u, THEN dedup: rows sharing u are co-located, so the
+    # (u, v) grouped dedup satisfies its clustering requirement from the
+    # u-partitioning and runs exchange-free; the per-round degree
+    # aggregate and first semi-join reuse the same partitioning.
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     g = (
-        pairs.unionByName(
-            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        .repartition(n_shuffle, F.col("u"))
+        sym.repartition(n_shuffle, F.col("u"))
+        .groupBy("u", "v")
+        .agg(F.lit(1))
+        .select("u", "v")
         .localCheckpoint(eager=True)
     )
-    from harmony_spark.operators.dist_rank import with_global_rank
-
-    deg0 = g.groupBy("u").agg(F.count("*").alias("d"))
-    dr, n_nodes = with_global_rank(deg0, "d", ("u",), out="rn")
-    kk = dr.where(F.col("rn") == (n_nodes + 1) // 2).select(
-        F.col("d").cast("long").alias("k")
+    deg0 = g.groupBy("u").agg(F.count("*").alias("d")).persist()
+    # Exact median degree from the DEGREE HISTOGRAM: distinct degree
+    # values are bounded by the max degree (and empirically O(sqrt V)
+    # for heavy-tailed graphs), so the (d, count) census collects in
+    # one action and the weighted median is driver arithmetic.  Falls
+    # back to the sharded rank if the histogram is unexpectedly wide.
+    hist = deg0.groupBy("d").agg(F.count("*").alias("c"))
+    hrows = sorted(
+        (r["d"], r["c"]) for r in hist.limit(200_001).collect()
     )
-    rows = []
+    if len(hrows) <= 200_000:
+        n_nodes = sum(c for _, c in hrows)
+        target = (n_nodes + 1) // 2  # rank of the lower median
+        acc, k = 0, 0
+        for d, c in hrows:
+            acc += c
+            if acc >= target:
+                k = int(d)
+                break
+    else:  # pragma: no cover — unbounded histogram fallback
+        from harmony_spark.operators.dist_rank import with_global_rank
+
+        dr, n_nodes = with_global_rank(deg0, "d", ("u",), out="rn")
+        krow = (
+            dr.where(F.col("rn") == (n_nodes + 1) // 2)
+            .select(F.col("d").cast("long").alias("k"))
+            .first()
+        )
+        k = int(krow["k"]) if krow else 0
+    rows: list[tuple] = []
+    prev_keep = prev_g = None
     for r in range(_KCORE_ROUNDS):
         # g is hash-partitioned on u (initial repartition; preserved by
-        # the checkpoint and by the broadcast semi-joins below), so this
-        # degree census never exchanges the edge set
-        deg = g.groupBy("u").agg(F.count("*").alias("d"))
+        # the cache and by the broadcast semi-joins below), so this
+        # degree census never exchanges the edge set.  Round 1 reuses
+        # deg0 — it IS the round-1 census, already computed for k.
+        deg = deg0 if r == 0 else g.groupBy("u").agg(
+            F.count("*").alias("d")
+        )
         # persist + count the O(#surviving-nodes) census: real stats
         # let Catalyst broadcast BOTH semi-joins when it fits (and fall
         # back to shuffle joins at scales where it doesn't), which also
         # preserves g's u-partitioning into the next round — the whole
         # peel runs with zero edge-set exchanges after the first
-        keep = (
-            deg.crossJoin(F.broadcast(kk))
-            .where(F.col("d") >= F.col("k"))
-            .select("u")
-            .persist()
-        )
-        keep.count()
-        g = (
+        keep = deg.where(F.col("d") >= k).select("u").persist()
+        nk = keep.count()
+        # eager localCheckpoint: truncates lineage so round r+1 plans
+        # against a flat scan (persist-only chains measured ~20% slower
+        # here — the optimizer re-analyzes the whole cached lineage
+        # every round); the follow-up count runs on the local RDD
+        g2 = (
             g.join(keep, "u")
             .join(keep.select(F.col("u").alias("v")), "v")
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-        stats = (
-            keep.agg(F.count("*").cast("long").alias("n_nodes"))
-            .crossJoin(
-                g.where(F.col("u") < F.col("v")).agg(
-                    F.count("*").cast("long").alias("n_edges")
-                )
+        ne = g2.count() // 2
+        if prev_keep is not None:
+            # round r's g is materialized; round r-1's state is dead
+            prev_keep.unpersist()
+        if prev_g is not None:
+            prev_g.unpersist()
+        prev_keep, prev_g, g = keep, g2, g2
+        rows.append((r + 1, nk, ne, k))
+        if r > 0 and (nk, ne) == (rows[-2][1], rows[-2][2]):
+            # fixed point: no vertex fell below k, every remaining
+            # round reports identical stats — fill without Spark jobs
+            rows.extend(
+                (rr + 1, nk, ne, k) for rr in range(r + 1, _KCORE_ROUNDS)
             )
-            .select(
-                F.lit(r + 1).cast("long").alias("round"), "n_nodes", "n_edges"
-            )
-        )
-        rows.append(stats)
-    out = rows[0]
-    for s in rows[1:]:
-        out = out.unionByName(s)
-    return out.crossJoin(F.broadcast(kk)).orderBy("round")
+            break
+    deg0.unpersist()
+    if prev_keep is not None:
+        prev_keep.unpersist()
+    if prev_g is not None:
+        prev_g.unpersist()
+    return spark.createDataFrame(
+        rows, "round long, n_nodes long, n_edges long, k long"
+    ).orderBy("round")
 
 
 @register(

@@ -137,6 +137,11 @@ def q263(spark: SparkSession, sf: str) -> DataFrame:
 
 _GD_CELL = 50000  # density-grid cell width
 _GD_MINPTS = 3  # core-cell density threshold
+# Driver union-find allowlist for the grid-bounded core-cell graph: the
+# cell census never exceeds (10^6/_GD_CELL)^2 cells (= 400 at this cell
+# width) no matter the input scale, so collecting its edge list is safe
+# by construction.  Set to 0 to force the distributed star-CC path.
+_GD_CC_DRIVER_MAX = 100_000
 
 
 @register(
@@ -210,9 +215,6 @@ _GD_MINPTS = 3  # core-cell density threshold
 )
 def q286(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.io import table_parallel
-    from harmony_spark.operators.graph import connected_components
-
-    from harmony_spark.operators.graph import connected_components
 
     def u(suf):
         return (
@@ -262,7 +264,42 @@ def q286(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("ca") < F.col("cb"))
         .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
     )
-    cc = connected_components(adj)  # (node, component); singletons absent
+    # The core-cell graph is GRID-bounded by construction (cx, cy are
+    # both < 10^6/_GD_CELL, so <= ~(10^6/_GD_CELL)^2 cells regardless of
+    # how many points feed it — at 100 TB the cell census is exactly as
+    # small as it is here).  When the edge census is under the driver
+    # allowlist threshold, collect it and union-find on the driver
+    # (O(E α(E)) instead of O(log n) distributed join rounds — the same
+    # explicit-allowlist discipline as the 1-row broadcasts); the
+    # distributed star-CC path remains for an unbounded cell graph.
+    edges = adj.collect() if _GD_CC_DRIVER_MAX else None
+    if edges is not None and len(edges) <= _GD_CC_DRIVER_MAX:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for e in edges:
+            ra, rb = find(e["src"]), find(e["dst"])
+            if ra != rb:
+                # union by min id so the label matches the distributed
+                # CC's min-node convention exactly
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        labels = sorted({n for e in edges for n in (e["src"], e["dst"])})
+        cc = spark.createDataFrame(
+            [(n, find(n)) for n in labels] or [(None, None)],
+            "node long, component long",
+        ).where(F.col("node").isNotNull())
+    else:
+        from harmony_spark.operators.graph import connected_components
+
+        cc = connected_components(adj)  # (node, component); no singletons
     comp = core.join(
         cc.select(F.col("node").alias("cell"), "component"), "cell", "left"
     ).select(
