@@ -22,6 +22,74 @@ _PR_ITERS = 5
 _PR_DAMP = 0.85
 
 
+def _copurchase_pairs(
+    spark: SparkSession,
+    sf: str,
+    src: str = "src",
+    dst: str = "dst",
+    build: str = "explode",
+) -> DataFrame:
+    """Deduped u<v part co-purchase pairs, shared by the graph family
+    (PageRank q225, BFS q254, LPA q258, k-core q262, triangles q292).
+    Lazy — callers checkpoint/persist to their own fan-out.
+
+    ``build="explode"``: per-order pair EXPLOSION — orders are bounded-
+    width (7 lineitems in TPC-H; a capped basket generally), so
+    collecting each order's part set and emitting its ordered pairs
+    JVM-side costs one groupBy shuffle; the scale-preferred shape (no
+    self-join of two full scans).  ``build="join"``: order-local
+    self-join + distinct — measured faster at local/sf0.1 for callers
+    that run long ITERATIVE successors (the collect_set aggregate's
+    allocation churn taxes the following iterations ~2 s on local[32];
+    at cluster scale the explode build wins on shuffle volume)."""
+    from harmony_spark.io import table_parallel
+
+    lip = table_parallel(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    if build == "join":
+        a, b = lip.alias("a"), lip.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias(src),
+                F.col("b.l_partkey").alias(dst),
+            )
+            .distinct()
+        )
+    per_order = lip.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    return (
+        per_order.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ps",
+                            lambda x: F.transform(
+                                F.col("ps"),
+                                lambda y: F.struct(
+                                    x.alias("u"), y.alias("v")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda s: s["u"] < s["v"],
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.u").alias(src), F.col("e.v").alias(dst))
+        .groupBy(src, dst)
+        .agg(F.lit(1))
+        .select(src, dst)
+    )
+
+
 def _pagerank_oracle() -> str:
     """Unrolled synchronous power iteration (pr0..prN CTEs): portable
     SQL — aggregation inside a recursive CTE member is not."""
@@ -81,28 +149,12 @@ def _pagerank_oracle() -> str:
     "ROUNDED 6-dp score with part-id tiebreak.",
 )
 def q225(spark: SparkSession, sf: str) -> DataFrame:
-    from harmony_spark.io import table_parallel
     from harmony_spark.operators.graph import pagerank
 
-    li = table_parallel(spark, sf, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-    )
+    pairs = _copurchase_pairs(spark, sf, build="join")
     # materialize the symmetric edge list ONCE: pagerank() references
-    # edges every iteration, and without this the order-local self-join
-    # + distinct would re-execute per round (halves the wall at sf0.1)
+    # edges every iteration, and without this the pair build would
+    # re-execute per round (halves the wall at sf0.1)
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
@@ -692,22 +744,7 @@ def q254(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.io import table_parallel
     from harmony_spark.operators.graph import bfs_hops
 
-    li = table_parallel(spark, sf, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-    )
+    pairs = _copurchase_pairs(spark, sf, build="join")
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
@@ -787,23 +824,7 @@ def _lpa_oracle() -> str:
     "per round. Determinism: all-integer counts, min-label ties.",
 )
 def q258(spark: SparkSession, sf: str) -> DataFrame:
-    from harmony_spark.io import table_parallel
-
-    li = table_parallel(spark, sf, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-    )
+    pairs = _copurchase_pairs(spark, sf, build="join")
     # checkpoint only the UNDIRECTED pairs (half the edge rows); the
     # directed view is a shuffle-free union over the checkpoint
     pairs = pairs.localCheckpoint(eager=True)
@@ -1819,43 +1840,10 @@ def q284(spark: SparkSession, sf: str) -> DataFrame:
     "forward degree; all-integer arithmetic, one double division.",
 )
 def q292(spark: SparkSession, sf: str) -> DataFrame:
-    from harmony_spark.io import table_parallel
-
-    lip = table_parallel(spark, sf, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    # Per-order pair explosion (the q262 build): orders are bounded-
-    # width, so each order's u<v part pairs are emitted JVM-side off
-    # one groupBy shuffle — no lineitem self-join, no join-output
-    # distinct.  Eager checkpoint: the pair set fans out three ways
-    # (degrees, orientation join, wedge closure).
-    per_order = lip.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
-    pairs = (
-        per_order.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "ps",
-                            lambda x: F.transform(
-                                F.col("ps"),
-                                lambda y: F.struct(
-                                    x.alias("u"), y.alias("v")
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda s: s["u"] < s["v"],
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .groupBy("u", "v")
-        .agg(F.lit(1))
-        .select("u", "v")
-        .localCheckpoint(eager=True)
+    # Eager checkpoint: the pair set fans out three ways (degrees,
+    # orientation join, wedge closure).
+    pairs = _copurchase_pairs(spark, sf, src="u", dst="v").localCheckpoint(
+        eager=True
     )
     und = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
