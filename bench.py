@@ -11,8 +11,10 @@ scan -> shuffle -> result, not just plan construction. A warmup query
 first absorbs JVM/codegen startup.
 
 Comparison leg (default ON; HARMONY_BENCH_DUCKDB=0 disables): each
-query's oracle SQL is also timed in DuckDB on the same machine/files
-(one run, per-oracle watchdog interrupt) and the output gains
+query's oracle SQL is also timed in DuckDB on the same machine/files —
+SYMMETRICALLY with the Spark side: best of the same
+HARMONY_BENCH_RUNS warm runs, per-run watchdog interrupt — and the
+output gains
 "duckdb_queries"/"duckdb_total" plus "spark_vs_duckdb" — the measured
 spark/duckdb total-time ratio over the queries timed on BOTH sides
 (the driver contract keys are unchanged). DuckDB is the
@@ -97,20 +99,51 @@ def main() -> None:
         for name in sorted(specs):
             if specs[name].oracle is None:
                 continue
-            # one timed run per oracle, with a watchdog interrupt so a
-            # quadratic oracle (NOT EXISTS skyline, unrolled CTEs) can
-            # never hang the whole bench
-            timer = threading.Timer(budget, con.interrupt)
-            timer.start()
-            try:
-                t0 = time.perf_counter()
-                con.sql(specs[name].oracle).fetchall()
-                best = time.perf_counter() - t0
-            except Exception as exc:  # noqa: BLE001
-                print(f"# duckdb {name}: ERR {exc}", file=sys.stderr)
+            # SYMMETRIC timing with the Spark side: best of the same
+            # HARMONY_BENCH_RUNS warm runs, with a per-run watchdog
+            # interrupt so a quadratic oracle (NOT EXISTS skyline,
+            # unrolled CTEs) can never hang the whole bench.  The
+            # watchdog flag guards against the fire-after-finish race:
+            # a pending interrupt would otherwise abort the NEXT run.
+            best, err = None, None
+            for _ in range(runs):
+                fired = threading.Event()
+
+                def _interrupt(ev=fired, c=con):
+                    ev.set()
+                    c.interrupt()
+
+                timer = threading.Timer(budget, _interrupt)
+                timer.start()
+                try:
+                    t0 = time.perf_counter()
+                    con.sql(specs[name].oracle).fetchall()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                except Exception as exc:  # noqa: BLE001
+                    err = exc
+                finally:
+                    timer.cancel()
+                if fired.is_set():
+                    # the interrupt fired (either aborting this run or
+                    # racing its completion): the connection may hold a
+                    # pending interrupt — rebuild it so the next query
+                    # is not spuriously aborted
+                    con = duckdb.connect()
+                    for t in (
+                        "region nation customer supplier part orders "
+                        "lineitem events documents embeddings"
+                    ).split():
+                        con.sql(
+                            f"CREATE VIEW {t} AS "
+                            f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+                        )
+                    break
+                if err is not None:
+                    break
+            if best is None:
+                print(f"# duckdb {name}: ERR {err}", file=sys.stderr)
                 continue
-            finally:
-                timer.cancel()
             dtimings[name] = round(best, 3)
             dtotal += best
             print(f"# duckdb {name}: {best:.3f}s", file=sys.stderr)

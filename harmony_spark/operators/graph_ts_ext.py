@@ -1511,6 +1511,9 @@ def q282(spark: SparkSession, sf: str) -> DataFrame:
             "is_test",
         )
         .distinct()
+        # lazily checkpointed: the train AND test splits both read bp,
+        # and without this the orders+lineitem join + distinct runs twice
+        .localCheckpoint(eager=False)
     )
     train = bp.where(~F.col("is_test")).select("cust", "part").distinct().localCheckpoint(eager=True)
     test = bp.where(F.col("is_test")).select("cust", "part").distinct().localCheckpoint(eager=True)
@@ -1534,6 +1537,9 @@ def q282(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(F.col("r") == 1)
         .select(F.col("c1").alias("cust"), F.col("c2").alias("neighbor"))
+        # both the rec join and the eval census read best; persist so
+        # the Adamic-Adar self-join + top-1 window runs once
+        .localCheckpoint(eager=False)
     )
     recs = (
         best.join(

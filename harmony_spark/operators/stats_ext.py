@@ -2340,8 +2340,16 @@ def q276(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("ck"))
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents0"))
     )
-    cust = c.join(o, "ck", "left").select(
-        "ck", "seg", "nk", F.coalesce("cents0", F.lit(0)).alias("cents")
+    # cust feeds both the median rank pass and the labeled table; lab
+    # fans out to SIX consumers (priors, totals, two cardinalities, two
+    # frequency censuses, scoring) — checkpoint each so the customer/
+    # orders join and the sharded median pass run once, not per branch.
+    cust = (
+        c.join(o, "ck", "left")
+        .select(
+            "ck", "seg", "nk", F.coalesce("cents0", F.lit(0)).alias("cents")
+        )
+        .localCheckpoint(eager=False)
     )
     from harmony_spark.operators.dist_rank import with_global_rank
 
@@ -2351,11 +2359,15 @@ def q276(spark: SparkSession, sf: str) -> DataFrame:
     med = ranked.where(F.col("rn") == (n_cust + 1) // 2).select(
         F.col("cents").alias("m")
     )
-    lab = cust.crossJoin(F.broadcast(med)).select(
-        "ck",
-        "seg",
-        "nk",
-        F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("y"),
+    lab = (
+        cust.crossJoin(F.broadcast(med))
+        .select(
+            "ck",
+            "seg",
+            "nk",
+            F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("y"),
+        )
+        .localCheckpoint(eager=False)
     )
     pri = lab.groupBy("y").agg(F.count("*").alias("ny"))
     tot = pri.agg(F.sum("ny").alias("n"))

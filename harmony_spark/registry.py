@@ -66,6 +66,21 @@ _PROMOTED = (
     # Markov attribution), swapped in for seven more long-green q0x
     # kernel rows that stay pinned by the invariant + local gates (see
     # _ROTATED_OUT).
+    # round-5 rotation (VERDICT r4 #5): ten round-4 family heads that
+    # have never had a driver row (grid DBSCAN, triangles, SRP LSH,
+    # equi-depth histogram, group-sequential, Kruskal-Wallis,
+    # customer-alive, Kneser-Ney, elasticity, ABC), swapped in for ten
+    # long-green q0x relational rows now in _ROTATED_OUT.
+    "q286_grid_density_clusters",
+    "q292_triangle_count",
+    "q318_hyperplane_lsh",
+    "q325_equidepth_histogram",
+    "q327_group_sequential",
+    "q329_kruskal_wallis",
+    "q334_customer_alive",
+    "q335_kneser_ney",
+    "q342_price_elasticity",
+    "q343_abc_classes",
     "q298_cuped_adjustment",
     "q303_wasserstein_drift",
     "q304_average_precision",
@@ -106,6 +121,23 @@ _PROMOTED = (
 # ops by in-window q22 anti-join; q25 scalar fns by q26 JSON row).
 _ROTATED_OUT = frozenset(
     {
+        # round-5: driver-green since round 1/2; every one stays pinned
+        # by the identical local oracle gate and an in-window neighbour
+        # (q01 scan by every promoted scan-heavy row; q02 by the
+        # harmony_* rows; q15 rollup by q56's grouped aggregate; q16 by
+        # q125's broadcast-join regression; q17/q18 windows by q62/q128;
+        # q22/q23 joins by q134/q164 as-of family; q26 JSON by q64-family
+        # local gate; q27 tumbling by in-window q28 sessionization).
+        "q01_scan_filter_project",
+        "q02_stddev_sink",
+        "q15_rollup",
+        "q16_broadcast_join_arith",
+        "q17_topk_per_group",
+        "q18_sliding_window_avg",
+        "q22_anti_join",
+        "q23_range_join",
+        "q26_json_extract",
+        "q27_tumbling_window",
         "q03_array_slice",
         "q04_l2_norm",
         "q08_batch_counts",
@@ -144,14 +176,15 @@ _DEMOTED = frozenset(
 def _priority(name: str) -> tuple[int, int]:
     """Registry ordering: the driver's correctness gate checks the FIRST
     50 entries. In-window (positions 1-50): the SURVEY §2.11 corpus
-    q01-q32 minus the seventeen _ROTATED_OUT rows, the four harmony_*
-    pipelines, and the thirty-one promoted queries — seven session-7
-    family heads (q298/q303/q304/q311/q314/q322/q323), ten round-4
-    rotation heads (q47/q56/q62/q73/q107/q113/q125/q128/q152/q156,
-    families that had never had a driver row) plus the fourteen
-    round-3 promotions (q89/q97/q98/q100/q101/q102/q104/q130/q132/
-    q134/q148/q164/q165/q234). Out-of-window rows are covered by the
-    identical local oracle gate at sf0.001 instead."""
+    q01-q32 minus the twenty-seven _ROTATED_OUT rows, the four
+    harmony_* pipelines, and the forty-one promoted queries — ten
+    round-5 rotation heads (q286/q292/q318/q325/q327/q329/q334/q335/
+    q342/q343, round-4 families that had never had a driver row),
+    seven session-7 heads (q298/q303/q304/q311/q314/q322/q323), ten
+    round-4 rotation heads (q47/q56/q62/q73/q107/q113/q125/q128/q152/
+    q156) plus the fourteen round-3 promotions (q89/q97/q98/q100/q101/
+    q102/q104/q130/q132/q134/q148/q164/q165/q234). Out-of-window rows
+    are covered by the identical local oracle gate at sf0.001."""
     if name in _PROMOTED:
         return (2, _PROMOTED.index(name))
     if name.startswith("q"):
