@@ -1785,8 +1785,8 @@ _WIN_MIN_SHARED = 2
         LIMIT 15
     """,
     doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken "
-    "2003, the MOSS algorithm): hash every {_WIN_K}-token gram, keep "
-    "the MINIMUM hash of each window of {_WIN_W} consecutive grams — "
+    f"2003, the MOSS algorithm): hash every {_WIN_K}-token gram, keep "
+    f"the MINIMUM hash of each window of {_WIN_W} consecutive grams — "
     "the guarantee is that any shared substring of length >= "
     "k + w - 1 tokens produces at least one shared fingerprint, so "
     "LOCAL plagiarism/quotation overlap is caught where q41's "

@@ -812,7 +812,7 @@ def q313(spark: SparkSession, sf: str) -> DataFrame:
     "a real bus produces), is deduplicated to exactly-once by "
     "event-key BEFORE accumulation, then additively merged into the "
     "pre-1997 per-customer state — naive accumulation without the "
-    "dedup would double-count ~43%% of the delta, and the "
+    "dedup would double-count ~43% of the delta, and the "
     "per-segment digest (which must equal a clean single-delivery "
     "run) is the invariant a pipeline replay test asserts. "
     "Completes the CDC family: q114 merges keyed upserts, q311 "

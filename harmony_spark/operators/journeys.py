@@ -2151,7 +2151,7 @@ def _mk_oracle() -> str:
     doc=f"Markov removal-effect attribution: per-user journeys "
     "(truncated at first purchase, absorbed into conv/null) collapse "
     "to a first-order transition matrix; the conversion probability "
-    "from 'start' comes from {_MK_STEPS} absorbing-chain power steps, "
+    f"from 'start' comes from {_MK_STEPS} absorbing-chain power steps, "
     "and each channel's credit is its REMOVAL EFFECT — how much "
     "p(conversion) drops when that channel's incoming edges are "
     "redirected to null — normalized into attribution shares. This "

@@ -667,3 +667,18 @@ def test_q241_kfold_is_single_moment_pass(spark, sf_dir):
     plan = plan_of(load_all()["q241_kfold_ols_cv"], spark, sf_dir, mode="simple")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q329_rank_pass_materialized_once(spark, sf_dir):
+    """Round-5 pin (VERDICT r4 #6): the Kruskal-Wallis fan-out —
+    midranks, tie census and group means all read the ranked output —
+    must consume ONE materialized rank pass.  with_global_rank(
+    persist=True) truncates lineage at the checkpointed ranked output,
+    so the final optimized plan shows LogicalRDD scans of the shared
+    checkpoint and ZERO Window nodes; drop the persist and the
+    shard-join + window reappears once per consumer (three full passes
+    at 100 TB) and this goes red."""
+    df = load_all()["q329_kruskal_wallis"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window") == 0, plan[:1500]
+    assert "LogicalRDD" in plan
