@@ -1663,7 +1663,7 @@ _CT_MIN = 0.6
     doc=f"CONTAINMENT detection (quotation / near-subset pairs): "
     f"{_CT_SH}-token shingle sets, pair overlap counted only over "
     f"RARE shingles (document frequency <= {_CT_DF}), scored as "
-    "|A∩B| / min(|A|,|B|) >= {_CT_MIN}. The asymmetric complement "
+    f"|A∩B| / min(|A|,|B|) >= {_CT_MIN}. The asymmetric complement "
     "of the Jaccard dedup family (q33/q86): a short document quoted "
     "inside a long one has near-total containment but low Jaccard, "
     "so symmetric dedup keeps BOTH copies and the training set "

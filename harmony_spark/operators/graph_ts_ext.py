@@ -809,7 +809,7 @@ def _lpa_oracle() -> str:
     "q258_label_propagation",
     oracle=_lpa_oracle(),
     doc=f"Community detection by SYNCHRONOUS label propagation over "
-    "the part co-purchase graph ({_LPA_ITERS} rounds, every node "
+    f"the part co-purchase graph ({_LPA_ITERS} rounds, every node "
     "starts as its own label, each round adopts the most frequent "
     "neighbor label with a deterministic min-label tiebreak) — top-"
     "25 communities by size. Where connected components (q73/q75) "
@@ -928,7 +928,7 @@ def _kcore_oracle() -> str:
     "q262_kcore_peeling",
     oracle=_kcore_oracle(),
     doc=f"k-core peeling of the part co-purchase graph at k = the "
-    "exact median degree: {_KCORE_ROUNDS} synchronous rounds of "
+    f"exact median degree: {_KCORE_ROUNDS} synchronous rounds of "
     "'drop every node whose degree within the surviving subgraph "
     "is below k', reporting nodes/edges remaining per round — the "
     "dense-backbone extraction that separates structurally "

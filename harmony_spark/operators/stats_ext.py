@@ -2833,8 +2833,8 @@ _AA_SPLITS = 20
     "here as excess false positives). Determinism: assignment is "
     "the same md5-prefix arithmetic on both engines, counts are "
     "exact integers, one sqrt per split. Plan shape: one user "
-    "aggregate, a x{_AA_SPLITS} salt explode (constant fan-out, "
-    "map-side), one (salt, arm) census, a {_AA_SPLITS}-row z table.",
+    f"aggregate, a x{_AA_SPLITS} salt explode (constant fan-out, "
+    f"map-side), one (salt, arm) census, a {_AA_SPLITS}-row z table.",
 )
 def q295(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.io import table_parallel

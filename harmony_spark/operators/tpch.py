@@ -282,7 +282,7 @@ def q213(spark: SparkSession, sf: str) -> DataFrame:
     "CASE-inside-SUM ratio Catalyst must not split into two "
     "passes), under a tight shipdate range that must reach the "
     "parquet scan as a pushed filter. Substitution vs TPC-H: "
-    "p_type equals 'PROMO' rather than LIKE 'PROMO%%' (single-word "
+    "p_type equals 'PROMO' rather than LIKE 'PROMO%' (single-word "
     "types here). Numerator/denominator are exact integer 1e-4 "
     "sums; the 6-dp percentage is the only double.",
 )
@@ -443,7 +443,7 @@ def q216(spark: SparkSession, sf: str) -> DataFrame:
     "1996 — the nested correlated-IN of Q20 decorrelated into a "
     "grouped HAVING subquery joined back to the supplier dim, with "
     "a region filter on the outer side. Substitution vs TPC-H: no "
-    "partsupp/availqty, so the '50%% of shipped quantity' "
+    "partsupp/availqty, so the '50% of shipped quantity' "
     "availability test becomes an absolute shipped-quantity "
     "threshold over the same filtered lineitem∙part join; the "
     "plan shape (selective inner aggregate feeding a dim join) is "
