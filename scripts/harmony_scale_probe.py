@@ -91,6 +91,21 @@ def main() -> None:
     n_out = out.count()  # materialize the corrected embedding
     dt = time.perf_counter() - t0
     assert n_out == args.cells, (n_out, args.cells)
+
+    def peak_mb(pid) -> float | None:
+        """VmHWM (peak resident set) of a process, MiB."""
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                for line in f:
+                    if line.startswith("VmHWM"):
+                        return round(int(line.split()[1]) / 1024, 1)
+        except OSError:
+            return None
+        return None
+
+    jvm_pid = int(
+        spark._jvm.java.lang.ProcessHandle.current().pid()  # noqa: SLF001
+    )
     print(
         json.dumps(
             {
@@ -99,6 +114,8 @@ def main() -> None:
                 "k": args.k,
                 "rounds": args.rounds,
                 "seconds": round(dt, 1),
+                "peak_mb_jvm": peak_mb(jvm_pid),
+                "peak_mb_driver_py": peak_mb("self"),
             }
         )
     )
