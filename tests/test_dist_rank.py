@@ -138,3 +138,44 @@ def test_single_distinct_value_and_empty(spark):
     empty = one.where(F.lit(False))
     g2, tot2 = with_global_rank(empty, "v", ("id",), out="rn")
     assert tot2 == 0 and g2.count() == 0
+
+
+def test_stats_cache_hit_is_equal_and_skips_actions(spark, monkeypatch):
+    """The (bounds, counts) statistics cache: a repeated call with the
+    SAME input plan must return identical ranks (warm path, zero
+    boundary/count actions) and must register exactly one cache entry;
+    a localCheckpoint-derived input (LogicalRDD leaf — unstable plan
+    identity) must NOT be auto-cached unless the caller passes an
+    explicit stats_token; HARMONY_STATS_CACHE=0 bypasses everything."""
+    from harmony_spark import io as hio
+    from harmony_spark.operators import dist_rank as dr
+
+    df = hio.table(spark, "/root/testdata/sf0.001", "orders").select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("v")
+    )
+    before = len(dr._STATS_CACHE)
+    cold, tot1 = with_global_rank(df, "v", ("id",), out="rn")
+    cold_rows = {(r.id, r.rn) for r in cold.collect()}
+    assert len(dr._STATS_CACHE) == before + 1
+    warm, tot2 = with_global_rank(df, "v", ("id",), out="rn")
+    assert tot2 == tot1
+    assert {(r.id, r.rn) for r in warm.collect()} == cold_rows
+    assert len(dr._STATS_CACHE) == before + 1  # hit, not a second entry
+
+    ckpt = df.localCheckpoint(eager=False)
+    _, tot4 = with_global_rank(ckpt, "v", ("id",), out="rn")
+    assert tot4 == tot1
+    assert len(dr._STATS_CACHE) == before + 1  # RDD leaf: not cacheable
+
+    tok, tot5 = with_global_rank(
+        ckpt, "v", ("id",), out="rn", stats_token=("t", "x")
+    )
+    assert tot5 == tot1
+    assert {(r.id, r.rn) for r in tok.collect()} == cold_rows
+    assert len(dr._STATS_CACHE) == before + 2  # explicit token cached
+
+    monkeypatch.setenv("HARMONY_STATS_CACHE", "0")
+    off, tot3 = with_global_rank(df, "v", ("id",), out="rn")
+    assert tot3 == tot1
+    assert {(r.id, r.rn) for r in off.collect()} == cold_rows
+    assert len(dr._STATS_CACHE) == before + 2  # nothing new cached
