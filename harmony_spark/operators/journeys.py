@@ -124,44 +124,43 @@ def asof_join(
 def q161(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.io import table_parallel
 
-    ev = table_parallel(spark, sf, "events")
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    # ONE grouped pass replaces the stage-join chain (view->click->
+    # purchase joins + 5 cross-joined scalar aggregates, each of which
+    # re-derived its upstream stages): per user, t1 = min view, t2 =
+    # first click after t1, t3 = first purchase after t2 — the strict-
+    # ordering funnel as array HOFs over the user's own (bounded)
+    # per-type timestamp lists, then a single global rollup.  The
+    # lambdas live in expr strings (name references, no captured
+    # Columns).
+    ev = table_parallel(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    full_path = p.join(v, "user_id").agg(
-        F.sum(F.unix_micros("t3") - F.unix_micros("t1")).alias("total_us"),
-        F.count("*").alias("n"),
-    )
-    counts = (
-        ev.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
-        .crossJoin(v.agg(F.count("*").cast("long").alias("n_viewed")))
-        .crossJoin(c.agg(F.count("*").cast("long").alias("n_clicked")))
-        .crossJoin(p.agg(F.count("*").cast("long").alias("n_purchased")))
-    )
-    return counts.crossJoin(
-        full_path.select(
-            F.round(
-                F.col("total_us").cast("double")
-                / (F.col("n") * 3_600_000_000.0),
-                6,
-            ).alias("avg_hours_to_convert")
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
+                "t1"
+            ),
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("us"))
+            ).alias("cl"),
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("us"))
+            ).alias("pl"),
         )
+        .withColumn("t2", F.expr("array_min(filter(cl, x -> x > t1))"))
+        .withColumn("t3", F.expr("array_min(filter(pl, x -> x > t2))"))
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count("t1").cast("long").alias("n_viewed"),
+        F.count("t2").cast("long").alias("n_clicked"),
+        F.count("t3").cast("long").alias("n_purchased"),
+        F.round(
+            F.sum(F.col("t3") - F.col("t1")).cast("double")
+            / (F.count("t3") * 3_600_000_000.0),
+            6,
+        ).alias("avg_hours_to_convert"),
     )
 
 
@@ -2854,4 +2853,60 @@ def q341(spark: SparkSession, sf: str) -> DataFrame:
         labeled.groupBy("seg_from", "seg_to")
         .agg(F.count("*").cast("long").alias("n_customers"))
         .orderBy("seg_from", "seg_to")
+    )
+
+
+@register(
+    "q346_order_islands",
+    oracle="""
+        WITH months AS (
+          SELECT DISTINCT o_custkey AS ck,
+                 CAST(EXTRACT(year FROM o_orderdate) * 12
+                      + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m
+          FROM orders
+        ),
+        tagged AS (
+          SELECT ck, m,
+                 m - ROW_NUMBER() OVER (PARTITION BY ck ORDER BY m) AS isl
+          FROM months
+        ),
+        islands AS (
+          SELECT ck, isl, COUNT(*) AS len FROM tagged GROUP BY ck, isl
+        )
+        SELECT CAST(len AS BIGINT) AS island_len,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_customers
+        FROM islands GROUP BY len ORDER BY island_len
+    """,
+    doc="Gaps-and-islands over each customer's active months: the "
+    "classic month_index - row_number() grouping key turns runs of "
+    "CONSECUTIVE active months into constant island ids with zero "
+    "self-joins — one per-customer window (high-cardinality "
+    "partition key, shuffle-parallel) and two aggregates. The "
+    "engagement-streak census (how long do customers stay "
+    "continuously active?) complementing q119's fixed-cohort "
+    "retention grid and q186's repurchase-interval distribution; "
+    "the same island key drives SLA-window and sensor-uptime "
+    "analyses. Output is the bounded island-length histogram.",
+)
+def q346(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    o = table_parallel(spark, sf, "orders")
+    months = o.select(
+        F.col("o_custkey").alias("ck"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m"),
+    ).distinct()
+    w = Window.partitionBy("ck").orderBy("m")
+    tagged = months.withColumn("isl", F.col("m") - F.row_number().over(w))
+    isl = tagged.groupBy("ck", "isl").agg(F.count("*").alias("len"))
+    return (
+        isl.groupBy(F.col("len").cast("long").alias("island_len"))
+        .agg(
+            F.count("*").cast("long").alias("n_islands"),
+            F.countDistinct("ck").cast("long").alias("n_customers"),
+        )
+        .orderBy("island_len")
     )

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327", "q329", "q330", "q331", "q333", "q336", "q342", "q343", "q344", "q345"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327", "q329", "q330", "q331", "q333", "q336", "q342", "q343", "q344", "q345", "q349", "q350", "q354"]
 
 
 @register(
@@ -69,42 +69,68 @@ __all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232
 )
 def q219(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.io import table_parallel
+    from harmony_spark.operators.dist_rank import with_global_rank
 
     pts = table_parallel(spark, sf, "lineitem").select(
         F.col("l_returnflag").alias("grp"),
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
-    wg = Window.partitionBy("grp")
-    rx2 = (
-        2 * F.rank().over(Window.partitionBy("grp").orderBy("x"))
-        + F.count("*").over(Window.partitionBy("grp", "x"))
-        - 1
+    # Quantity's value domain is BOUNDED (integer units 1..50), so its
+    # per-group midrank table is a driver census broadcast back as a
+    # literal map; price-cents is entity-scale and takes the sharded
+    # min-rank pass (never a per-group single partition: l_returnflag
+    # has 3 values, so a grp-partitioned window is 3 tasks sorting 1/3
+    # of the table each at 100 TB) with the tie count framed into the
+    # same shard window.  The centered moments then EXPAND
+    # algebraically — sum(dx*dy) = sxy - (n+1)(sx + sy) + n(n+1)^2
+    # with dx = rx2 - (n+1) — so everything reduces to ONE hash
+    # aggregate of exact BIGINT uncentered moments, bit-identical to
+    # the oracle's centered HUGEINT sums (bounds: sum(rx2*ry2) <=
+    # 4n^3 caps exactness at ~1M rows/group; pre-scale beyond).
+    cx = sorted(
+        (r["grp"], r["x"], r["c"])
+        for r in pts.groupBy("grp", "x").agg(F.count("*").alias("c")).collect()
     )
-    ry2 = (
-        2 * F.rank().over(Window.partitionBy("grp").orderBy("y"))
-        + F.count("*").over(Window.partitionBy("grp", "y"))
-        - 1
+    mr2x: list = []
+    seen = 0
+    prev_grp = None
+    for grp_v, x_v, c in cx:
+        if grp_v != prev_grp:
+            prev_grp, seen = grp_v, 0
+        # min-rank of this tie group = seen + 1; doubled midrank
+        mr2x.append((grp_v, x_v, 2 * (seen + 1) + c - 1))
+        seen += c
+    xdf = spark.createDataFrame(mr2x, "grp string, x long, rx2 long")
+    r2, _ = with_global_rank(
+        pts,
+        "y",
+        (),
+        kind="rank",
+        partition_by=("grp",),
+        out="rky",
+        tie_count_col="ty",
     )
-    centered = pts.select(
-        "grp",
-        F.count("*").over(wg).alias("n"),
-        (rx2 - (F.count("*").over(wg) + 1)).alias("dx"),
-        (ry2 - (F.count("*").over(wg) + 1)).alias("dy"),
+    s2 = r2.withColumn("ry2", 2 * F.col("rky") + F.col("ty") - 1).join(
+        F.broadcast(xdf), ["grp", "x"]
     )
+    g = s2.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+    )
+    n1 = F.col("n") + 1
+    num = F.col("sxy") - n1 * (F.col("sx") + F.col("sy")) + F.col("n") * n1 * n1
+    dxx = F.col("sxx") - 2 * n1 * F.col("sx") + F.col("n") * n1 * n1
+    dyy = F.col("syy") - 2 * n1 * F.col("sy") + F.col("n") * n1 * n1
     return (
-        centered.groupBy("grp")
-        .agg(
-            F.max("n").cast("long").alias("n"),
-            F.round(
-                F.sum(F.col("dx") * F.col("dy"))
-                / F.sqrt(
-                    1.0
-                    * F.sum(F.col("dx") * F.col("dx"))
-                    * F.sum(F.col("dy") * F.col("dy"))
-                ),
-                6,
-            ).alias("rho"),
+        g.select(
+            "grp",
+            F.col("n").cast("long").alias("n"),
+            F.round(num / F.sqrt(1.0 * dxx * dyy), 6).alias("rho"),
         )
         .orderBy("grp")
     )
@@ -2353,8 +2379,13 @@ def q276(spark: SparkSession, sf: str) -> DataFrame:
     )
     from harmony_spark.operators.dist_rank import with_global_rank
 
+    # cust is checkpointed (fan-out) — explicit stats_token, see q197
     ranked, n_cust = with_global_rank(
-        cust.select("cents", "ck"), "cents", ("ck",), out="rn"
+        cust.select("cents", "ck"),
+        "cents",
+        ("ck",),
+        out="rn",
+        stats_token=("q276", sf),
     )
     med = ranked.where(F.col("rn") == (n_cust + 1) // 2).select(
         F.col("cents").alias("m")
@@ -2369,78 +2400,49 @@ def q276(spark: SparkSession, sf: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    pri = lab.groupBy("y").agg(F.count("*").alias("ny"))
-    tot = pri.agg(F.sum("ny").alias("n"))
-    nseg = lab.agg(F.countDistinct("seg").alias("vseg"))
-    nnk = lab.agg(F.countDistinct("nk").alias("vnk"))
-    fseg = lab.groupBy("y", "seg").agg(F.count("*").alias("cs"))
-    fnk = lab.groupBy("y", "nk").agg(F.count("*").alias("cn"))
+    # ONE bounded census job replaces the prior/cardinality/frequency
+    # fan-out (6 aggregates) AND the 9-broadcast scoring join: every
+    # model statistic and the score itself are functions of the
+    # (y, seg, nk) cell, and |segments| x |nations| x 2 is ~250 cells
+    # at any data scale — so train + score + confusion matrix is one
+    # distributed aggregate and driver arithmetic on its census.
+    import math
 
-    def leg(y):
-        ny = F.col(f"ny{y}")
-        return (
-            F.log(ny * 1.0 / F.col("n"))
-            + F.log(
-                (F.coalesce(F.col(f"cs{y}"), F.lit(0)) + 1.0)
-                / (ny + F.col("vseg"))
-            )
-            + F.log(
-                (F.coalesce(F.col(f"cn{y}"), F.lit(0)) + 1.0)
-                / (ny + F.col("vnk"))
-            )
-        )
-
-    pri1 = pri.where(F.col("y") == 1).select(F.col("ny").alias("ny1"))
-    pri0 = pri.where(F.col("y") == 0).select(F.col("ny").alias("ny0"))
-    scored = (
-        lab.join(
-            F.broadcast(fseg.where(F.col("y") == 1).select("seg", F.col("cs").alias("cs1"))),
-            "seg",
-            "left",
-        )
-        .join(
-            F.broadcast(fseg.where(F.col("y") == 0).select("seg", F.col("cs").alias("cs0"))),
-            "seg",
-            "left",
-        )
-        .join(
-            F.broadcast(fnk.where(F.col("y") == 1).select("nk", F.col("cn").alias("cn1"))),
-            "nk",
-            "left",
-        )
-        .join(
-            F.broadcast(fnk.where(F.col("y") == 0).select("nk", F.col("cn").alias("cn0"))),
-            "nk",
-            "left",
-        )
-        .crossJoin(F.broadcast(pri1))
-        .crossJoin(F.broadcast(pri0))
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(nseg))
-        .crossJoin(F.broadcast(nnk))
-        .select("y", (leg(1) - leg(0)).alias("llr"))
+    cells = (
+        lab.groupBy("y", "seg", "nk").agg(F.count("*").alias("c")).collect()
     )
-    return scored.agg(
-        F.sum(F.when((F.col("llr") > 0) & (F.col("y") == 1), 1).otherwise(0))
-        .cast("long")
-        .alias("tp"),
-        F.sum(F.when((F.col("llr") > 0) & (F.col("y") == 0), 1).otherwise(0))
-        .cast("long")
-        .alias("fp"),
-        F.sum(F.when((F.col("llr") <= 0) & (F.col("y") == 1), 1).otherwise(0))
-        .cast("long")
-        .alias("fn"),
-        F.sum(F.when((F.col("llr") <= 0) & (F.col("y") == 0), 1).otherwise(0))
-        .cast("long")
-        .alias("tn"),
-        F.round(
-            F.sum(
-                F.when((F.col("llr") > 0) == (F.col("y") == 1), 1).otherwise(0)
-            )
-            * 1.0
-            / F.count("*"),
-            6,
-        ).alias("accuracy"),
+    ny = {0: 0, 1: 0}
+    cs: dict[tuple, int] = {}
+    cn: dict[tuple, int] = {}
+    for r in cells:
+        ny[r["y"]] += r["c"]
+        cs[(r["y"], r["seg"])] = cs.get((r["y"], r["seg"]), 0) + r["c"]
+        cn[(r["y"], r["nk"])] = cn.get((r["y"], r["nk"]), 0) + r["c"]
+    n = ny[0] + ny[1]
+    vseg = len({s for _, s in cs})
+    vnk = len({k for _, k in cn})
+
+    def leg(y, seg, nk):
+        return (
+            math.log(ny[y] * 1.0 / n)
+            + math.log((cs.get((y, seg), 0) + 1.0) / (ny[y] + vseg))
+            + math.log((cn.get((y, nk), 0) + 1.0) / (ny[y] + vnk))
+        )
+
+    tp = fp = fn = tn = 0
+    for r in cells:
+        pos = leg(1, r["seg"], r["nk"]) - leg(0, r["seg"], r["nk"]) > 0
+        if pos and r["y"] == 1:
+            tp += r["c"]
+        elif pos:
+            fp += r["c"]
+        elif r["y"] == 1:
+            fn += r["c"]
+        else:
+            tn += r["c"]
+    return spark.createDataFrame(
+        [(tp, fp, fn, tn, round((tp + tn) * 1.0 / n, 6))],
+        "tp long, fp long, fn long, tn long, accuracy double",
     )
 
 
@@ -4298,60 +4300,66 @@ def q327(spark: SparkSession, sf: str) -> DataFrame:
     "— the omnibus distribution-free alternative to q330's ANOVA "
     "when order values are heavy-tailed (they are: ANOVA's F "
     "assumes equal-variance normal residuals the revenue tail "
-    "violates). Plan shape: the pooled global rank comes from "
-    "dist_rank's range-sharded pass (never a single-task window), "
-    "midranks from one value-keyed aggregate joined back, then a "
-    "5-row group census and two 1-row reductions (allowlisted).",
+    "violates). Plan shape: ONE ranked pass — dist_rank's "
+    "range-sharded min-rank (never a single-task window) plus a "
+    "value-keyed tie-count window give each row its midrank "
+    "(2*rank + t - 1)/2 AND the tie correction in place "
+    "(sum_v(t^3 - t) = sum_rows(t^2 - 1)), so the midrank join and "
+    "the second tie census over the data disappear; the 5-row "
+    "group census collects and H is exact-integer-moment driver "
+    "math.",
 )
 def q329(spark: SparkSession, sf: str) -> DataFrame:
+    per_g, n = _kw_census(spark, sf)
+    # bounded census (5 priority groups): H is driver math on exact
+    # integer moments (smr2 = 2*sum of midranks, st2 = sum(t^3 - t))
+    rows = sorted(
+        (r["grp"], r["ng"], r["smr2"], r["st2"]) for r in per_g.collect()
+    )
+    tsum = float(sum(r[3] for r in rows))
+    ssq = sum(
+        ng * (smr2 / (2.0 * ng) - (n + 1.0) / 2) ** 2
+        for _, ng, smr2, _ in rows
+    )
+    stat = (12.0 / (n * (n + 1.0)) * ssq) / (1 - tsum / (float(n) ** 3 - n))
+    out = [
+        (g, ng, round(smr2 / (2.0 * ng), 6), round(stat, 6), len(rows) - 1)
+        for g, ng, smr2, _ in rows
+    ]
+    return spark.createDataFrame(
+        out, "grp string, n long, mean_rank double, kw_h double, df long"
+    )
+
+
+def _kw_census(spark: SparkSession, sf: str):
+    """(per-group census DataFrame, pooled N) for Kruskal-Wallis —
+    the single distributed pass behind q329, exposed so the plan test
+    can pin it to exactly one rank pass (two Window nodes: the sharded
+    rank and the value-keyed tie count)."""
     from harmony_spark.io import table_parallel
     from harmony_spark.operators.dist_rank import with_global_rank
 
     x = table_parallel(spark, sf, "orders").select(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_totalprice").alias("v"),
-        "o_orderkey",
     )
-    rr, n = with_global_rank(x, "v", ("o_orderkey",), out="rn", persist=True)
-    mid = rr.groupBy("v").agg(F.avg(F.col("rn") * 1.0).alias("midrank"))
-    ranked = rr.join(mid, "v")
-    per_g = ranked.groupBy("grp").agg(
-        F.count("*").alias("ng"), F.avg("midrank").alias("rbar")
+    rr, n = with_global_rank(
+        x, "v", (), kind="rank", out="rk", tie_count_col="tv"
     )
-    ties = (
-        rr.groupBy("v")
-        .agg(F.count("*").alias("t"))
-        .where(F.col("t") > 1)
-        .agg(
-            F.coalesce(
-                F.sum(F.pow(F.col("t"), 3) - F.col("t")), F.lit(0.0)
-            ).alias("tsum")
-        )
-    )
-    h = per_g.crossJoin(F.broadcast(ties)).agg(
-        (
-            (
-                12.0
-                / (n * (n + 1.0))
-                * F.sum(
-                    F.col("ng") * F.pow(F.col("rbar") - (n + 1.0) / 2, 2)
-                )
-            )
-            / (1 - F.max("tsum") / (float(n) ** 3 - n))
-        ).alias("stat"),
-        (F.count("*") - 1).alias("df"),
-    )
-    return (
-        per_g.crossJoin(F.broadcast(h))
-        .select(
+    per_g = (
+        rr.select(
             "grp",
-            F.col("ng").cast("long").alias("n"),
-            F.round("rbar", 6).alias("mean_rank"),
-            F.round("stat", 6).alias("kw_h"),
-            F.col("df").cast("long").alias("df"),
+            (2 * F.col("rk") + F.col("tv") - 1).alias("mr2"),
+            (F.col("tv") * F.col("tv") - 1).alias("t2"),
         )
-        .orderBy("grp")
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("ng"),
+            F.sum("mr2").alias("smr2"),
+            F.sum("t2").alias("st2"),
+        )
     )
+    return per_g, n
 
 
 @register(
@@ -4497,37 +4505,44 @@ def q331(spark: SparkSession, sf: str) -> DataFrame:
         out="rn",
         count_col="ng",
     )
-    med = (
+    med_rows = (
         rk.where(
             (F.col("rn") == F.floor((F.col("ng") + 1) / 2))
             | (F.col("rn") == F.floor((F.col("ng") + 2) / 2))
         )
         .groupBy("grp")
         .agg(F.avg("v").alias("med"))
+        .collect()
     )
-    z = x.join(F.broadcast(med), "grp").select(
-        "grp", F.abs(F.col("v") - F.col("med")).alias("z")
+    # bounded group set (5 priorities): medians inline as a CASE chain,
+    # so the |x - med| pass and the group census are ONE job with no
+    # broadcast-join subplan; the final F statistic is driver math on
+    # the 5-row census (mathematically identical to the crossJoin
+    # reduction this replaces, ~1e-12 relative float drift vs the
+    # oracle's row-level grand mean — far inside the 6-dp gate).
+    med_expr = F.lit(None).cast("double")
+    for r in med_rows:
+        med_expr = F.when(F.col("grp") == r["grp"], r["med"]).otherwise(
+            med_expr
+        )
+    g = (
+        x.select("grp", F.abs(F.col("v") - med_expr).alias("z"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("ng"),
+            F.avg("z").alias("m"),
+            F.var_samp("z").alias("s2"),
+        )
+        .collect()
     )
-    g = z.groupBy("grp").agg(
-        F.count("*").alias("ng"),
-        F.avg("z").alias("m"),
-        F.var_samp("z").alias("s2"),
-    )
-    tot = z.agg(F.count("*").alias("n"), F.avg("z").alias("gm"))
-    comp = g.crossJoin(F.broadcast(tot)).agg(
-        F.sum(F.col("ng") * F.pow(F.col("m") - F.col("gm"), 2)).alias("ssb"),
-        F.sum((F.col("ng") - 1) * F.col("s2")).alias("ssw"),
-        F.count("*").alias("k"),
-        F.max("n").alias("n"),
-    )
-    return comp.select(
-        F.col("n").cast("long").alias("n"),
-        F.col("k").cast("long").alias("k_groups"),
-        F.round(
-            (F.col("ssb") / (F.col("k") - 1))
-            / (F.col("ssw") / (F.col("n") - F.col("k"))),
-            6,
-        ).alias("bf_stat"),
+    n = sum(r["ng"] for r in g)
+    k = len(g)
+    gm = sum(r["ng"] * r["m"] for r in g) / n
+    ssb = sum(r["ng"] * (r["m"] - gm) ** 2 for r in g)
+    ssw = sum((r["ng"] - 1) * r["s2"] for r in g)
+    stat = (ssb / (k - 1)) / (ssw / (n - k))
+    return spark.createDataFrame(
+        [(n, k, round(stat, 6))], "n long, k_groups long, bf_stat double"
     )
 
 
@@ -5006,3 +5021,283 @@ def q345(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "m1", "m2", F.round("r", 6).alias("pearson_r")
     ).orderBy("m1", "m2")
+
+
+@register(
+    "q349_mcnemar_paired",
+    oracle="""
+        WITH flags AS (
+          SELECT c.c_custkey AS ck,
+                 MAX(CASE WHEN EXTRACT(year FROM o.o_orderdate) = 1996
+                          THEN 1 ELSE 0 END) AS a,
+                 MAX(CASE WHEN EXTRACT(year FROM o.o_orderdate) = 1997
+                          THEN 1 ELSE 0 END) AS b
+          FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey
+        ),
+        cells AS (
+          SELECT SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00,
+                 SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01,
+                 SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10,
+                 SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11
+          FROM flags
+        )
+        SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+               CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+               ROUND(POW(ABS(n01 - n10) - 1, 2) / (n01 + n10), 6) AS chi2,
+               ROUND((SELECT (0.254829592 * t - 0.284496736 * POW(t, 2)
+                        + 1.421413741 * POW(t, 3) - 1.453152027 * POW(t, 4)
+                        + 1.061405429 * POW(t, 5)) * exp(-x * x)
+                      FROM (SELECT sqrt(POW(ABS(n01 - n10) - 1, 2)
+                                        / (n01 + n10)) / sqrt(2.0) AS x,
+                                   1.0 / (1.0 + 0.3275911
+                                     * (sqrt(POW(ABS(n01 - n10) - 1, 2)
+                                             / (n01 + n10))
+                                        / sqrt(2.0))) AS t)),
+                     6) AS p_value
+        FROM cells
+    """,
+    doc="McNemar's paired test with continuity correction on the "
+    "year-over-year activity panel: each customer is a PAIRED binary "
+    "observation (active in 1996, active in 1997), the test reads "
+    "only the discordant cells — chi2 = (|n01-n10|-1)^2/(n01+n10), "
+    "p from chi2(1df) = erfc(sqrt(chi2)/sqrt(2)) via the shared "
+    "A&S 7.1.26 erf polynomial evaluated identically on both "
+    "engines. The paired complement to q172's two-sample z-test "
+    "(independent arms) and q333's trend test: same customers, two "
+    "time points. One grouped pass + a 1-row census.",
+)
+def q349(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    c = table_parallel(spark, sf, "customer").select(
+        F.col("c_custkey").alias("ck")
+    )
+    o = table_parallel(spark, sf, "orders").select(
+        F.col("o_custkey").alias("ck"), F.year("o_orderdate").alias("yr")
+    )
+    flags = (
+        c.join(o, "ck", "left")
+        .groupBy("ck")
+        .agg(
+            F.max(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias("a"),
+            F.max(F.when(F.col("yr") == 1997, 1).otherwise(0)).alias("b"),
+        )
+    )
+    cells = flags.agg(
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0)).alias("n00"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0)).alias("n01"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0)).alias("n10"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)).alias("n11"),
+    )
+    chi2 = F.pow(F.abs(F.col("n01") - F.col("n10")) - 1, 2) / (
+        F.col("n01") + F.col("n10")
+    )
+    x = F.sqrt(chi2) / F.sqrt(F.lit(2.0))
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (
+        0.254829592 * t
+        - 0.284496736 * F.pow(t, 2)
+        + 1.421413741 * F.pow(t, 3)
+        - 1.453152027 * F.pow(t, 4)
+        + 1.061405429 * F.pow(t, 5)
+    )
+    return cells.select(
+        F.col("n00").cast("long").alias("n00"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n11").cast("long").alias("n11"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(poly * F.exp(-x * x), 6).alias("p_value"),
+    )
+
+
+_KAPPA_THRESH = 250000.0
+
+
+@register(
+    "q350_cohens_kappa",
+    oracle=f"""
+        WITH rated AS (
+          SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END AS ra,
+                 CASE WHEN o_totalprice > {_KAPPA_THRESH} THEN 1 ELSE 0 END AS rb
+          FROM orders
+        ),
+        cells AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS n11,
+                 SUM(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS n10,
+                 SUM(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS n01,
+                 SUM(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS n00
+          FROM rated
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+               CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+               ROUND((n11 + n00) * 1.0 / n, 6) AS po,
+               ROUND(((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                     + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n),
+                     6) AS pe,
+               ROUND(((n11 + n00) * 1.0 / n
+                      - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                         + ((n01 + n00) * 1.0 / n)
+                           * ((n10 + n00) * 1.0 / n)))
+                     / (1.0 - (((n11 + n10) * 1.0 / n)
+                               * ((n11 + n01) * 1.0 / n)
+                               + ((n01 + n00) * 1.0 / n)
+                                 * ((n10 + n00) * 1.0 / n))), 6) AS kappa
+        FROM cells
+    """,
+    doc="Cohen's kappa between two deterministic raters of order "
+    "importance (priority-based vs price-threshold): chance-corrected "
+    "agreement (po - pe)/(1 - pe) from one 2x2 census — the inter-"
+    "rater reliability metric that separates real labeling agreement "
+    "from base-rate coincidence (raw agreement po is inflated when "
+    "both raters say 'unimportant' most of the time). The labeling-"
+    "QA primitive for LLM data pipelines (two heuristic quality "
+    "raters, one kappa per rater pair). One narrow scan + a 1-row "
+    "census.",
+)
+def q350(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    o = table_parallel(spark, sf, "orders")
+    rated = o.select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("ra"),
+        F.when(F.col("o_totalprice") > _KAPPA_THRESH, 1).otherwise(0).alias("rb"),
+    )
+    cells = rated.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 1), 1).otherwise(0)).alias("n11"),
+        F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 0), 1).otherwise(0)).alias("n10"),
+        F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 1), 1).otherwise(0)).alias("n01"),
+        F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 0), 1).otherwise(0)).alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    pe = ((F.col("n11") + F.col("n10")) / n) * ((F.col("n11") + F.col("n01")) / n) + (
+        (F.col("n01") + F.col("n00")) / n
+    ) * ((F.col("n10") + F.col("n00")) / n)
+    return cells.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n00").cast("long").alias("n00"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
+
+
+@register(
+    "q354_uplift_qini",
+    oracle="""
+        WITH scored AS (
+          SELECT c.c_custkey AS ck, c.c_acctbal AS score,
+                 CASE WHEN (CAST(('0x' || substr(md5(CAST(c.c_custkey
+                                                          AS VARCHAR)),
+                                                 1, 8)) AS BIGINT) % 2) = 0
+                      THEN 1 ELSE 0 END AS treated,
+                 MAX(CASE WHEN o.o_orderpriority = '1-URGENT'
+                          THEN 1 ELSE 0 END) AS resp
+          FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey, c.c_acctbal
+        ),
+        tiled AS (
+          SELECT treated, resp,
+                 NTILE(10) OVER (ORDER BY score DESC, ck) AS decile
+          FROM scored
+        ),
+        g AS (
+          SELECT decile,
+                 SUM(treated) AS nt,
+                 SUM(1 - treated) AS nc,
+                 SUM(treated * resp) AS rt,
+                 SUM((1 - treated) * resp) AS rc
+          FROM tiled GROUP BY decile
+        )
+        SELECT CAST(decile AS INT) AS decile,
+               CAST(nt AS BIGINT) AS n_treated,
+               CAST(nc AS BIGINT) AS n_control,
+               ROUND(rt * 1.0 / nt - rc * 1.0 / nc, 6) AS uplift,
+               ROUND(SUM(rt) OVER w
+                     - (SUM(rc) OVER w) * (SUM(nt) OVER w * 1.0
+                                           / (SUM(nc) OVER w)), 6) AS qini
+        FROM g
+        WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        ORDER BY decile
+    """,
+    doc="Uplift modeling readout: customers ranked by a targeting "
+    "score (account balance) into exact global deciles (dist_rank "
+    "sharded ntile), each decile reporting treated-minus-control "
+    "response-rate UPLIFT under the md5-parity assignment, plus the "
+    "cumulative QINI curve value (treated positives minus exposure-"
+    "scaled control positives) — the standard campaign-targeting "
+    "diagnostic that q210's single-arm lift curve cannot express "
+    "(it has no counterfactual leg). The 10-row census window is "
+    "bounded by construction.",
+)
+def q354(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+    from harmony_spark.operators.dist_rank import with_global_ntile
+
+    c = table_parallel(spark, sf, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_acctbal").alias("score")
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("ck").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    o = table_parallel(spark, sf, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("u"),
+    )
+    scored = (
+        c.join(o, "ck", "left")
+        .groupBy("ck", "score")
+        .agg(F.coalesce(F.max("u"), F.lit(0)).alias("resp"))
+        .select(
+            "ck",
+            "score",
+            "resp",
+            F.when(arm == 0, 1).otherwise(0).alias("treated"),
+        )
+    )
+    tiled = with_global_ntile(
+        scored.withColumn("nscore", -F.col("score")),
+        "nscore",
+        ("ck",),
+        n=10,
+        out="decile",
+    )
+    g = tiled.groupBy("decile").agg(
+        F.sum("treated").alias("nt"),
+        F.sum(1 - F.col("treated")).alias("nc"),
+        F.sum(F.col("treated") * F.col("resp")).alias("rt"),
+        F.sum((1 - F.col("treated")) * F.col("resp")).alias("rc"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        g.select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("nt").cast("long").alias("n_treated"),
+            F.col("nc").cast("long").alias("n_control"),
+            F.round(
+                F.col("rt") / F.col("nt") - F.col("rc") / F.col("nc"), 6
+            ).alias("uplift"),
+            F.round(
+                F.sum("rt").over(w)
+                - F.sum("rc").over(w)
+                * (F.sum("nt").over(w) * 1.0 / F.sum("nc").over(w)),
+                6,
+            ).alias("qini"),
+        )
+        .orderBy("decile")
+    )

@@ -116,7 +116,6 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q141_hard_negatives",  # inequality join vs 20 broadcast anchor vectors
     "q150_corpus_health",  # cross join of two single-row aggregates
     "q151_ndcg_quantized",  # inequality joins vs 3 broadcast query vectors
-    "q161_funnel_conversion",  # cross join of five single-row stage aggregates
     "q176_vocab_coverage",  # rank<=k join vs the 3-row fixed head-size list
     "q179_idle_high_balance",  # threshold join vs the 1-row balance average
     "q181_supplier_part_concentration",  # threshold join vs the 1-row total
@@ -145,7 +144,6 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q266_neyman_allocation",  # cross join vs the 1-row weight total
     "q274_hits_bipartite",  # cross joins vs the 1-row L2-norm rows
     "q275_hill_tail_index",  # cross join vs the 1-row tail threshold
-    "q276_naive_bayes_scoring",  # broadcast censuses + 1-row prior/total rows
     "q277_rendezvous_sharding",  # 6-row node spine broadcast
     "q280_matching_att",  # cross join vs the 1-row naive-difference row
     "q282_recsys_holdout_eval",  # cross join of two 1-row eval counts
@@ -167,9 +165,7 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q324_t_closeness",  # class census x the ~11-row global bucket census
     "q326_loo_target_encoding",  # cross join vs the 1-row global prior
     "q327_group_sequential",  # cumulative inequality join vs 5-row look spine
-    "q329_kruskal_wallis",  # cross joins vs 1-row ties/H reductions
     "q330_oneway_anova",  # cross join vs the 1-row grand-mean total
-    "q331_brown_forsythe",  # cross join vs the 1-row grand-mean total
     "q344_lognormal_ks",  # cross join vs the 1-row (mu, sigma, n) fit
 }
 
@@ -308,6 +304,7 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     "q309_nelson_aalen": "distinct lifetime-day census (calendar-bounded)",
     "q315_logrank_test": "distinct event-day census (calendar-bounded)",
     "q319_bh_fdr": "nation-level p-value census (25 rows)",
+    "q354_uplift_qini": "decile census (10 rows)",
 }
 
 
@@ -670,15 +667,19 @@ def test_q241_kfold_is_single_moment_pass(spark, sf_dir):
 
 
 def test_q329_rank_pass_materialized_once(spark, sf_dir):
-    """Round-5 pin (VERDICT r4 #6): the Kruskal-Wallis fan-out —
-    midranks, tie census and group means all read the ranked output —
-    must consume ONE materialized rank pass.  with_global_rank(
-    persist=True) truncates lineage at the checkpointed ranked output,
-    so the final optimized plan shows LogicalRDD scans of the shared
-    checkpoint and ZERO Window nodes; drop the persist and the
-    shard-join + window reappears once per consumer (three full passes
-    at 100 TB) and this goes red."""
-    df = load_all()["q329_kruskal_wallis"].fn(spark, sf_dir)
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("Window") == 0, plan[:1500]
-    assert "LogicalRDD" in plan
+    """Round-5 pin (VERDICT r4 #6, tightened): Kruskal-Wallis now has
+    NO fan-out at all — the single distributed pass computes midranks
+    and the tie correction in place (midrank*2 = 2*rank + t - 1;
+    sum_v(t^3-t) = sum_rows(t^2-1)), so the census plan must contain
+    EXACTLY two Window nodes (the sharded min-rank and the value-keyed
+    tie count) and no more; a reappearing midrank join or second tie
+    census adds Windows/joins and goes red here."""
+    from harmony_spark.operators.stats_ext import _kw_census
+
+    census, n = _kw_census(spark, sf_dir)
+    plan = census._jdf.queryExecution().optimizedPlan().toString()
+    # rank + tie count share one (shard, v)-partitioned Window node:
+    # same partition spec and order, so Spark fuses both functions
+    assert plan.count("Window") == 1, plan[:1500]
+    assert "rank(" in plan and "RangeFrame" in plan
+    assert n > 0
