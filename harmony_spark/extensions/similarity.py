@@ -1993,3 +1993,78 @@ def q318(spark: SparkSession, sf: str) -> DataFrame:
         F.round(cos, 6).alias("cosine"),
     )
     return pairs.orderBy(F.desc("cosine"), "da", "db").limit(10)
+
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 30
+_MMR_K = 10
+
+
+@register(
+    "q355_mmr_rerank",
+    oracle=None,
+    doc="Maximal Marginal Relevance re-ranking: the relevance top-"
+    f"{_MMR_POOL} (cosine to the corpus centroid query, distributed "
+    "scan + TakeOrdered) is greedily re-ranked by score = lambda*rel "
+    "- (1-lambda)*max-sim-to-already-selected, trading relevance for "
+    "diversity — the standard retrieval post-processor between the "
+    "raw top-k (q37) and downstream RAG/context packing. The greedy "
+    "loop is inherently sequential and runs on the DRIVER over the "
+    "bounded candidate pool (the same bounded-collect discipline as "
+    "the 1-row broadcasts); everything corpus-scale — centroid, "
+    "norms, relevance ranking — stays distributed. Non-SQL-"
+    "expressible (iterative argmax over a growing selected set): "
+    "rows-only driver check; the full output (ids, relevance, MMR "
+    "scores) is pinned against an independent NumPy replica in "
+    "tests/test_mmr.py at two scale factors.",
+)
+def q355(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table
+
+    e = table(spark, sf, "embeddings")
+    d = len(e.select("embedding").first()["embedding"])
+    cent = e.select(
+        F.array(
+            *[
+                F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")
+                for i in range(d)
+            ]
+        ).alias("q")
+    )
+    cand = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "rel", _dot("embedding", "q") / (_l2("embedding") * _l2("q"))
+        )
+        .select("vec_id", "embedding", "rel")
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_POOL)
+        .collect()
+    )
+    import numpy as np
+
+    V = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in cand}
+    rel = {r["vec_id"]: float(r["rel"]) for r in cand}
+    norm = {k: v / np.linalg.norm(v) for k, v in V.items()}
+    selected: list[int] = []
+    out = []
+    remaining = sorted(V, key=lambda k: (-rel[k], k))
+    for rank in range(1, _MMR_K + 1):
+        best, best_score = None, None
+        for k in remaining:
+            red = max(
+                (float(norm[k] @ norm[s]) for s in selected), default=0.0
+            )
+            score = _MMR_LAMBDA * rel[k] - (1 - _MMR_LAMBDA) * red
+            if (
+                best_score is None
+                or score > best_score
+                or (score == best_score and k < best)
+            ):
+                best, best_score = k, score
+        selected.append(best)
+        remaining.remove(best)
+        out.append((rank, best, round(rel[best], 6), round(best_score, 6)))
+    return spark.createDataFrame(
+        out, "rank int, vec_id long, relevance double, mmr_score double"
+    )

@@ -938,10 +938,12 @@ def q204(spark: SparkSession, sf: str) -> DataFrame:
     )
     from harmony_spark.operators.dist_rank import with_global_order_stats
 
+    # toks is checkpointed (fan-out) — explicit stats_token, see q197
     stats, _ = with_global_order_stats(
         per_doc,
         "doc_id",
         sum_cols={"n_tok": "cum_tok", "n_new": "cum_vocab"},
+        stats_token=("q204", sf),
     )
     curve = stats.select("cum_tok", "cum_vocab")
     logs = curve.where(F.col("cum_vocab") > 0).select(
@@ -1569,3 +1571,61 @@ def q335(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return kn.orderBy(F.desc("p_kn"), "w1", "w2").limit(20)
+
+
+@register(
+    "q351_ttr_hapax",
+    oracle=r"""
+        WITH toks AS (
+          SELECT d.source AS source,
+                 unnest(string_split_regex(lower(d.text), '\s+')) AS tok
+          FROM documents d
+        ),
+        census AS (
+          SELECT source, tok, COUNT(*) AS f
+          FROM toks WHERE tok <> '' GROUP BY source, tok
+        )
+        SELECT source,
+               CAST(SUM(f) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               ROUND(COUNT(*) * 1.0 / SUM(f), 6) AS ttr,
+               CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax,
+               ROUND(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS hapax_share
+        FROM census GROUP BY source ORDER BY source
+    """,
+    doc="Lexical-diversity census per source: corpus-level type-token "
+    "ratio and the hapax-legomenon share (fraction of the vocabulary "
+    "seen exactly once) — the two classical vocabulary-health "
+    "numbers between q150's per-DOC distinct ratio and q204's "
+    "Heaps-law growth fit; a crawler loop or template corpus shows "
+    "up as a collapsing hapax share long before dedup metrics move. "
+    "One exploded token census keyed on (source, token) — the "
+    "shuffle is the census, never the raw text — then a bounded "
+    "per-source rollup.",
+)
+def q351(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    d = table_parallel(spark, sf, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    census = toks.groupBy("source", "tok").agg(F.count("*").alias("f"))
+    return (
+        census.groupBy("source")
+        .agg(
+            F.sum("f").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.round(F.count("*") / F.sum("f"), 6).alias("ttr"),
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+            F.round(
+                F.sum(F.when(F.col("f") == 1, 1).otherwise(0)) / F.count("*"),
+                6,
+            ).alias("hapax_share"),
+        )
+        .orderBy("source")
+    )

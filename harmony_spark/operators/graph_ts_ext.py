@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243", "q254", "q258", "q262", "q271", "q272", "q274", "q278", "q282", "q283", "q284", "q292", "q293"]
+__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243", "q254", "q258", "q262", "q271", "q272", "q274", "q278", "q282", "q283", "q284", "q292", "q293", "q352"]
 
 _PR_ITERS = 5
 _PR_DAMP = 0.85
@@ -1990,4 +1990,124 @@ def q293(spark: SparkSession, sf: str) -> DataFrame:
         [(len(xs), round(lvl, 6), round(trd, 6), round(lvl + 7 * trd, 6))],
         "n_days long, level_cents double, trend_cents double, "
         "forecast_7d double",
+    )
+
+
+@register(
+    "q352_local_clustering",
+    oracle="""
+        WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        und AS (
+          SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+        ),
+        deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+        tris AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM pairs e1
+          JOIN pairs e2 ON e2.u = e1.v
+          JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        tv AS (
+          SELECT vtx, COUNT(*) AS t
+          FROM (SELECT a AS vtx FROM tris UNION ALL
+                SELECT b AS vtx FROM tris UNION ALL
+                SELECT c AS vtx FROM tris)
+          GROUP BY vtx
+        ),
+        cc AS (
+          SELECT deg.u, deg.d,
+                 COALESCE(tv.t, 0) * 2.0 / (deg.d * (deg.d - 1)) AS c
+          FROM deg LEFT JOIN tv ON tv.vtx = deg.u
+          WHERE deg.d >= 2
+        )
+        SELECT CAST(LEAST(9, CAST(FLOOR(c * 10) AS BIGINT)) AS BIGINT)
+                 AS cc_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_vertices,
+               ROUND(AVG(d), 6) AS avg_degree,
+               ROUND(AVG(c), 6) AS avg_cc
+        FROM cc GROUP BY cc_bucket ORDER BY cc_bucket
+    """,
+    doc="PER-VERTEX (local) clustering coefficient over the part "
+    "co-purchase graph: c_v = 2*T_v / (d_v*(d_v-1)), the vertex-"
+    "level refinement of q292's single global 3T/W number — the "
+    "histogram separates locally-clustered community vertices from "
+    "pure hubs even when the global coefficient averages them away. "
+    "Plan: the SAME degree-oriented adjacency-intersection build as "
+    "q292 (shared _copurchase_pairs, O(sqrt m) wedge bound), but "
+    "each found triangle EXPLODES to its three corners so the "
+    "per-vertex census is one union + groupBy; the oracle keeps the "
+    "plain id-ordered 3-way join. Output is the bounded 10-bucket "
+    "coefficient histogram.",
+)
+def q352(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = _copurchase_pairs(spark, sf, src="u", dst="v").localCheckpoint(
+        eager=True
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d")).persist()
+    deg.count()
+    ed = pairs.join(
+        deg.select(F.col("u").alias("du_key"), F.col("d").alias("deg_u")),
+        F.col("u") == F.col("du_key"),
+    ).join(
+        deg.select(F.col("u").alias("dv_key"), F.col("d").alias("deg_v")),
+        F.col("v") == F.col("dv_key"),
+    )
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    ).localCheckpoint(eager=True)
+    adj = oriented.groupBy("s").agg(F.collect_list("t").alias("nb")).persist()
+    adj.count()
+    tris = (
+        oriented.join(
+            adj.select(F.col("s").alias("ju"), F.col("nb").alias("nu")),
+            F.col("s") == F.col("ju"),
+        )
+        .join(
+            adj.select(F.col("s").alias("jv"), F.col("nb").alias("nv")),
+            F.col("t") == F.col("jv"),
+        )
+        .select("s", "t", F.explode(F.array_intersect("nu", "nv")).alias("w"))
+    )
+    tv = (
+        tris.select(F.col("s").alias("vtx"))
+        .unionAll(tris.select(F.col("t").alias("vtx")))
+        .unionAll(tris.select(F.col("w").alias("vtx")))
+        .groupBy("vtx")
+        .agg(F.count("*").alias("t"))
+    )
+    cc = (
+        deg.where(F.col("d") >= 2)
+        .join(tv, deg["u"] == tv["vtx"], "left")
+        .select(
+            "d",
+            (
+                F.coalesce(F.col("t"), F.lit(0))
+                * 2.0
+                / (F.col("d") * (F.col("d") - 1))
+            ).alias("c"),
+        )
+    )
+    return (
+        cc.groupBy(
+            F.least(F.lit(9), F.floor(F.col("c") * 10))
+            .cast("long")
+            .alias("cc_bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.round(F.avg("d"), 6).alias("avg_degree"),
+            F.round(F.avg("c"), 6).alias("avg_cc"),
+        )
+        .orderBy("cc_bucket")
     )

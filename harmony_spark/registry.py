@@ -206,7 +206,7 @@ def _priority(name: str) -> tuple[int, int]:
 def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the
     registry in driver-priority order (see :func:`_priority`)."""
-    from harmony_spark.operators import adapters, advanced, cdc, graph_ts_ext, intervals, journeys, layout, relational, spatial, stats_ext, tpch, windows, streaming_batch  # noqa: F401
+    from harmony_spark.operators import adapters, advanced, cdc, graph_ts_ext, intervals, inventory, journeys, layout, relational, spatial, stats_ext, tpch, windows, streaming_batch  # noqa: F401
     from harmony_spark.extensions import curation, dedup, factorization, multimodal, packing, records, similarity, sketches, text_analysis, tokenizer  # noqa: F401
     from harmony_spark.functions import preprocessing  # noqa: F401
     from harmony_spark.core import queries as core_queries  # noqa: F401
