@@ -16,6 +16,8 @@ explicit doc_id window, never as a global cross join.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -288,7 +290,16 @@ def _lsh_pairs_of(docs: DataFrame) -> DataFrame:
 
 
 def _lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    return _lsh_pairs_of(table_parallel(spark, sf, "documents"))
+    # shared by q117/q123/q224/... — memoized per session under the
+    # warm-session flag (io.session_memo): the minhash signature build
+    # is the expensive leg and is deterministic over immutable inputs
+    from harmony_spark.io import session_memo
+
+    return session_memo(
+        spark,
+        ("lsh_pairs", os.path.abspath(sf)),
+        lambda: _lsh_pairs_of(table_parallel(spark, sf, "documents")),
+    )
 
 
 _CC_ORACLE = f"""

@@ -1323,6 +1323,10 @@ def q285(spark: SparkSession, sf: str) -> DataFrame:
             F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("t"),
         )
         .distinct()
+        # six consumers (census, two term picks, two posting lists, the
+        # OR leg) — checkpoint so tokenize+distinct runs once, not per
+        # broadcast subplan
+        .localCheckpoint(eager=False)
     )
     df = tok.groupBy("t").agg(F.count("*").alias("df"))
     picks = df.withColumn(

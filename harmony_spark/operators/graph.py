@@ -15,8 +15,8 @@ for the join back — both on the node-id key, so AQE coalesces them).
 
 State between rounds is only the edge set; lineage is truncated with
 an eager localCheckpoint per round, so plan size stays constant no
-matter how many rounds run.  No driver-side state beyond a convergence
-checksum (2 scalars per round).
+matter how many rounds run.  No driver-side state
+beyond the convergence checksum (2 scalars per round).
 """
 
 from __future__ import annotations
@@ -80,6 +80,11 @@ def connected_components(
     ``stats['rounds']`` reports the number of star rounds if a dict is
     passed (used by tests to pin the O(log n) behavior).
     """
+    # eager checkpoints: the star operators reference their input from
+    # TWO branches (sym union, join-back), and Spark schedules those
+    # branches as parallel stages — a lazy checkpoint then materializes
+    # the same partitions twice concurrently (measured slower than the
+    # extra eager job on the LSH doc graph)
     e = _canon(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint(eager=True)
@@ -128,6 +133,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Fixed-iteration PageRank power method over a directed edge set.
 
@@ -136,8 +142,9 @@ def pagerank(
     the edge set with the O(#nodes) rank vector and ONE aggregate
     keyed on dst — the same shuffle shape as one CC round, linear in
     |E| — plus a left join back onto the node set for sinks with no
-    in-edges. Lineage is truncated per round (localCheckpoint), so the
-    plan stays flat at any iteration count. N comes from a 1-row
+    in-edges. Lineage is truncated every ``checkpoint_every`` rounds
+    (default every round — the state feeds the next round twice, so an
+    unchecked lazy chain recomputes exponentially). N comes from a 1-row
     broadcast aggregate, never a driver collect.
 
     On a symmetric near-dup graph every node has outdeg >= 1 (no
@@ -151,7 +158,7 @@ def pagerank(
     r = nodes.crossJoin(F.broadcast(n_tot)).select(
         "node", "outdeg", (F.lit(1.0) / F.col("n")).alias("rank"), "n"
     )
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             edges.join(
                 r.select(F.col("node").alias(src), "outdeg", "rank"), src
@@ -171,8 +178,14 @@ def pagerank(
                     + damping * F.coalesce("in_mass", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        # per-round truncation is the DEFAULT: r appears twice in the
+        # next round's plan (contrib join + carry), so an unchecked
+        # lazy chain recomputes upstream 2^rounds times (measured 4.0
+        # -> 6.8 s at 3 iters when this was relaxed). checkpoint_every
+        # exists for callers whose update references state once.
+        if (it + 1) % checkpoint_every == 0:
+            r = r.localCheckpoint(eager=False)
     return r.select("node", "rank")
 
 
@@ -182,6 +195,7 @@ def bfs_hops(
     n_iter: int = 3,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Multi-source BFS: minimum hop distance from any source node,
     bounded at ``n_iter`` hops.
@@ -192,8 +206,8 @@ def bfs_hops(
     in-neighbors dist+1). Per round ONE equi-join of the O(#reached)
     distance vector against the edge set and ONE min-aggregate keyed
     on the destination — the CC/pagerank shuffle shape, linear in |E|.
-    Lineage is truncated per round (localCheckpoint) so the plan stays
-    flat at any hop bound. Unlike frontier-only BFS this relaxation is
+    Lineage is truncated every ``checkpoint_every`` rounds (default
+    every round; see the pagerank cadence note). Unlike frontier-only BFS this relaxation is
     idempotent (min semiring), so stragglers re-relaxed in later
     rounds cannot change the result — the property that makes the
     unrolled-SQL oracle replay it exactly.
@@ -201,7 +215,7 @@ def bfs_hops(
     dist = sources.select("node", F.lit(0).alias("dist")).localCheckpoint(
         eager=False
     )
-    for _ in range(n_iter):
+    for it in range(n_iter):
         relaxed = dist.join(
             edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")),
             "node",
@@ -210,6 +224,9 @@ def bfs_hops(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
         )
+        # per-round by default — dist appears twice per round (join +
+        # union), see the pagerank cadence note
+        if (it + 1) % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=False)
     return dist

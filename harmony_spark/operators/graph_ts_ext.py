@@ -41,7 +41,25 @@ def _copurchase_pairs(
     self-join + distinct — measured faster at local/sf0.1 for callers
     that run long ITERATIVE successors (the collect_set aggregate's
     allocation churn taxes the following iterations ~2 s on local[32];
-    at cluster scale the explode build wins on shuffle volume)."""
+    at cluster scale the explode build wins on shuffle volume).
+
+    Under the warm-session flag the canonical (src, dst) edge set is
+    memoized per session (io.session_memo) — five graph queries share
+    this exact build, and it is deterministic over immutable inputs."""
+    import os as _os
+
+    from harmony_spark.io import session_memo
+
+    return session_memo(
+        spark,
+        ("copurchase", _os.path.abspath(sf), build, src, dst),
+        lambda: _copurchase_pairs_build(spark, sf, src, dst, build),
+    )
+
+
+def _copurchase_pairs_build(
+    spark: SparkSession, sf: str, src: str, dst: str, build: str
+) -> DataFrame:
     from harmony_spark.io import table_parallel
 
     lip = table_parallel(spark, sf, "lineitem").select(

@@ -1495,7 +1495,11 @@ def q159(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    total = b.select("okey").distinct().count()
+    # basket total as a 1-row broadcast inside the one plan, not a
+    # separate count() action
+    total_df = b.select("okey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
     singles = b.groupBy("brand").agg(F.count("*").alias("n_a"))
     a, c = b.alias("a"), b.alias("c")
     pairs = (
@@ -1515,12 +1519,15 @@ def q159(spark: SparkSession, sf: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(sa), "brand_a")
         .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(total_df))
         .select(
             "brand_a",
             "brand_b",
             "n_ab",
             F.round(
-                F.col("n_ab").cast("double") * total / (F.col("na") * F.col("nb")),
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
                 6,
             ).alias("lift"),
         )

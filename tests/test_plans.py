@@ -115,6 +115,7 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q139_triangle_census",  # cross join of three single-row census aggregates
     "q141_hard_negatives",  # inequality join vs 20 broadcast anchor vectors
     "q150_corpus_health",  # cross join of two single-row aggregates
+    "q159_basket_lift",  # cross join vs the 1-row basket total
     "q151_ndcg_quantized",  # inequality joins vs 3 broadcast query vectors
     "q176_vocab_coverage",  # rank<=k join vs the 3-row fixed head-size list
     "q179_idle_high_balance",  # threshold join vs the 1-row balance average
