@@ -1692,17 +1692,27 @@ def q264(spark: SparkSession, sf: str) -> DataFrame:
     toks = table(spark, sf, "documents").select(
         "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("ts")
     )
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(ts) - {_CT_SH} + 1, 0)),"
-                f" i -> array_join(slice(ts, i, {_CT_SH}), ' '))"
-            )
-        ).alias("sh"),
-    ).distinct()
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(ts) - {_CT_SH} + 1, 0)),"
+                    f" i -> array_join(slice(ts, i, {_CT_SH}), ' '))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+        # two consumers (census, rare filter) — shingle once
+        .localCheckpoint(eager=False)
+    )
     df = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    rare = sh.join(df.where(F.col("df") <= _CT_DF), "sh").select("doc_id", "sh")
+    rare = (
+        sh.join(df.where(F.col("df") <= _CT_DF), "sh")
+        .select("doc_id", "sh")
+        # three consumers (sizes + both self-join sides)
+        .localCheckpoint(eager=False)
+    )
     sz = rare.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     a = rare.select(F.col("doc_id").alias("a_id"), "sh")
     b = rare.select(F.col("doc_id").alias("b_id"), "sh")

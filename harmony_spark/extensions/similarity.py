@@ -821,7 +821,9 @@ def embedding_covariance(df: DataFrame, col: str = "embedding", d: int = 64) -> 
     (i, j, cov) rows, i <= j: sum the per-partition Gram partials
     (posexplode of #partitions flat arrays — thousands of rows, not
     corpus-sized), then cov = G/n - mean_i * mean_j."""
-    parts = gram_partials(df, col, d)
+    # three consumers (Gram, sums, count) — checkpoint the tiny
+    # partials table so the Arrow Gram kernel runs once, not per leg
+    parts = gram_partials(df, col, d).localCheckpoint(eager=False)
     g = (
         parts.select(F.posexplode("g").alias("pos", "v"), "n")
         .groupBy("pos")

@@ -101,17 +101,23 @@ _PROMOTED = (
     "q89_prefix_similarity_join",
     "q97_dedup_pipeline",
     "q98_semantic_dedup",
-    "q100_partitioned_day_range",
     "q101_pq_topk",
-    "q102_quality_funnel",
-    "q104_decontamination",
     "q130_full_curation",
     "q132_incremental_neardup",
-    "q134_pit_enrichment",
-    "q148_distributed_auc",
-    "q164_asof_signup_attribution",
     "q165_sequence_packing",
     "q234_lsh_quality_eval",
+    # round-5 second rotation: one driver row for each family added
+    # this round (gaps-and-islands, Croston, newsvendor, Cohen's
+    # kappa, local clustering coefficient, uplift/Qini), swapped in
+    # for six round-3 promotions that have been driver-green since r3
+    # (q100/q102/q104/q134/q148/q164 — each stays pinned by the
+    # identical local oracle gate at sf0.001).
+    "q346_order_islands",
+    "q347_croston_intermittent",
+    "q348_newsvendor_stock",
+    "q350_cohens_kappa",
+    "q352_local_clustering",
+    "q354_uplift_qini",
 )
 # Rotated out of the driver window round-4: each was driver-green for
 # three consecutive rounds and stays pinned by the identical local
@@ -182,9 +188,11 @@ def _priority(name: str) -> tuple[int, int]:
     q342/q343, round-4 families that had never had a driver row),
     seven session-7 heads (q298/q303/q304/q311/q314/q322/q323), ten
     round-4 rotation heads (q47/q56/q62/q73/q107/q113/q125/q128/q152/
-    q156) plus the fourteen round-3 promotions (q89/q97/q98/q100/q101/
-    q102/q104/q130/q132/q134/q148/q164/q165/q234). Out-of-window rows
-    are covered by the identical local oracle gate at sf0.001."""
+    q156), eight surviving round-3 promotions (q89/q97/q98/q101/q130/
+    q132/q165/q234), and six round-5 family heads (q346/q347/q348/
+    q350/q352/q354 — swapped in for the driver-green-since-r3 rows
+    q100/q102/q104/q134/q148/q164). Out-of-window rows are covered by
+    the identical local oracle gate at sf0.001."""
     if name in _PROMOTED:
         return (2, _PROMOTED.index(name))
     if name.startswith("q"):
