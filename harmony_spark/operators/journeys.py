@@ -2910,3 +2910,122 @@ def q346(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("island_len")
     )
+
+
+_SHAP_CHANNELS = ("click", "error", "signup", "view")  # sorted non-purchase
+
+
+def _shapley_oracle() -> str:
+    """DuckDB leg for q356: per-user touch bitmask + converted flag,
+    census by mask, then the exact Shapley weighted sum UNROLLED per
+    channel over the 2^4 coalition values — python-generated SQL, the
+    same portability pattern as the unrolled PageRank/LPA oracles."""
+    from itertools import combinations
+    from math import factorial
+
+    bits = " + ".join(
+        f"MAX(CASE WHEN event_type = '{c}' THEN {1 << i} ELSE 0 END)"
+        for i, c in enumerate(_SHAP_CHANNELS)
+    )
+    n = len(_SHAP_CHANNELS)
+    legs = []
+    for i, c in enumerate(_SHAP_CHANNELS):
+        terms = []
+        others = [j for j in range(n) if j != i]
+        for k in range(n):
+            for s_set in combinations(others, k):
+                m = sum(1 << j for j in s_set)
+                w = (
+                    factorial(len(s_set))
+                    * factorial(n - len(s_set) - 1)
+                    / factorial(n)
+                )
+                terms.append(
+                    f"{w!r} * (COALESCE(v{m | (1 << i)}, 0)"
+                    f" - COALESCE(v{m}, 0))"
+                )
+        legs.append(
+            f"SELECT '{c}' AS channel, "
+            f"ROUND({' + '.join(terms)}, 6) AS shapley FROM v"
+        )
+    vcols = ", ".join(
+        f"MAX(CASE WHEN mask = {m} THEN cr END) AS v{m}"
+        for m in range(1 << n)
+    )
+    return f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 {bits} AS mask,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+          FROM events GROUP BY user_id
+        ),
+        census AS (
+          SELECT mask, COUNT(*) AS n_users,
+                 AVG(CAST(conv AS DOUBLE)) AS cr
+          FROM per_user GROUP BY mask
+        ),
+        v AS (SELECT {vcols} FROM census)
+        {' UNION ALL '.join(legs)}
+        ORDER BY channel
+    """
+
+
+@register(
+    "q356_shapley_attribution",
+    oracle=_shapley_oracle(),
+    doc="Shapley-value channel attribution: the coalition value v(S) is "
+    "the observed conversion rate of users whose touch set is exactly "
+    "S, and each channel's credit is the exact Shapley average of its "
+    "marginal contribution over all orderings — the game-theoretic "
+    "attribution that completes the family (linear q162, U-shape "
+    "q310, time-decay q328, Markov removal-effect q323): unlike the "
+    "heuristics it is the unique allocation satisfying efficiency/"
+    "symmetry/dummy. Scale shape: the channel set is BOUNDED (4 touch "
+    "types -> 16 coalitions), so the engine computes one per-user "
+    "bitmask aggregate and one 16-row census; the factorial-weighted "
+    "sum is driver math on that census, and the oracle unrolls the "
+    "identical sum per channel. At 100 TB only the two grouped passes "
+    "grow; the powerset census stays 2^|channels| rows by "
+    "construction.",
+)
+def q356(spark: SparkSession, sf: str) -> DataFrame:
+    from itertools import combinations
+    from math import factorial
+
+    from harmony_spark.io import table_parallel
+
+    ev = table_parallel(spark, sf, "events")
+    bit = F.lit(0)
+    for i, c in enumerate(_SHAP_CHANNELS):
+        bit = bit + F.max(
+            F.when(F.col("event_type") == c, 1 << i).otherwise(0)
+        )
+    per_user = ev.groupBy("user_id").agg(
+        bit.alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    census = (
+        per_user.groupBy("mask")
+        .agg(F.avg(F.col("conv").cast("double")).alias("cr"))
+        .collect()
+    )
+    v = {r["mask"]: r["cr"] for r in census}
+    n = len(_SHAP_CHANNELS)
+    out = []
+    for i, c in enumerate(_SHAP_CHANNELS):
+        others = [j for j in range(n) if j != i]
+        s = 0.0
+        for k in range(n):
+            for s_set in combinations(others, k):
+                m = sum(1 << j for j in s_set)
+                w = (
+                    factorial(len(s_set))
+                    * factorial(n - len(s_set) - 1)
+                    / factorial(n)
+                )
+                s += w * (v.get(m | (1 << i), 0.0) - v.get(m, 0.0))
+        out.append((c, round(s, 6)))
+    return spark.createDataFrame(out, "channel string, shapley double")
