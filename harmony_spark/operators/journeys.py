@@ -3029,3 +3029,130 @@ def q356(spark: SparkSession, sf: str) -> DataFrame:
                 s += w * (v.get(m | (1 << i), 0.0) - v.get(m, 0.0))
         out.append((c, round(s, 6)))
     return spark.createDataFrame(out, "channel string, shapley double")
+
+
+_RMST_TAU = 20  # restriction horizon in days
+
+
+@register(
+    "q357_rmst",
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 date_diff('microsecond', MIN(ts), MAX(ts)) // 86400000000
+                   AS lifetime_days,
+                 CASE WHEN date_diff('microsecond', MAX(ts),
+                                     TIMESTAMP '{_KM_OBS_END} 00:00:00')
+                           >= {_KM_CENSOR_DAYS} * 86400000000
+                      THEN 1 ELSE 0 END AS churned
+          FROM events GROUP BY user_id
+        ),
+        g AS (
+          SELECT lifetime_days AS t,
+                 SUM(churned) AS d,
+                 COUNT(*) - SUM(churned) AS c
+          FROM u GROUP BY lifetime_days
+        ),
+        k AS (
+          SELECT t, d, c,
+                 (SELECT COUNT(*) FROM u)
+                   - COALESCE(SUM(d + c) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+          FROM g
+        ),
+        curve AS (
+          SELECT t,
+                 EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_risk))
+                     OVER (ORDER BY t)) AS s
+          FROM k
+        ),
+        seg AS (
+          SELECT t, s,
+                 COALESCE(LEAD(t) OVER (ORDER BY t), {_RMST_TAU}) AS nxt
+          FROM curve
+        ),
+        head AS (
+          SELECT LEAST(CAST(MIN(t) AS DOUBLE), {_RMST_TAU}) AS h FROM curve
+        )
+        SELECT CAST({_RMST_TAU} AS BIGINT) AS tau_days,
+               CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_users,
+               ROUND((SELECT h FROM head)
+                     + SUM(s * (LEAST(CAST(nxt AS DOUBLE), {_RMST_TAU})
+                                - LEAST(CAST(t AS DOUBLE), {_RMST_TAU}))),
+                     6) AS rmst_days
+        FROM seg
+    """,
+    doc=f"Restricted mean survival time at tau={_RMST_TAU} days: the "
+    "area under q171's Kaplan-Meier curve up to the horizon — mean "
+    "days of user life per user within the first tau days, the "
+    "single-number survival summary that stays valid under heavy "
+    "censoring where the median lifetime is undefined and a hazard "
+    "ratio assumes proportionality. Trapezoid-free exact step-"
+    "function integral: S(t_i) times the tau-clipped interval to the "
+    "next event time, plus the leading [0, t_min) strip at S=1. Same "
+    "plan shape as q171 (user-keyed collapse + day-census windows "
+    "bounded by the observation span), one extra LEAD over the "
+    "bounded curve.",
+)
+def q357(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    obs_end_us = F.unix_micros(F.lit(_KM_OBS_END).cast("timestamp"))
+    day_us = 86_400_000_000
+    u = (
+        table_parallel(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / day_us
+            ).alias("lifetime_days"),
+            F.when(
+                obs_end_us - F.unix_micros(F.max("ts"))
+                >= _KM_CENSOR_DAYS * day_us,
+                1,
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    g = u.groupBy(F.col("lifetime_days").alias("t")).agg(
+        F.sum("churned").alias("d"),
+        (F.count("*") - F.sum("churned")).alias("c"),
+    )
+    total = u.count()
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = g.withColumn(
+        "n_risk",
+        F.lit(total)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    ).select(
+        "t",
+        F.exp(
+            F.sum(
+                F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+            ).over(w_cum)
+        ).alias("s"),
+    )
+    w = Window.orderBy("t")
+    seg = curve.withColumn(
+        "nxt", F.coalesce(F.lead("t").over(w), F.lit(_RMST_TAU))
+    )
+    tau = float(_RMST_TAU)
+    return seg.agg(
+        F.lit(_RMST_TAU).cast("long").alias("tau_days"),
+        F.lit(total).cast("long").alias("n_users"),
+        F.round(
+            F.least(F.min("t").cast("double"), F.lit(tau))
+            + F.sum(
+                F.col("s")
+                * (
+                    F.least(F.col("nxt").cast("double"), F.lit(tau))
+                    - F.least(F.col("t").cast("double"), F.lit(tau))
+                )
+            ),
+            6,
+        ).alias("rmst_days"),
+    )

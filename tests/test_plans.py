@@ -274,6 +274,7 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     "q153_new_vs_returning": "day series (calendar-bounded)",
     "q169_temperature_mix": "per-source weight table (|sources| rows)",
     "q171_kaplan_meier": "distinct lifetime-day census (calendar-bounded)",
+    "q357_rmst": "distinct lifetime-day census (calendar-bounded)",
     "q176_vocab_coverage": "20-row TakeOrdered head (checkpoint hides the limit)",
     "q182_percent_of_parent": "region x nation census (25 rows)",
     "q190_chisq_independence": "event_type x bucket contingency cells",
