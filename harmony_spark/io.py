@@ -55,6 +55,17 @@ def _cache_enabled() -> bool:
 _DERIVED_MEMO: dict[tuple, DataFrame] = {}
 
 
+def _evict_stale(cache: dict, app_id: str) -> None:
+    """Drop cache entries from stopped sessions.  All session caches key
+    on applicationId at position 0; entries whose appId differs from the
+    ACTIVE session reference dead DataFrames (their JVM session is gone)
+    and would otherwise leak for process lifetime.  Called on every cache
+    access — O(len) dict sweep, trivial next to any Spark action."""
+    stale = [k for k in cache if k[0] != app_id]
+    for k in stale:
+        del cache[k]
+
+
 def session_memo(spark: SparkSession, key: tuple, build) -> DataFrame:
     """Return ``build()`` memoized per (applicationId, *key) behind a
     lazy localCheckpoint.  Only active under HARMONY_CACHE_TABLES=1 —
@@ -63,7 +74,9 @@ def session_memo(spark: SparkSession, key: tuple, build) -> DataFrame:
     (same contract as the dist_rank statistics cache)."""
     if not _cache_enabled():
         return build()
-    k = (spark.sparkContext.applicationId, *key)
+    app_id = spark.sparkContext.applicationId
+    _evict_stale(_DERIVED_MEMO, app_id)
+    k = (app_id, *key)
     df = _DERIVED_MEMO.get(k)
     if df is None:
         df = build().localCheckpoint(eager=False)
@@ -72,7 +85,9 @@ def session_memo(spark: SparkSession, key: tuple, build) -> DataFrame:
 
 
 def _cached_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    app_id = spark.sparkContext.applicationId
+    _evict_stale(_TABLE_CACHE, app_id)
+    key = (app_id, os.path.abspath(sf_dir), name)
     df = _TABLE_CACHE.get(key)
     if df is None:
         df = ensure_parallelism(spark, _scan(spark, sf_dir, name)).persist()

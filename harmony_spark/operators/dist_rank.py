@@ -70,14 +70,26 @@ def _stats_key(df: DataFrame, *extra) -> tuple | None:
         h = analyzed.semanticHash()
     except Exception:  # noqa: BLE001 — cache is best-effort
         return None
-    return (df.sparkSession.sparkContext.applicationId, h, *extra)
+    app_id = df.sparkSession.sparkContext.applicationId
+    _evict_stale(app_id)
+    return (app_id, h, *extra)
+
+
+def _evict_stale(app_id: str) -> None:
+    """Drop stats entries from stopped sessions (same contract as
+    io._evict_stale): keys lead with applicationId, and stale entries
+    would otherwise accumulate for process lifetime."""
+    for k in [k for k in _STATS_CACHE if k[0] != app_id]:
+        del _STATS_CACHE[k]
 
 
 def _token_key(df: DataFrame, stats_token, *extra) -> tuple | None:
     if os.environ.get("HARMONY_STATS_CACHE", "1") == "0":
         return None
+    app_id = df.sparkSession.sparkContext.applicationId
+    _evict_stale(app_id)
     return (
-        df.sparkSession.sparkContext.applicationId,
+        app_id,
         "tok",
         tuple(stats_token),
         *extra,
@@ -119,8 +131,13 @@ def with_range_shard(
     # historical F.aggregate re-derivation breakage across joins
     # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) does not apply.
     arr = "array(" + ",".join(repr(float(b)) for b in bounds) + ")"
+    # collision-proof lambda variable: backticks do NOT shadow-escape HOF
+    # lambda scope, so a key column literally named like the lambda var
+    # would resolve to the var itself (every row -> shard 0, one task)
+    if key == "__sb":
+        raise ValueError("key column name '__sb' collides with the shard lambda")
     return df.withColumn(
-        shard_col, F.expr(f"size(filter({arr}, b -> `{key}` > b))")
+        shard_col, F.expr(f"size(filter({arr}, __sb -> `{key}` > __sb))")
     )
 
 

@@ -272,7 +272,12 @@ def q286(spark: SparkSession, sf: str) -> DataFrame:
     # (O(E α(E)) instead of O(log n) distributed join rounds — the same
     # explicit-allowlist discipline as the 1-row broadcasts); the
     # distributed star-CC path remains for an unbounded cell graph.
-    edges = adj.collect() if _GD_CC_DRIVER_MAX else None
+    # limit(MAX+1) bounds the driver transfer BEFORE paying it: if the
+    # limit is hit, fall back to distributed CC without ever having
+    # collected more than the threshold (mirrors q262's histogram gate).
+    edges = (
+        adj.limit(_GD_CC_DRIVER_MAX + 1).collect() if _GD_CC_DRIVER_MAX else None
+    )
     if edges is not None and len(edges) <= _GD_CC_DRIVER_MAX:
         parent: dict = {}
 

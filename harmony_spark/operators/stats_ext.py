@@ -56,16 +56,16 @@ __all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232
     """,
     doc="Spearman rank correlation rho per group (quantity vs "
     "extended price within each returnflag), tie-aware: midranks "
-    "via the integer 2·rank+ties−1 trick, centered by (n+1) so all "
-    "three moments (Σdxdy, Σdx², Σdy²) are exact BIGINT sums of "
-    "integers — Pearson-on-midranks IS the definition of Spearman "
-    "under ties, and the integer moments make the 6-dp rho "
-    "engine-stable with no double-summation-order surface. Plan "
-    "shape: two rank windows keyed on (group, value) — each a "
-    "group-local sort, no global ordering — then one hash "
-    "aggregate; Σd² ≤ n³ bounds BIGINT safety to ~2M rows/group "
-    "(pre-scale midranks beyond that). Read against q125/q198, "
-    "the PEARSON formulations on raw values.",
+    "via the integer 2·rank+ties−1 trick, expanded algebraically so "
+    "all three moments (Σdxdy, Σdx², Σdy²) are exact DECIMAL(38,0) "
+    "sums of integers (HUGEINT parity with the oracle; BIGINT wraps "
+    "past ~1M rows/group) — Pearson-on-midranks IS the definition "
+    "of Spearman under ties, and the integer moments make the 6-dp "
+    "rho engine-stable with no double-summation-order surface. Plan "
+    "shape: a bounded-domain census window for x, a sharded rank "
+    "pass for y, then ONE hash aggregate — no driver actions beyond "
+    "the rank-stats phase. Read against q125/q198, the PEARSON "
+    "formulations on raw values.",
 )
 def q219(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.io import table_parallel
@@ -77,31 +77,41 @@ def q219(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
     # Quantity's value domain is BOUNDED (integer units 1..50), so its
-    # per-group midrank table is a driver census broadcast back as a
-    # literal map; price-cents is entity-scale and takes the sharded
-    # min-rank pass (never a per-group single partition: l_returnflag
-    # has 3 values, so a grp-partitioned window is 3 tasks sorting 1/3
-    # of the table each at 100 TB) with the tie count framed into the
-    # same shard window.  The centered moments then EXPAND
-    # algebraically — sum(dx*dy) = sxy - (n+1)(sx + sy) + n(n+1)^2
-    # with dx = rx2 - (n+1) — so everything reduces to ONE hash
-    # aggregate of exact BIGINT uncentered moments, bit-identical to
-    # the oracle's centered HUGEINT sums (bounds: sum(rx2*ry2) <=
-    # 4n^3 caps exactness at ~1M rows/group; pre-scale beyond).
-    cx = sorted(
-        (r["grp"], r["x"], r["c"])
-        for r in pts.groupBy("grp", "x").agg(F.count("*").alias("c")).collect()
+    # per-group doubled-midrank table is a tiny (grp, x) aggregate; the
+    # cumulative tie-count window over that CENSUS (<= |grps|x|domain|
+    # rows, each partition <= |domain|) turns min-rank into a column
+    # without any driver action — the census stays inside the main job
+    # and reaches the fact join through a broadcast exchange.
+    # Price-cents is entity-scale and takes the sharded min-rank pass
+    # (never a per-group single partition: l_returnflag has 3 values,
+    # so a grp-partitioned window is 3 tasks sorting 1/3 of the table
+    # each at 100 TB) with the tie count framed into the same shard
+    # window.  The centered moments then EXPAND algebraically —
+    # sum(dx*dy) = sxy - (n+1)(sx + sy) + n(n+1)^2 with
+    # dx = rx2 - (n+1) — so everything reduces to ONE hash aggregate of
+    # exact uncentered moments.  All moment terms are summed as
+    # DECIMAL(38,0) (exact integers to 10^38, matching the oracle's
+    # HUGEINT): sum(rx2*ry2) <= 4n^3 wraps BIGINT past ~1M rows/group
+    # in non-ANSI Spark, silently; decimal keeps rho exact to ~10^12
+    # rows/group.
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    mr2x: list = []
-    seen = 0
-    prev_grp = None
-    for grp_v, x_v, c in cx:
-        if grp_v != prev_grp:
-            prev_grp, seen = grp_v, 0
-        # min-rank of this tie group = seen + 1; doubled midrank
-        mr2x.append((grp_v, x_v, 2 * (seen + 1) + c - 1))
-        seen += c
-    xdf = spark.createDataFrame(mr2x, "grp string, x long, rx2 long")
+    xdf = (
+        pts.groupBy("grp", "x")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rx2",
+            (
+                2 * (F.coalesce(F.sum("c").over(w_cum), F.lit(0)) + 1)
+                + F.col("c")
+                - 1
+            ).cast("long"),
+        )
+        .select("grp", "x", "rx2")
+    )
     r2, _ = with_global_rank(
         pts,
         "y",
@@ -114,23 +124,30 @@ def q219(spark: SparkSession, sf: str) -> DataFrame:
     s2 = r2.withColumn("ry2", 2 * F.col("rky") + F.col("ty") - 1).join(
         F.broadcast(xdf), ["grp", "x"]
     )
+    dec = "decimal(38,0)"
+    rx2d = F.col("rx2").cast(dec)
+    ry2d = F.col("ry2").cast(dec)
     g = s2.groupBy("grp").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
-        F.sum("rx2").alias("sx"),
-        F.sum("ry2").alias("sy"),
-        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
-        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(rx2d * ry2d).alias("sxy"),
+        F.sum(rx2d).alias("sx"),
+        F.sum(ry2d).alias("sy"),
+        F.sum(rx2d * rx2d).alias("sxx"),
+        F.sum(ry2d * ry2d).alias("syy"),
     )
-    n1 = F.col("n") + 1
-    num = F.col("sxy") - n1 * (F.col("sx") + F.col("sy")) + F.col("n") * n1 * n1
-    dxx = F.col("sxx") - 2 * n1 * F.col("sx") + F.col("n") * n1 * n1
-    dyy = F.col("syy") - 2 * n1 * F.col("sy") + F.col("n") * n1 * n1
+    n1 = (F.col("n") + 1).cast(dec)
+    nd = F.col("n").cast(dec)
+    num = F.col("sxy") - n1 * (F.col("sx") + F.col("sy")) + nd * n1 * n1
+    dxx = F.col("sxx") - 2 * n1 * F.col("sx") + nd * n1 * n1
+    dyy = F.col("syy") - 2 * n1 * F.col("sy") + nd * n1 * n1
+    # the denominator product can exceed decimal(38,0) (~n^6); mirror the
+    # oracle's 1.0*dxx*dyy double math exactly
+    denom = F.sqrt(dxx.cast("double") * dyy.cast("double"))
     return (
         g.select(
             "grp",
             F.col("n").cast("long").alias("n"),
-            F.round(num / F.sqrt(1.0 * dxx * dyy), 6).alias("rho"),
+            F.round(num.cast("double") / denom, 6).alias("rho"),
         )
         .orderBy("grp")
     )
