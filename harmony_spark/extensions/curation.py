@@ -1177,10 +1177,54 @@ def greedy_coverage_picks(doc_tok: DataFrame, k: int = _COV_K) -> list[tuple[int
     return picks
 
 
+def _coverage_oracle(k: int = _COV_K) -> str:
+    """Unrolled greedy-coverage rounds as chained CTEs (the same unroll
+    choice as the PageRank/BFS/HITS oracles): round i's gains exclude
+    the tokens covered by picks 1..i-1, the pick is the (gain DESC,
+    doc_id ASC) argmax, and rounds whose gain pool is empty simply
+    contribute no row — matching the Spark loop's early break."""
+    parts = [
+        r"""dd AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+),
+v AS (SELECT COUNT(DISTINCT tok) AS vs FROM dd),
+g1 AS (SELECT doc_id, COUNT(*) AS gain FROM dd GROUP BY doc_id),
+p1 AS (SELECT 1 AS r, doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+c1 AS (SELECT DISTINCT tok FROM dd WHERE doc_id = (SELECT doc_id FROM p1))"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""g{i} AS (SELECT doc_id, COUNT(*) AS gain FROM dd
+  WHERE tok NOT IN (SELECT tok FROM c{i - 1}) GROUP BY doc_id),
+p{i} AS (SELECT {i} AS r, doc_id, gain FROM g{i}
+  ORDER BY gain DESC, doc_id LIMIT 1),
+c{i} AS (SELECT tok FROM c{i - 1}
+  UNION SELECT tok FROM dd WHERE doc_id = (SELECT doc_id FROM p{i}))"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM p{i}" for i in range(1, k + 1))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+allp AS ({union})
+SELECT CAST(r AS BIGINT) AS pick_rank,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(gain AS BIGINT) AS marginal_gain,
+       CAST(SUM(gain) OVER (ORDER BY r) AS BIGINT) AS cumulative_coverage,
+       ROUND(SUM(gain) OVER (ORDER BY r) / (SELECT vs FROM v), 6)
+         AS coverage_frac
+FROM allp ORDER BY pick_rank"""
+    )
+
+
 @register(
     "q154_greedy_coverage",
-    oracle=None,  # iterative argmax loop is not SQL-expressible:
-    # rows-only + exact Python-replica test (tests/test_extensions.py)
+    oracle=_coverage_oracle(),  # unrolled rounds (bounded K=8); the
+    # exact Python-replica test (tests/test_extensions.py) stays as a
+    # second, SQL-independent gate on every pick
     doc="Coverage-driven data selection (greedy maximum coverage, the "
     "(1-1/e)-approximate submodular recipe): pick 8 documents that "
     "together cover the most distinct vocabulary - the data-efficient "

@@ -1900,3 +1900,98 @@ def q322(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("shared_fingerprints"), "da", "db")
         .limit(15)
     )
+
+
+_SPAN_K = 50  # Lee et al. 2022 exact-substring threshold (tokens)
+
+
+@register(
+    "q358_exact_span_dedup",
+    oracle=r"""
+        WITH toks AS (SELECT doc_id,
+                             string_split_regex(lower(text), '\s+') AS t
+                      FROM documents),
+        sh AS (SELECT doc_id, u.pos AS pos, u.g AS g
+               FROM (SELECT doc_id,
+                            unnest(list_transform(range(1, len(t) - 48),
+                                   i -> {'pos': i,
+                                         'g': md5(array_to_string(
+                                                  t[i:i+49], ' '))})) AS u
+                     FROM toks WHERE len(t) >= 50)),
+        dupg AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) > 1),
+        dup AS (SELECT doc_id, pos FROM sh WHERE g IN (SELECT g FROM dupg)),
+        runs AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                                ORDER BY pos) <= 50
+                      THEN 0 ELSE 1 END AS brk
+          FROM dup),
+        spans AS (
+          SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+          FROM runs),
+        sl AS (SELECT doc_id, sid, MAX(pos) - MIN(pos) + 50 AS span_len
+               FROM spans GROUP BY doc_id, sid)
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_affected,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(COALESCE(SUM(span_len), 0) AS BIGINT)
+                 AS total_dup_tokens,
+               CAST(COALESCE(MAX(span_len), 0) AS BIGINT)
+                 AS max_span_tokens
+    FROM sl
+    """,
+    doc=f"Exact substring-SPAN dedup (Lee et al. 2022 'Deduplicating "
+    f"Training Data', the suffix-array ExactSubstr operator re-expressed "
+    f"relationally): a {_SPAN_K}-token window is duplicated iff its "
+    f"{_SPAN_K}-gram occurs more than once corpus-wide (multiplicity, "
+    "not distinct-doc count — within-doc repeats count, exactly as a "
+    "suffix array sees them); per document, overlapping/adjacent "
+    "duplicated windows merge into MAXIMAL duplicate spans via a "
+    "gap<=K run-merge over window start positions — the relational "
+    "equivalent of reading maximal repeated intervals off the suffix "
+    "array. Output census: affected docs, span count, total duplicated "
+    "tokens (what ExactSubstr would cut), longest span. Plan: row-local "
+    f"posexplode of md5({_SPAN_K}-gram) digests (the shuffle carries "
+    "16-byte hashes, never token strings), one multiplicity aggregate, "
+    "a semi-join back, then doc-bounded windows (documents have bounded "
+    "length, so per-doc partitions never skew). Complements q86's "
+    "8-token shingle census (which counts shared shingles but cannot "
+    "merge them into maximal spans). Reference shape: "
+    "extensions/dedup.py q86; the span merge is new here.",
+)
+def q358(spark: SparkSession, sf: str) -> DataFrame:
+    shingles = F.expr(
+        f"transform(sequence(0, size(toks) - {_SPAN_K}), "
+        f"i -> named_struct('pos', i + 1, "
+        f"'g', md5(concat_ws(' ', slice(toks, i + 1, {_SPAN_K})))))"
+    )
+    sh = (
+        table_parallel(spark, sf, "documents")
+        .select("doc_id", _tokens().alias("toks"))
+        .where(F.size("toks") >= _SPAN_K)
+        .select("doc_id", F.explode(shingles).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    )
+    dup_g = sh.groupBy("g").agg(F.count("*").alias("c")).where(F.col("c") > 1)
+    dup = sh.join(dup_g.select("g"), "g", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup.withColumn(
+        "brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) <= _SPAN_K, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    spans = runs.withColumn("sid", F.sum("brk").over(w))
+    sl = spans.groupBy("doc_id", "sid").agg(
+        (F.max("pos") - F.min("pos") + _SPAN_K).alias("span_len")
+    )
+    return sl.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_affected"),
+        F.count("*").cast("long").alias("n_spans"),
+        F.coalesce(F.sum("span_len"), F.lit(0))
+        .cast("long")
+        .alias("total_dup_tokens"),
+        F.coalesce(F.max("span_len"), F.lit(0))
+        .cast("long")
+        .alias("max_span_tokens"),
+    )

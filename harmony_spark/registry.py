@@ -88,19 +88,12 @@ _PROMOTED = (
     "q314_fellegi_sunter",
     "q322_winnowing_fingerprints",
     "q323_markov_attribution",
-    "q56_pricing_summary",
-    "q62_percentiles",
-    "q73_dedup_components",
     "q125_grouped_regression",
     "q128_time_rollup",
-    "q47_bpe_token_counts",
     "q156_exact_global_median",
-    "q107_sequence_packing",
     "q113_scd2_history",
     "q152_markov_transitions",
     "q89_prefix_similarity_join",
-    "q97_dedup_pipeline",
-    "q98_semantic_dedup",
     "q101_pq_topk",
     "q130_full_curation",
     "q132_incremental_neardup",
@@ -118,6 +111,24 @@ _PROMOTED = (
     "q350_cohens_kappa",
     "q352_local_clustering",
     "q354_uplift_qini",
+    # round-6 rotation (VERDICT r5 #1): twelve never-driver-checked
+    # family heads (Spearman, PageRank, BFS, recsys holdout, log-rank,
+    # window funnel, McNemar, TTR, EOQ, Shapley, RMST, the new exact
+    # substring-span dedup), swapped in for the twelve longest-green
+    # rows (q28-q32 and seven r4 promotions — all stay pinned by the
+    # identical local oracle gate at sf0.001, see _ROTATED_OUT).
+    "q219_spearman_rho",
+    "q225_pagerank",
+    "q254_bfs_reachability",
+    "q282_recsys_holdout_eval",
+    "q315_logrank_test",
+    "q337_window_funnel",
+    "q349_mcnemar_paired",
+    "q351_ttr_hapax",
+    "q353_eoq_policy",
+    "q356_shapley_attribution",
+    "q357_rmst",
+    "q358_exact_span_dedup",
 )
 # Rotated out of the driver window round-4: each was driver-green for
 # three consecutive rounds and stays pinned by the identical local
@@ -161,6 +172,28 @@ _ROTATED_OUT = frozenset(
         "q19_union_all",
         "q24_intersect",
         "q25_string_date_fns",
+        # round-6: the last q2x/q3x originals plus seven r4 promotions,
+        # driver-green for 3+ rounds; q28 sessionization stays covered
+        # by q337's in-window funnel sessionization, q29/q30 dedup by
+        # the in-window q358 span-dedup + q132 incremental near-dup,
+        # q31 dot products by q101/q318's in-window vector rows, q32
+        # token stats by q351's in-window TTR census; q47 BPE by its
+        # golden-vocab pytest gate, q56/q62 grouped aggregates and
+        # percentiles by q325/q156, q73 components by q286's in-window
+        # CC, q97/q98 funnels by in-window q130, q107 packing by
+        # in-window q165.
+        "q28_sessionization",
+        "q29_dedup_by_key",
+        "q30_exact_dedup",
+        "q31_pairwise_dot",
+        "q32_token_stats",
+        "q47_bpe_token_counts",
+        "q56_pricing_summary",
+        "q62_percentiles",
+        "q73_dedup_components",
+        "q97_dedup_pipeline",
+        "q98_semantic_dedup",
+        "q107_sequence_packing",
     }
 )
 _DEMOTED = frozenset(
@@ -181,18 +214,17 @@ _DEMOTED = frozenset(
 
 def _priority(name: str) -> tuple[int, int]:
     """Registry ordering: the driver's correctness gate checks the FIRST
-    50 entries. In-window (positions 1-50): the SURVEY §2.11 corpus
-    q01-q32 minus the twenty-seven _ROTATED_OUT rows, the four
-    harmony_* pipelines, and the forty-one promoted queries — ten
-    round-5 rotation heads (q286/q292/q318/q325/q327/q329/q334/q335/
-    q342/q343, round-4 families that had never had a driver row),
-    seven session-7 heads (q298/q303/q304/q311/q314/q322/q323), ten
-    round-4 rotation heads (q47/q56/q62/q73/q107/q113/q125/q128/q152/
-    q156), eight surviving round-3 promotions (q89/q97/q98/q101/q130/
-    q132/q165/q234), and six round-5 family heads (q346/q347/q348/
-    q350/q352/q354 — swapped in for the driver-green-since-r3 rows
-    q100/q102/q104/q134/q148/q164). Out-of-window rows are covered by
-    the identical local oracle gate at sf0.001."""
+    50 entries. In-window (positions 1-50): the four harmony_*
+    pipelines and forty-six promoted queries — ten round-5 rotation
+    heads (q286/q292/q318/q325/q327/q329/q334/q335/q342/q343), seven
+    session-7 heads (q298/q303/q304/q311/q314/q322/q323), five
+    surviving round-4 heads (q113/q125/q128/q152/q156), four surviving
+    round-3 promotions (q89/q101/q130/q132 + q165/q234), six round-5
+    family heads (q346/q347/q348/q350/q352/q354), and twelve round-6
+    rotation heads (q219/q225/q254/q282/q315/q337/q349/q351/q353/q356/
+    q357/q358 — never driver-checked families, swapped in for the
+    longest-green q28-q32/q47/q56/q62/q73/q97/q98/q107). Out-of-window
+    rows are covered by the identical local oracle gate at sf0.001."""
     if name in _PROMOTED:
         return (2, _PROMOTED.index(name))
     if name.startswith("q"):
