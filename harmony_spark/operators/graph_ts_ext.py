@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243", "q254", "q258", "q262", "q271", "q272", "q274", "q278", "q282", "q283", "q284", "q292", "q293", "q352"]
+__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243", "q254", "q258", "q262", "q271", "q272", "q274", "q278", "q282", "q283", "q284", "q292", "q293", "q352", "q363"]
 
 _PR_ITERS = 5
 _PR_DAMP = 0.85
@@ -2128,4 +2128,125 @@ def q352(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("c"), 6).alias("avg_cc"),
         )
         .orderBy("cc_bucket")
+    )
+
+
+_HURST_SCALES = (8, 16, 32)
+
+
+@register(
+    "q363_hurst_exponent",
+    oracle=r"""
+        WITH daily AS (
+          SELECT o_orderdate AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM orders GROUP BY o_orderdate
+        ),
+        idx AS (SELECT x, ROW_NUMBER() OVER (ORDER BY day) - 1 AS i
+                FROM daily),
+        scales AS (SELECT unnest([8, 16, 32]) AS bs),
+        blk AS (
+          SELECT s.bs, CAST(FLOOR(i / s.bs) AS BIGINT) AS b, i % s.bs AS j, x
+          FROM idx CROSS JOIN scales s
+        ),
+        cnt AS (SELECT bs, b FROM blk GROUP BY bs, b
+                HAVING COUNT(*) = MAX(bs)),
+        full_b AS (SELECT blk.* FROM blk JOIN cnt USING (bs, b)),
+        stats AS (
+          SELECT bs, b, AVG(x) AS mu, STDDEV_POP(x) AS s
+          FROM full_b GROUP BY bs, b
+        ),
+        dev AS (
+          SELECT f.bs, f.b, f.j, st.s,
+                 SUM(f.x - st.mu) OVER (PARTITION BY f.bs, f.b
+                                        ORDER BY f.j) AS cum
+          FROM full_b f JOIN stats st USING (bs, b)
+        ),
+        r AS (
+          SELECT bs, b, MAX(cum) - MIN(cum) AS R, MAX(s) AS s
+          FROM dev GROUP BY bs, b
+        ),
+        m AS (
+          SELECT bs AS n, AVG(R / s) AS rs FROM r WHERE s > 0 GROUP BY bs
+        ),
+        pts AS (SELECT LN(CAST(n AS DOUBLE)) AS lx, LN(rs) AS ly FROM m),
+        ols AS (
+          SELECT COUNT(*) AS m, SUM(lx) AS sx, SUM(ly) AS sy,
+                 SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+          FROM pts
+        )
+        SELECT ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+                 AS hurst_h,
+               CAST(m AS BIGINT) AS n_scales
+        FROM ols
+    """,
+    doc="Hurst exponent of daily revenue via rescaled-range (R/S) "
+    "analysis at block sizes 8/16/32 days: H = OLS slope of ln(R/S) "
+    "on ln(n), the long-memory diagnostic that separates trending "
+    "(H>0.5) from mean-reverting (H<0.5) series — the persistence "
+    "companion to q226's fixed-lag autocorrelation (ACF sees one lag "
+    "at a time; H summarizes the whole decay). Per block: R = range "
+    "of the cumulative mean-deviation walk, S = population stddev; "
+    "the walk is a block-partitioned running sum (blocks are "
+    "fixed-size, so the windows are bounded by construction). Plan: "
+    "the day census is calendar-bounded; the 3-scale explode, block "
+    "windows, and the 3-point OLS all run on that census — at 100 TB "
+    "the only full-table work is the daily aggregate.",
+)
+def q363(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    daily = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+        )
+    )
+    idx = daily.withColumn("i", F.row_number().over(Window.orderBy("day")) - 1)
+    rs = None
+    for bs in _HURST_SCALES:
+        blk = idx.withColumn("b", F.floor(F.col("i") / bs)).withColumn(
+            "j", F.col("i") % bs
+        )
+        cnt = (
+            blk.groupBy("b").agg(F.count("*").alias("cb")).where(F.col("cb") == bs)
+        )
+        full = blk.join(F.broadcast(cnt.select("b")), "b")
+        stats = full.groupBy("b").agg(
+            F.avg("x").alias("mu"), F.stddev_pop("x").alias("s")
+        )
+        wj = (
+            Window.partitionBy("b")
+            .orderBy("j")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        dev = full.join(F.broadcast(stats), "b").withColumn(
+            "cum", F.sum(F.col("x") - F.col("mu")).over(wj)
+        )
+        r = dev.groupBy("b").agg(
+            (F.max("cum") - F.min("cum")).alias("rng"), F.max("s").alias("s")
+        )
+        m = r.where(F.col("s") > 0).agg(
+            F.lit(bs).alias("n"), F.avg(F.col("rng") / F.col("s")).alias("rs")
+        )
+        rs = m if rs is None else rs.unionByName(m)
+    pts = rs.select(
+        F.log(F.col("n").cast("double")).alias("lx"), F.log("rs").alias("ly")
+    )
+    ols = pts.agg(
+        F.count("*").alias("m"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    return ols.select(
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("hurst_h"),
+        F.col("m").cast("long").alias("n_scales"),
     )

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327", "q329", "q330", "q331", "q333", "q336", "q342", "q343", "q344", "q345", "q349", "q350", "q354"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327", "q329", "q330", "q331", "q333", "q336", "q342", "q343", "q344", "q345", "q349", "q350", "q354", "q359", "q360", "q361", "q362", "q364", "q365", "q366"]
 
 
 @register(
@@ -5317,4 +5317,584 @@ def q354(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("qini"),
         )
         .orderBy("decile")
+    )
+
+
+@register(
+    "q359_levene_variance_test",
+    oracle=r"""
+        WITH pts AS (
+          SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x
+          FROM lineitem
+        ),
+        med AS (
+          SELECT grp, MIN(x) AS med FROM (
+            SELECT grp, x,
+                   SUM(COUNT(*)) OVER (PARTITION BY grp ORDER BY x) AS cum,
+                   SUM(COUNT(*)) OVER (PARTITION BY grp) AS n
+            FROM pts GROUP BY grp, x)
+          WHERE cum >= (n + 1) / 2 GROUP BY grp
+        ),
+        z AS (
+          SELECT p.grp, CAST(ABS(p.x - m.med) AS DOUBLE) AS z
+          FROM pts p JOIN med m ON p.grp = m.grp
+        ),
+        g AS (
+          SELECT grp, COUNT(*) AS n, SUM(z) AS s, SUM(z * z) AS ss
+          FROM z GROUP BY grp
+        ),
+        tot AS (
+          SELECT SUM(n) AS N, SUM(s) AS S, COUNT(*) AS k,
+                 SUM(s * s / n) AS sb_raw, SUM(ss) AS SS
+          FROM g
+        )
+        SELECT CAST(k AS BIGINT) AS k_groups,
+               CAST(N AS BIGINT) AS n_total,
+               ROUND(((sb_raw - S * S / N) / (k - 1))
+                     / ((SS - sb_raw) / (N - k)), 6) AS w_stat
+        FROM tot
+    """,
+    doc="Brown-Forsythe variance-equality test (Levene with median "
+    "centers, the robust pre-check before trusting q330's ANOVA or "
+    "q144's pooled t): W = one-way ANOVA F computed on the absolute "
+    "deviations z = |x - group median|. The per-group median is EXACT "
+    "via the bounded-domain census (quantity in 1..50): cumulative "
+    "counts over the tiny (group, value) aggregate pick the lo-median "
+    "with integer logic both engines agree on — no percentile_approx, "
+    "no single-task sort; the deviations then reduce to ONE moment "
+    "aggregate (n, Σz, Σz²) per group and a 5-row census for W. At "
+    "100 TB: two hash aggregates and a broadcast of the 3-row median "
+    "table. Read against q330 (ANOVA on values) and q329 "
+    "(Kruskal-Wallis on ranks).",
+)
+def q359(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    pts = table_parallel(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("long").alias("x"),
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("grp")
+    cen = (
+        pts.groupBy("grp", "x")
+        .agg(F.count("*").alias("c"))
+        .withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(w_tot))
+    )
+    med = (
+        cen.where(F.col("cum") >= (F.col("n") + 1) / 2)
+        .groupBy("grp")
+        .agg(F.min("x").alias("med"))
+    )
+    z = pts.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("x") - F.col("med")).cast("double").alias("z")
+    )
+    g = z.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("z").alias("s"),
+        F.sum(F.col("z") * F.col("z")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.count("*").alias("k"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb_raw"),
+        F.sum("ss").alias("sst"),
+    )
+    return tot.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nt").cast("long").alias("n_total"),
+        F.round(
+            (
+                (F.col("sb_raw") - F.col("st") * F.col("st") / F.col("nt"))
+                / (F.col("k") - 1)
+            )
+            / ((F.col("sst") - F.col("sb_raw")) / (F.col("nt") - F.col("k"))),
+            6,
+        ).alias("w_stat"),
+    )
+
+
+_FRIEDMAN_K = 5  # o_orderpriority domain (TPC-H fixed: 1-URGENT..5-LOW)
+
+
+@register(
+    "q360_friedman_test",
+    oracle=rf"""
+        WITH cells AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS blk,
+                 o_orderpriority AS trt,
+                 AVG(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS v
+          FROM orders GROUP BY 1, 2
+        ),
+        full_b AS (SELECT blk FROM cells GROUP BY blk
+                   HAVING COUNT(*) = {_FRIEDMAN_K}),
+        c AS (SELECT cells.* FROM cells JOIN full_b USING (blk)),
+        r AS (
+          SELECT blk, trt,
+                 2 * RANK() OVER (PARTITION BY blk ORDER BY v)
+                   + COUNT(*) OVER (PARTITION BY blk, v) - 1 AS r2
+          FROM c
+        ),
+        agg AS (SELECT trt, SUM(r2) AS s2 FROM r GROUP BY trt),
+        nb AS (SELECT COUNT(*) AS n FROM full_b)
+        SELECT CAST(n AS BIGINT) AS n_blocks,
+               CAST({_FRIEDMAN_K} AS BIGINT) AS k_treatments,
+               ROUND(12.0 / (n * {_FRIEDMAN_K} * {_FRIEDMAN_K + 1})
+                     * SUM(s2 * s2 / 4.0)
+                     - 3.0 * n * {_FRIEDMAN_K + 1}, 6) AS chi2_f
+        FROM agg CROSS JOIN nb GROUP BY n
+    """,
+    doc="Friedman test (the nonparametric repeated-measures ANOVA): "
+    "blocks = order months, treatments = the 5 order priorities, cell "
+    "value = mean order value; treatments are rank-scored WITHIN each "
+    "block (doubled-midrank integer trick, same determinism contract "
+    "as q219/q329) and chi2_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) comes "
+    "off the k-row rank-sum census. Only complete blocks (all k "
+    "treatments present) enter, per the test's definition. Plan: one "
+    "hash aggregate to the (month, priority) census — the windows run "
+    "on the CENSUS (≤ 12·years·k rows), never on the fact table, so "
+    "at 100 TB this is one shuffle plus census-local ranking. "
+    "Completes the k-sample family: q330 parametric, q329 unblocked "
+    "ranks, q360 blocked ranks.",
+)
+def q360(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    k = _FRIEDMAN_K
+    cells = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("blk"),
+            F.col("o_orderpriority").alias("trt"),
+        )
+        .agg(F.avg(F.round(F.col("o_totalprice") * 100)).alias("v"))
+    )
+    full = (
+        cells.groupBy("blk").agg(F.count("*").alias("kk")).where(F.col("kk") == k)
+    )
+    c = cells.join(F.broadcast(full.select("blk")), "blk")
+    w = Window.partitionBy("blk").orderBy("v")
+    wt = Window.partitionBy("blk", "v")
+    r2 = c.withColumn("r2", 2 * F.rank().over(w) + F.count("*").over(wt) - 1)
+    agg = r2.groupBy("trt").agg(F.sum("r2").alias("s2"))
+    nblk = full.agg(F.count("*").alias("n"))
+    return (
+        agg.crossJoin(F.broadcast(nblk))
+        .groupBy("n")
+        .agg(F.sum(F.col("s2") * F.col("s2") / 4.0).alias("sum_r2"))
+        .select(
+            F.col("n").cast("long").alias("n_blocks"),
+            F.lit(k).cast("long").alias("k_treatments"),
+            F.round(
+                12.0 / (F.col("n") * k * (k + 1)) * F.col("sum_r2")
+                - 3.0 * F.col("n") * (k + 1),
+                6,
+            ).alias("chi2_f"),
+        )
+    )
+
+
+_FLEISS_N = 4  # ratings per item (orders with exactly 4 lineitems)
+
+
+@register(
+    "q361_fleiss_kappa",
+    oracle=rf"""
+        WITH li AS (SELECT l_orderkey AS ok, l_returnflag AS cat
+                    FROM lineitem),
+        sized AS (SELECT ok FROM li GROUP BY ok
+                  HAVING COUNT(*) = {_FLEISS_N}),
+        rated AS (SELECT li.* FROM li JOIN sized USING (ok)),
+        nij AS (SELECT ok, cat, COUNT(*) AS c FROM rated GROUP BY ok, cat),
+        pi AS (SELECT ok, (SUM(c * c) - {_FLEISS_N})
+                          / ({_FLEISS_N}.0 * {_FLEISS_N - 1}) AS p_i
+               FROM nij GROUP BY ok),
+        pj AS (SELECT cat, SUM(c) AS cj FROM nij GROUP BY cat),
+        tot AS (SELECT SUM(cj) AS T, SUM(cj * cj) AS sq FROM pj),
+        pb AS (SELECT AVG(p_i) AS pbar, COUNT(*) AS n_items FROM pi)
+        SELECT CAST(n_items AS BIGINT) AS n_items,
+               ROUND((pbar - sq / (1.0 * T * T))
+                     / (1.0 - sq / (1.0 * T * T)), 6) AS fleiss_kappa
+        FROM pb CROSS JOIN tot
+    """,
+    doc=f"Fleiss' kappa (chance-corrected MULTI-rater agreement — the "
+    f"n-rater generalization of q350's two-rater Cohen's kappa, the "
+    "standard consistency gate on crowd/LLM labeling fleets): items = "
+    f"orders with exactly {_FLEISS_N} lineitems, the lineitems act as "
+    f"{_FLEISS_N} raters assigning the returnflag category. "
+    "P_i = (Σ_j n_ij² − n)/(n(n−1)) per item, P̄e = Σ_j p_j², kappa = "
+    "(P̄ − P̄e)/(1 − P̄e). Plan: one (item, category) hash aggregate, "
+    "then two tiny censuses (per-item P_i reduces in the same pass; "
+    "category marginals are |categories| rows) — at 100 TB a single "
+    "shuffle on the item key. All moments exact integers until the "
+    "final two divisions.",
+)
+def q361(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    n = _FLEISS_N
+    li = table_parallel(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_returnflag").alias("cat")
+    )
+    sized = li.groupBy("ok").agg(F.count("*").alias("m")).where(F.col("m") == n)
+    rated = li.join(sized.select("ok"), "ok")
+    nij = rated.groupBy("ok", "cat").agg(F.count("*").alias("c"))
+    pi = nij.groupBy("ok").agg(
+        ((F.sum(F.col("c") * F.col("c")) - n) / (n * (n - 1))).alias("p_i")
+    )
+    pj = nij.groupBy("cat").agg(F.sum("c").alias("cj"))
+    tot = pj.agg(
+        F.sum("cj").alias("t_"), F.sum(F.col("cj") * F.col("cj")).alias("sq")
+    )
+    pbar = pi.agg(F.avg("p_i").alias("pbar"), F.count("*").alias("n_items"))
+    pe = F.col("sq") / (F.col("t_") * F.col("t_"))
+    return pbar.crossJoin(F.broadcast(tot)).select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.round((F.col("pbar") - pe) / (1.0 - pe), 6).alias("fleiss_kappa"),
+    )
+
+
+@register(
+    "q362_theil_inequality",
+    oracle=r"""
+        WITH rev AS (
+          SELECT o_custkey AS ck,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM orders GROUP BY o_custkey
+        ),
+        j AS (SELECT r.ck, c.c_nationkey AS nk, r.x
+              FROM rev r JOIN customer c ON c.c_custkey = r.ck),
+        tot AS (SELECT SUM(x) AS xt, COUNT(*) AS nt FROM j),
+        t1 AS (
+          SELECT ROUND(AVG((x / (xt / (1.0 * nt)))
+                       * LN(x / (xt / (1.0 * nt)))), 6) AS theil_t
+          FROM j CROSS JOIN tot
+        ),
+        grp AS (SELECT nk, SUM(x) AS xg, COUNT(*) AS ng FROM j GROUP BY nk),
+        t2 AS (
+          SELECT ROUND(SUM((xg / (1.0 * xt))
+                       * LN((xg / (1.0 * ng)) / (xt / (1.0 * nt)))), 6)
+                   AS theil_between
+          FROM grp CROSS JOIN tot
+        )
+        SELECT theil_t, theil_between FROM t1 CROSS JOIN t2
+    """,
+    doc="Theil T inequality index of customer revenue, with its "
+    "between-nations component (Theil's defining advantage over "
+    "q160's Gini: T decomposes ADDITIVELY into within + between, so "
+    "theil_between/theil_t reads directly as 'how much of the "
+    "concentration is geography'). T = mean((x/μ)·ln(x/μ)); between = "
+    "Σ_g share_g·ln(mean_g/μ) over the 25-nation census. Plan: one "
+    "customer-revenue aggregate, a broadcast of the 1-row total, one "
+    "pass for the entropy mean, one 25-row census — two shuffles at "
+    "100 TB, nothing quadratic.",
+)
+def q362(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    rev = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+        )
+    )
+    cust = table_parallel(spark, sf, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk")
+    )
+    j = rev.join(cust, "ck")
+    tot = j.agg(F.sum("x").alias("xt"), F.count("*").alias("nt"))
+    wth = j.crossJoin(F.broadcast(tot)).select(
+        (F.col("x") / (F.col("xt") / F.col("nt"))).alias("ratio")
+    )
+    t_total = wth.agg(
+        F.round(F.avg(F.col("ratio") * F.log("ratio")), 6).alias("theil_t")
+    )
+    grp = j.groupBy("nk").agg(F.sum("x").alias("xg"), F.count("*").alias("ng"))
+    btw = (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("xg") / F.col("xt"))
+                * F.log(
+                    (F.col("xg") / F.col("ng")) / (F.col("xt") / F.col("nt"))
+                )
+            ).alias("t")
+        )
+        .agg(F.round(F.sum("t"), 6).alias("theil_between"))
+    )
+    return t_total.crossJoin(btw)
+
+
+@register(
+    "q364_trimmed_winsorized_mean",
+    oracle=r"""
+        WITH pts AS (
+          SELECT l_returnflag AS grp,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+          FROM lineitem
+        ),
+        rk AS (
+          SELECT grp, y,
+                 ROW_NUMBER() OVER (PARTITION BY grp ORDER BY y) AS rn,
+                 COUNT(*) OVER (PARTITION BY grp) AS n
+          FROM pts
+        ),
+        kept AS (
+          SELECT grp, y, rn, n,
+                 CAST(FLOOR(n / 10) AS BIGINT) + 1 AS lo,
+                 n - CAST(FLOOR(n / 10) AS BIGINT) AS hi
+          FROM rk
+        ),
+        t AS (
+          SELECT grp, COUNT(*) AS n_kept, AVG(y) AS tm,
+                 MIN(y) AS wlo, MAX(y) AS whi
+          FROM kept WHERE rn >= lo AND rn <= hi GROUP BY grp
+        ),
+        wz AS (
+          SELECT k.grp,
+                 CASE WHEN k.y < t.wlo THEN t.wlo
+                      WHEN k.y > t.whi THEN t.whi ELSE k.y END AS yw
+          FROM kept k JOIN t USING (grp)
+        ),
+        wm AS (SELECT grp, AVG(yw) AS wmean, COUNT(*) AS n FROM wz GROUP BY grp)
+        SELECT t.grp AS grp, CAST(wm.n AS BIGINT) AS n,
+               CAST(t.n_kept AS BIGINT) AS n_kept,
+               ROUND(t.tm, 6) AS trimmed_mean_cents,
+               ROUND(wm.wmean, 6) AS winsorized_mean_cents
+        FROM t JOIN wm USING (grp) ORDER BY grp
+    """,
+    doc="10% trimmed and winsorized means of extended price per "
+    "returnflag — the outlier-robust location pair every metrics "
+    "pipeline wants next to the raw mean (trim DROPS each tail, "
+    "winsorize CLAMPS it; reporting both shows how much tail mass "
+    "moved). Rank-exact cut at floor(n/10) per tail via the sharded "
+    "per-group row_number (dist_rank — l_returnflag has 3 values, so "
+    "a plain grp-partitioned window would be 3 tasks each sorting a "
+    "third of the table at 100 TB); the trimmed pass also yields the "
+    "winsor clamp bounds (min/max of the kept range) for free, so the "
+    "winsorized mean is one more broadcast-join pass, no re-rank. "
+    "Read against q229's Huber location (iterative M-estimate).",
+)
+def q364(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+    from harmony_spark.operators.dist_rank import with_global_rank
+
+    pts = table_parallel(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    ranked, _ = with_global_rank(
+        pts,
+        "y",
+        (),
+        kind="row_number",
+        partition_by=("grp",),
+        out="rn",
+        count_col="n",
+        persist=True,  # two consumers below: pay the shard pass once
+    )
+    cut = F.floor(F.col("n") / 10)
+    kept = ranked.withColumn("lo", cut + 1).withColumn("hi", F.col("n") - cut)
+    trimmed = kept.where(
+        (F.col("rn") >= F.col("lo")) & (F.col("rn") <= F.col("hi"))
+    )
+    t = trimmed.groupBy("grp").agg(
+        F.count("*").alias("n_kept"),
+        F.avg("y").alias("tm"),
+        F.min("y").alias("wlo"),
+        F.max("y").alias("whi"),
+    )
+    wz = kept.join(F.broadcast(t.select("grp", "wlo", "whi")), "grp").select(
+        "grp",
+        F.when(F.col("y") < F.col("wlo"), F.col("wlo"))
+        .when(F.col("y") > F.col("whi"), F.col("whi"))
+        .otherwise(F.col("y"))
+        .alias("yw"),
+    )
+    wm = wz.groupBy("grp").agg(
+        F.avg("yw").alias("wmean"), F.count("*").alias("n")
+    )
+    return (
+        t.join(wm, "grp")
+        .select(
+            "grp",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.round("tm", 6).alias("trimmed_mean_cents"),
+            F.round("wmean", 6).alias("winsorized_mean_cents"),
+        )
+        .orderBy("grp")
+    )
+
+
+_SBOOT_B = 32  # subsample-bootstrap replicas
+_SBOOT_THRESH = "a1cac083"  # ~0.632 of the 32-bit hex space
+
+
+@register(
+    "q365_hash_bootstrap_ci",
+    oracle=rf"""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        reps AS (
+          SELECT b.b, o.cents
+          FROM o CROSS JOIN (SELECT unnest(range(0, {_SBOOT_B})) AS b) b
+          WHERE substr(md5(CAST(o.k AS VARCHAR) || ':'
+                           || CAST(b.b AS VARCHAR)), 1, 8)
+                < '{_SBOOT_THRESH}'
+        ),
+        means AS (SELECT b, AVG(cents) AS m FROM reps GROUP BY b),
+        ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r FROM means),
+        ci AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
+                 ROUND(AVG(m), 6) AS boot_mean,
+                 ROUND(MIN(CASE WHEN r = {max(1, int(0.025 * _SBOOT_B))}
+                                THEN m END), 6) AS ci_lo,
+                 ROUND(MIN(CASE WHEN r = {min(_SBOOT_B, int(0.975 * _SBOOT_B) + 1)}
+                                THEN m END), 6) AS ci_hi
+          FROM ranked
+        ),
+        base AS (SELECT ROUND(AVG(cents), 6) AS full_mean FROM o)
+        SELECT ci.*, base.full_mean FROM ci CROSS JOIN base
+    """,
+    doc=f"Deterministic hash-bootstrap confidence interval for the mean "
+    f"order value: {_SBOOT_B} Bernoulli(0.632) subsample replicas where "
+    "replica b includes a row iff the first 8 hex chars of "
+    "md5(orderkey:b) fall under a fixed threshold — RNG-free "
+    "resampling that is bit-identical on any engine and any "
+    "parallelism (the property that makes bootstrap auditable in a "
+    "distributed pipeline; md5 is the same engine-portability trick "
+    "as the MinHash family). CI = empirical 2.5/97.5 order statistics "
+    f"of the {_SBOOT_B}-replica mean census. This is the ENTITY-SCALE "
+    "bootstrap (the m-out-of-n/Poisson-family subsample recipe): q260 "
+    "resamples a bounded day census with replacement via index draws, "
+    "which requires the census to be joinable by position — impossible "
+    "on a 100 TB fact table; here inclusion is decided ROW-LOCALLY "
+    "from the row's own hash, so resampling never shuffles the data "
+    f"at all. Plan: ONE scan with a {_SBOOT_B}-way explode "
+    f"(row-local), one hash aggregate to {_SBOOT_B} rows, "
+    "census-local ranking.",
+)
+def q365(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    o = table_parallel(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    reps = o.select(
+        "k",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_SBOOT_B - 1))).alias("b"),
+    ).where(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("k").cast("string"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            8,
+        )
+        < _SBOOT_THRESH
+    )
+    means = reps.groupBy("b").agg(F.avg("cents").alias("m"))
+    ranked = means.withColumn("r", F.row_number().over(Window.orderBy("m")))
+    lo_r = max(1, int(0.025 * _SBOOT_B))
+    hi_r = min(_SBOOT_B, int(0.975 * _SBOOT_B) + 1)
+    base = o.agg(F.round(F.avg("cents"), 6).alias("full_mean"))
+    ci = ranked.agg(
+        F.count("*").cast("long").alias("n_replicas"),
+        F.round(F.avg("m"), 6).alias("boot_mean"),
+        F.round(F.min(F.when(F.col("r") == lo_r, F.col("m"))), 6).alias("ci_lo"),
+        F.round(F.min(F.when(F.col("r") == hi_r, F.col("m"))), 6).alias("ci_hi"),
+    )
+    return ci.crossJoin(F.broadcast(base))
+
+
+@register(
+    "q366_cochran_armitage_trend",
+    oracle=r"""
+        WITH li AS (
+          SELECT l_orderkey AS ok,
+                 MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS resp
+          FROM lineitem GROUP BY l_orderkey
+        ),
+        o AS (
+          SELECT o_orderkey AS ok,
+                 CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS dose
+          FROM orders
+        ),
+        g AS (
+          SELECT dose, COUNT(*) AS n, SUM(resp) AS r
+          FROM o JOIN li USING (ok) GROUP BY dose
+        ),
+        tot AS (
+          SELECT SUM(n) AS N, SUM(r) AS R,
+                 SUM(dose * r) AS sdr, SUM(dose * n) AS sdn,
+                 SUM(dose * dose * n) AS sddn
+          FROM g
+        )
+        SELECT CAST(N AS BIGINT) AS n_orders,
+               CAST(R AS BIGINT) AS n_responders,
+               ROUND((sdr - R * sdn / (1.0 * N))
+                     * (sdr - R * sdn / (1.0 * N))
+                     / ((R / (1.0 * N)) * (1 - R / (1.0 * N))
+                        * (sddn - sdn * sdn / (1.0 * N))), 6) AS ca_z2
+        FROM tot
+    """,
+    doc="Cochran-Armitage trend test: does the probability an order "
+    "contains a returned item rise MONOTONICALLY with its priority "
+    "score (ordinal dose 1..5 from o_orderpriority)? Z² = T²/Var(T) "
+    "with T = Σd·r − R·Σd·n/N — the ordered-alternative complement to "
+    "q190's unordered chi-square (which cannot see direction). All "
+    "five moments are exact integer sums off the 5-row (dose, n, r) "
+    "census; the per-order response is one MAX aggregate on lineitem. "
+    "Plan at 100 TB: one shuffle keyed on orderkey, one on the "
+    "bounded dose census.",
+)
+def q366(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    li = (
+        table_parallel(spark, sf, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("resp"))
+    )
+    o = table_parallel(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("dose"),
+    )
+    g = o.join(li, "ok").groupBy("dose").agg(
+        F.count("*").alias("n"), F.sum("resp").alias("r")
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.sum("r").alias("rt"),
+        F.sum(F.col("dose") * F.col("r")).alias("sdr"),
+        F.sum(F.col("dose") * F.col("n")).alias("sdn"),
+        F.sum(F.col("dose") * F.col("dose") * F.col("n")).alias("sddn"),
+    )
+    p = F.col("rt") / F.col("nt")
+    t_ = F.col("sdr") - F.col("rt") * F.col("sdn") / F.col("nt")
+    v = (
+        p
+        * (1 - p)
+        * (F.col("sddn") - F.col("sdn") * F.col("sdn") / F.col("nt"))
+    )
+    return tot.select(
+        F.col("nt").cast("long").alias("n_orders"),
+        F.col("rt").cast("long").alias("n_responders"),
+        F.round(t_ * t_ / v, 6).alias("ca_z2"),
     )

@@ -168,6 +168,10 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q327_group_sequential",  # cumulative inequality join vs 5-row look spine
     "q330_oneway_anova",  # cross join vs the 1-row grand-mean total
     "q344_lognormal_ks",  # cross join vs the 1-row (mu, sigma, n) fit
+    "q360_friedman_test",  # cross join vs the 1-row block count
+    "q361_fleiss_kappa",  # cross join vs the 1-row category-marginal totals
+    "q362_theil_inequality",  # cross joins vs the 1-row (total, count) row
+    "q365_hash_bootstrap_ci",  # cross join vs the 1-row full-sample mean
 }
 
 
@@ -307,6 +311,8 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     "q315_logrank_test": "distinct event-day census (calendar-bounded)",
     "q319_bh_fdr": "nation-level p-value census (25 rows)",
     "q354_uplift_qini": "decile census (10 rows)",
+    "q363_hurst_exponent": "day series (calendar-bounded)",
+    "q365_hash_bootstrap_ci": "fixed bootstrap-replica census (32 rows)",
 }
 
 
