@@ -172,9 +172,15 @@ class HarmonySpark:
     def _broadcast(self, **arrays):
         return self.spark.sparkContext.broadcast(arrays)
 
-    def _swap_persist(self, df: DataFrame) -> DataFrame:
+    def _swap_persist(self, df: DataFrame, materialize: bool = True) -> DataFrame:
+        """Persist ``df`` and retire the previous round's cache.
+        ``materialize=False`` skips the eager count when the CALLER's
+        next action already touches every partition (a filtered collect
+        still scans all partitions, so the cache fills as a by-product
+        — one mapInPandas job instead of two per cold start)."""
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        df.count()
+        if materialize:
+            df.count()
         if self._persisted is not None:
             self._persisted.unpersist()
         self._persisted = df
@@ -211,7 +217,14 @@ class HarmonySpark:
         kernel = kernels.make_cold_start_kernel(
             bc, self.code_cols, self.p.offsets, self.p.K, self.p.B
         )
-        full = self._swap_persist(source.mapInPandas(kernel, schema=self._pass_schema))
+        # materialize=False: the partials collect below filters AFTER the
+        # cache layer, so its one job both fills the round's cache and
+        # returns the O/E partials — the separate count() job the old
+        # path paid per cold start is gone.
+        full = self._swap_persist(
+            source.mapInPandas(kernel, schema=self._pass_schema),
+            materialize=False,
+        )
         parts = (
             full.where(F.col("cell_id").isNull())
             .select("blk", "o", "rlogr", "rdist")

@@ -1633,3 +1633,137 @@ def q351(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q372_trigram_novelty",
+    oracle=r"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, source,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                        i -> md5(array_to_string(toks[i:i+2], ' ')))) AS g
+          FROM (SELECT doc_id, source,
+                       string_split_regex(lower(text), '\s+') AS toks
+                FROM documents)
+          WHERE len(toks) >= 3
+        ),
+        counts AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY g),
+        nov AS (
+          SELECT sh.doc_id, sh.source, COUNT(*) AS n_tri,
+                 SUM(CASE WHEN c.nd = 1 THEN 1 ELSE 0 END) AS n_unique
+          FROM sh JOIN counts c USING (g)
+          GROUP BY sh.doc_id, sh.source
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(n_unique * 1.0 / n_tri), 6) AS mean_novelty,
+               ROUND(SUM(n_unique) * 1.0 / SUM(n_tri), 6) AS pooled_novelty
+        FROM nov GROUP BY source ORDER BY source
+    """,
+    doc="Per-document trigram novelty (self-BLEU complement): the "
+    "fraction of a document's DISTINCT 3-grams that occur in no other "
+    "document, averaged per source — the corpus-diversity health "
+    "metric that catches template farms and near-boilerplate sources "
+    "BEFORE pairwise dedup runs (a source whose novelty collapses is "
+    "where q34/q358 will find their duplicates). Per-doc and pooled "
+    "(token-weighted) variants disagree exactly when novelty "
+    "correlates with length — reporting both exposes that. Plan: "
+    "row-local md5 trigram explode (16-byte digests shuffle, never "
+    "token text), one distinct-doc count per trigram, a semi-join "
+    "back, two bounded aggregates. Read against q86 (shared-shingle "
+    "census) and q150 (corpus health).",
+)
+def q372(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    tri = F.expr(
+        "transform(sequence(0, size(toks) - 3), "
+        "i -> md5(concat_ws(' ', slice(toks, i + 1, 3))))"
+    )
+    sh = (
+        table_parallel(spark, sf, "documents")
+        .select(
+            "doc_id", "source", F.split(F.lower("text"), r"\s+").alias("toks")
+        )
+        .where(F.size("toks") >= 3)
+        .select("doc_id", "source", F.explode(tri).alias("g"))
+        .distinct()
+    )
+    counts = sh.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    nov = (
+        sh.join(counts, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.sum((F.col("nd") == 1).cast("int")).alias("n_unique"),
+        )
+    )
+    return (
+        nov.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg(F.col("n_unique") / F.col("n_tri")), 6).alias(
+                "mean_novelty"
+            ),
+            F.round(F.sum("n_unique") / F.sum("n_tri"), 6).alias(
+                "pooled_novelty"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q373_simpson_diversity",
+    oracle=r"""
+        WITH tok AS (
+          SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS t
+          FROM documents
+        ),
+        f AS (SELECT source, t, COUNT(*) AS c FROM tok WHERE t <> ''
+              GROUP BY source, t),
+        g AS (SELECT source, SUM(c) AS n, SUM(c * c) AS c2, COUNT(*) AS v
+              FROM f GROUP BY source)
+        SELECT source, CAST(n AS BIGINT) AS n_tokens,
+               CAST(v AS BIGINT) AS vocab,
+               ROUND(1 - c2 / (1.0 * n * n), 6) AS simpson_diversity,
+               ROUND(1.0 * n * n / c2, 6) AS effective_vocab
+        FROM g ORDER BY source
+    """,
+    doc="Simpson diversity of each source's token distribution: "
+    "lambda = Σp_i² from EXACT integer moments (Σc², Σc — no "
+    "probability column, no float summation surface), diversity = "
+    "1 − λ, effective vocabulary = 1/λ (the 'how many equally-common "
+    "tokens would look like this' number). The collision-probability "
+    "view of concentration — complements q193's Zipf tail exponent "
+    "(shape of the tail) and the entropy in q150 (log-scale): Simpson "
+    "is dominated by the HEAD, so a boilerplate-heavy source drops "
+    "here first. Plan: one (source, token) hash aggregate then a "
+    "|sources|-row census — single shuffle at 100 TB.",
+)
+def q373(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    tok = (
+        table_parallel(spark, sf, "documents")
+        .select(
+            "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+        )
+        .where(F.col("t") != "")
+    )
+    f = tok.groupBy("source", "t").agg(F.count("*").alias("c"))
+    g = f.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("c2"),
+        F.count("*").alias("v"),
+    )
+    lam = F.col("c2") / (F.col("n") * F.col("n"))
+    return (
+        g.select(
+            "source",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("v").cast("long").alias("vocab"),
+            F.round(1 - lam, 6).alias("simpson_diversity"),
+            F.round(1 / lam, 6).alias("effective_vocab"),
+        )
+        .orderBy("source")
+    )

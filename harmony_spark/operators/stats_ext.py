@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327", "q329", "q330", "q331", "q333", "q336", "q342", "q343", "q344", "q345", "q349", "q350", "q354", "q359", "q360", "q361", "q362", "q364", "q365", "q366"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327", "q329", "q330", "q331", "q333", "q336", "q342", "q343", "q344", "q345", "q349", "q350", "q354", "q359", "q360", "q361", "q362", "q364", "q365", "q366", "q367", "q370", "q371"]
 
 
 @register(
@@ -5897,4 +5897,320 @@ def q366(spark: SparkSession, sf: str) -> DataFrame:
         F.col("nt").cast("long").alias("n_orders"),
         F.col("rt").cast("long").alias("n_responders"),
         F.round(t_ * t_ / v, 6).alias("ca_z2"),
+    )
+
+
+@register(
+    "q367_split_conformal",
+    oracle=r"""
+        WITH o AS (
+          SELECT o_orderkey AS k, o_orderpriority AS pri,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                 o_orderkey % 3 AS fold
+          FROM orders
+        ),
+        model AS (SELECT pri, AVG(cents) AS mu FROM o WHERE fold = 0
+                  GROUP BY pri),
+        calib AS (
+          SELECT ABS(o.cents - m.mu) AS r FROM o JOIN model m USING (pri)
+          WHERE fold = 1
+        ),
+        nq AS (
+          SELECT COUNT(*) AS n_cal,
+                 LEAST(((COUNT(*) + 1) * 9 + 9) // 10, COUNT(*)) AS kq
+          FROM calib
+        ),
+        hw AS (
+          SELECT r AS hw FROM (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn FROM calib)
+          JOIN nq ON rn = kq
+        ),
+        test AS (
+          SELECT o.cents, m.mu FROM o JOIN model m USING (pri)
+          WHERE fold = 2
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               (SELECT CAST(n_cal AS BIGINT) FROM nq) AS n_calib,
+               ROUND((SELECT MIN(hw) FROM hw), 6) AS halfwidth_cents,
+               ROUND(AVG(CASE WHEN ABS(cents - mu) <= (SELECT hw FROM hw)
+                              THEN 1 ELSE 0 END), 6) AS coverage
+        FROM test
+    """,
+    doc="Split-conformal prediction interval (distribution-free, "
+    "finite-sample-valid 90% coverage — the model-agnostic uncertainty "
+    "recipe production scoring pipelines bolt onto ANY predictor): "
+    "train fold fits a per-priority mean model, calibration fold takes "
+    "the ceil((n+1)·0.9)-th order statistic of |residual| as the "
+    "half-width, test fold measures realized coverage. The quantile "
+    "rank is EXACT integer math on both engines (((n+1)·9+9)//10 — a "
+    "float 0.9·(n+1) can cross the ceil boundary); the order statistic "
+    "comes from the sharded global rank, never a single-task sort. "
+    "Plan at 100 TB: the model is a |priorities|-row broadcast, "
+    "calibration is one rank pass, coverage is one aggregate. The "
+    "folds hash on the immutable order key, so the split is "
+    "deterministic and leakage-free (same discipline as q117).",
+)
+def q367(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+    from harmony_spark.operators.dist_rank import with_global_rank
+
+    o = table_parallel(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 3).alias("fold"),
+    )
+    model = (
+        o.where(F.col("fold") == 0).groupBy("pri").agg(F.avg("cents").alias("mu"))
+    )
+    calib = o.where(F.col("fold") == 1).join(F.broadcast(model), "pri").select(
+        F.abs(F.col("cents") - F.col("mu")).alias("r")
+    )
+    ranked, n_cal = with_global_rank(calib, "r", (), kind="row_number", out="rn")
+    k_q = min(((n_cal + 1) * 9 + 9) // 10, n_cal)
+    q_row = ranked.where(F.col("rn") == k_q).select(F.col("r").alias("hw"))
+    test = o.where(F.col("fold") == 2).join(F.broadcast(model), "pri")
+    return test.crossJoin(F.broadcast(q_row)).agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.lit(n_cal).cast("long").alias("n_calib"),
+        F.round(F.min("hw"), 6).alias("halfwidth_cents"),
+        F.round(
+            F.avg(
+                (F.abs(F.col("cents") - F.col("mu")) <= F.col("hw")).cast("int")
+            ),
+            6,
+        ).alias("coverage"),
+    )
+
+
+_PERM_B = 64  # randomization replicas
+
+
+@register(
+    "q370_randomization_test",
+    oracle=rf"""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS a,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        tot AS (
+          SELECT COUNT(*) AS n, SUM(a) AS na, SUM(cents) AS s,
+                 SUM(a * cents) AS sa
+          FROM o
+        ),
+        reps AS (
+          SELECT b.b, o.cents,
+                 CASE WHEN ('0x' || substr(md5(CAST(o.k AS VARCHAR) || ':'
+                            || CAST(b.b AS VARCHAR)), 1, 8))::UBIGINT
+                           / 4294967296.0 < (SELECT na * 1.0 / n FROM tot)
+                      THEN 1 ELSE 0 END AS ab
+          FROM o CROSS JOIN (SELECT unnest(range(0, {_PERM_B})) AS b) b
+        ),
+        bstats AS (
+          SELECT b, SUM(ab * cents) AS sa_b, SUM(ab) AS na_b,
+                 SUM(cents) AS s_b, COUNT(*) AS n_b
+          FROM reps GROUP BY b
+        ),
+        tb AS (
+          SELECT sa_b * 1.0 / na_b - (s_b - sa_b) * 1.0 / (n_b - na_b) AS t_b
+          FROM bstats WHERE na_b > 0 AND na_b < n_b
+        ),
+        obs AS (
+          SELECT sa * 1.0 / na - (s - sa) * 1.0 / (n - na) AS t_obs,
+                 CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_rest
+          FROM tot
+        )
+        SELECT MIN(n_a) AS n_a, MIN(n_rest) AS n_rest,
+               ROUND(MIN(t_obs), 6) AS t_obs,
+               CAST(COUNT(*) AS BIGINT) AS n_replicas,
+               ROUND((1 + SUM(CASE WHEN ABS(t_b) >= ABS(t_obs)
+                                   THEN 1 ELSE 0 END))
+                     / (COUNT(*) + 1.0), 6) AS p_value
+        FROM tb CROSS JOIN obs
+    """,
+    doc=f"Randomization (permutation-family) test for the URGENT-vs-rest "
+    f"mean order value difference: {_PERM_B} label reassignments drawn "
+    "from md5(key:replica) uniforms at the observed label frequency "
+    "(the Bernoulli-randomization variant — label COUNTS vary "
+    "hypergeometrically around the observed, which is the correct "
+    "null for a randomized assignment; both engines parse the same 8 "
+    "hex chars numerically, so the replicas are bit-identical with no "
+    "RNG). Two-sided p = (1 + #{{|T_b| >= |T_obs|}})/(B+1), the "
+    "add-one Monte-Carlo estimator. The inference-without-formulas "
+    "complement to q172's parametric z-test. Plan: the label moments "
+    f"are one aggregate; replicas are a row-local x{_PERM_B} explode "
+    "into one hash aggregate — resampling never shuffles data (same "
+    "entity-scale discipline as q365's subsample bootstrap).",
+)
+def q370(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    o = table_parallel(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("a"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tot = o.agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("na"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("a") * F.col("cents")).alias("sa"),
+    )
+    reps = (
+        o.select(
+            "k",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("b"),
+        )
+        .withColumn(
+            "u",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("k").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / 4294967296.0,
+        )
+        .crossJoin(F.broadcast(tot.select("n", "na")))
+        .withColumn("ab", (F.col("u") < F.col("na") / F.col("n")).cast("int"))
+    )
+    bstats = reps.groupBy("b").agg(
+        F.sum(F.col("ab") * F.col("cents")).alias("sa_b"),
+        F.sum("ab").alias("na_b"),
+        F.sum("cents").alias("s_b"),
+        F.count("*").alias("n_b"),
+    )
+    tb = bstats.where(
+        (F.col("na_b") > 0) & (F.col("na_b") < F.col("n_b"))
+    ).select(
+        (
+            F.col("sa_b") / F.col("na_b")
+            - (F.col("s_b") - F.col("sa_b")) / (F.col("n_b") - F.col("na_b"))
+        ).alias("t_b")
+    )
+    obs = tot.select(
+        (
+            F.col("sa") / F.col("na")
+            - (F.col("s") - F.col("sa")) / (F.col("n") - F.col("na"))
+        ).alias("t_obs"),
+        F.col("na").cast("long").alias("n_a"),
+        (F.col("n") - F.col("na")).cast("long").alias("n_rest"),
+    )
+    return tb.crossJoin(F.broadcast(obs)).agg(
+        F.min("n_a").alias("n_a"),
+        F.min("n_rest").alias("n_rest"),
+        F.round(F.min("t_obs"), 6).alias("t_obs"),
+        F.count("*").cast("long").alias("n_replicas"),
+        F.round(
+            (1 + F.sum((F.abs("t_b") >= F.abs("t_obs")).cast("int")))
+            / (F.count("*") + 1),
+            6,
+        ).alias("p_value"),
+    )
+
+
+@register(
+    "q371_jackknife_influence",
+    oracle=r"""
+        WITH o AS (
+          SELECT o_custkey AS ck,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        g AS (
+          SELECT c.c_nationkey AS nk, SUM(o.cents) AS sg, COUNT(*) AS ng
+          FROM o JOIN customer c ON c.c_custkey = o.ck
+          GROUP BY c.c_nationkey
+        ),
+        tot AS (SELECT SUM(sg) AS st, SUM(ng) AS nt, COUNT(*) AS gg FROM g),
+        loo AS (
+          SELECT nk, gg, st * 1.0 / nt AS theta,
+                 (st - sg) * 1.0 / (nt - ng) AS theta_i
+          FROM g CROSS JOIN tot
+        ),
+        tb AS (SELECT AVG(theta_i) AS tbar FROM loo),
+        agg AS (
+          SELECT gg, theta,
+                 SUM((theta_i - tbar) * (theta_i - tbar)) AS css,
+                 MAX(ABS(theta_i - theta)) AS max_influence
+          FROM loo CROSS JOIN tb GROUP BY gg, theta
+        )
+        SELECT CAST(gg AS BIGINT) AS n_groups,
+               ROUND(theta, 6) AS mean_cents,
+               ROUND(SQRT((gg - 1.0) / gg * css), 6) AS jackknife_se,
+               ROUND(max_influence, 6) AS max_influence_cents
+        FROM agg
+    """,
+    doc="Delete-one-group jackknife for the global mean order value "
+    "over the 25 nations: each leave-one-nation-out estimate is pure "
+    "ALGEBRA on the group census (theta_i = (S - s_g)/(N - n_g) — no "
+    "re-aggregation per replicate, the property that makes grouped "
+    "jackknife free at any scale), giving the jackknife SE and the "
+    "worst single-group influence — the 'is one segment carrying this "
+    "metric' robustness check. The SE sums CENTERED squares "
+    "(theta_i - tbar)² — the uncentered Σtheta_i² - g·tbar² form "
+    "cancels catastrophically at these magnitudes and flips the 6-dp "
+    "rounding between engines. Plan: one group-by, a 25-row census, "
+    "arithmetic.",
+)
+def q371(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    o = table_parallel(spark, sf, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = table_parallel(spark, sf, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk")
+    )
+    g = o.join(c, "ck").groupBy("nk").agg(
+        F.sum("cents").alias("sg"), F.count("*").alias("ng")
+    )
+    tot = g.agg(
+        F.sum("sg").alias("st"),
+        F.sum("ng").alias("nt"),
+        F.count("*").alias("gg"),
+    )
+    loo = g.crossJoin(F.broadcast(tot)).select(
+        "nk",
+        "gg",
+        (F.col("st") / F.col("nt")).alias("theta"),
+        ((F.col("st") - F.col("sg")) / (F.col("nt") - F.col("ng"))).alias(
+            "theta_i"
+        ),
+    )
+    tb = loo.agg(F.avg("theta_i").alias("tbar"))
+    agg = (
+        loo.crossJoin(F.broadcast(tb))
+        .groupBy("gg", "theta")
+        .agg(
+            F.sum(
+                (F.col("theta_i") - F.col("tbar"))
+                * (F.col("theta_i") - F.col("tbar"))
+            ).alias("css"),
+            F.max(F.abs(F.col("theta_i") - F.col("theta"))).alias(
+                "max_influence"
+            ),
+        )
+    )
+    return agg.select(
+        F.col("gg").cast("long").alias("n_groups"),
+        F.round("theta", 6).alias("mean_cents"),
+        F.round(
+            F.sqrt((F.col("gg") - 1) / F.col("gg") * F.col("css")), 6
+        ).alias("jackknife_se"),
+        F.round("max_influence", 6).alias("max_influence_cents"),
     )

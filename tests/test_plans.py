@@ -172,6 +172,9 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q361_fleiss_kappa",  # cross join vs the 1-row category-marginal totals
     "q362_theil_inequality",  # cross joins vs the 1-row (total, count) row
     "q365_hash_bootstrap_ci",  # cross join vs the 1-row full-sample mean
+    "q367_split_conformal",  # cross join vs the 1-row conformal quantile
+    "q370_randomization_test",  # cross joins vs the 1-row label moments
+    "q371_jackknife_influence",  # cross joins vs 1-row totals / tbar
 }
 
 
