@@ -2205,35 +2205,37 @@ def q363(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     idx = daily.withColumn("i", F.row_number().over(Window.orderBy("day")) - 1)
-    rs = None
-    for bs in _HURST_SCALES:
-        blk = idx.withColumn("b", F.floor(F.col("i") / bs)).withColumn(
-            "j", F.col("i") % bs
-        )
-        cnt = (
-            blk.groupBy("b").agg(F.count("*").alias("cb")).where(F.col("cb") == bs)
-        )
-        full = blk.join(F.broadcast(cnt.select("b")), "b")
-        stats = full.groupBy("b").agg(
-            F.avg("x").alias("mu"), F.stddev_pop("x").alias("s")
-        )
-        wj = (
-            Window.partitionBy("b")
-            .orderBy("j")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        dev = full.join(F.broadcast(stats), "b").withColumn(
-            "cum", F.sum(F.col("x") - F.col("mu")).over(wj)
-        )
-        r = dev.groupBy("b").agg(
-            (F.max("cum") - F.min("cum")).alias("rng"), F.max("s").alias("s")
-        )
-        m = r.where(F.col("s") > 0).agg(
-            F.lit(bs).alias("n"), F.avg(F.col("rng") / F.col("s")).alias("rs")
-        )
-        rs = m if rs is None else rs.unionByName(m)
+    # all three scales in ONE plan: a row-local explode of the scale
+    # list (no join), block stats as (bs, b)-partitioned windows over
+    # the bounded day census — zero driver actions, zero broadcasts,
+    # where the per-scale loop version paid 6 broadcast-join branches
+    scales = F.array(*[F.lit(s) for s in _HURST_SCALES])
+    blk = (
+        idx.select("i", "x", F.explode(scales).alias("bs"))
+        .withColumn("b", F.floor(F.col("i") / F.col("bs")))
+        .withColumn("j", F.col("i") % F.col("bs"))
+    )
+    wb = Window.partitionBy("bs", "b")
+    wj = (
+        Window.partitionBy("bs", "b")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = (
+        blk.withColumn("cb", F.count("*").over(wb))
+        .where(F.col("cb") == F.col("bs"))
+        .withColumn("mu", F.avg("x").over(wb))
+        .withColumn("s", F.stddev_pop("x").over(wb))
+        .withColumn("cum", F.sum(F.col("x") - F.col("mu")).over(wj))
+    )
+    r = dev.groupBy("bs", "b").agg(
+        (F.max("cum") - F.min("cum")).alias("rng"), F.max("s").alias("s")
+    )
+    rs = r.where(F.col("s") > 0).groupBy("bs").agg(
+        F.avg(F.col("rng") / F.col("s")).alias("rs")
+    )
     pts = rs.select(
-        F.log(F.col("n").cast("double")).alias("lx"), F.log("rs").alias("ly")
+        F.log(F.col("bs").cast("double")).alias("lx"), F.log("rs").alias("ly")
     )
     ols = pts.agg(
         F.count("*").alias("m"),
