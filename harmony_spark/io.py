@@ -282,6 +282,46 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None, schema=None
     raise ValueError(f"unsupported format {fmt!r}; expected parquet/csv/json/orc")
 
 
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    whole_files: bool = False,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Raw-text ingest for LLM corpora: ``(file, text)`` rows.
+
+    Two layouts exist in the wild and they parallelize differently:
+
+    * line mode (default) — one record per line; the ONLY text layout
+      that splits WITHIN a file, so a single 1 TB shard still fans out
+      across the cluster. Use for JSONL-adjacent / one-doc-per-line
+      dumps (the Common-Crawl-derivative convention).
+    * ``whole_files=True`` — one record per FILE (``wholetext``); the
+      layout for document-per-file corpora (books, repos). NOT
+      splittable: parallelism == number of files, so a million small
+      files is the good case here and one giant file is the failure
+      mode — the opposite economics of line mode, which is why the
+      choice is an explicit argument and not an inference.
+
+    ``file`` comes from ``input_file_name()`` so downstream dedup /
+    provenance can key on origin; empty/short records are dropped at
+    the scan (pushed filter). Content-keyed ids (``md5(text)``) are the
+    caller's choice — the exact-dedup operators (q30/q41) derive them
+    anyway.
+    """
+    # the wholetext switch must go through the text() kwarg — PySpark's
+    # DataFrameReader.text() re-sets the option from its own parameter,
+    # silently overriding a reader-level .option("wholetext", ...)
+    return (
+        spark.read.text(path, wholetext=whole_files)
+        .select(
+            F.input_file_name().alias("file"),
+            F.col("value").alias("text"),
+        )
+        .where(F.length("text") >= min_chars)
+    )
+
+
 def read_epochs(spark: SparkSession, epoch_paths: list[str], target_schema) -> DataFrame:
     """Schema-evolution read: union data written at different schema
     epochs, conformed to ``target_schema``.

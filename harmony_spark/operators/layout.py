@@ -67,6 +67,35 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table (``bucketBy`` + optional ``sortBy``):
+    the rows are HASH-partitioned on ``bucket_cols`` at WRITE time, and
+    the bucketing metadata lives in the catalog, so every subsequent
+    join or aggregation keyed on the bucket columns between tables with
+    compatible bucket counts runs with NO shuffle exchange — the
+    planner proves both sides are already co-partitioned. This is the
+    100 TB answer for the fact-to-fact join that broadcast cannot serve
+    (both sides entity-scale) and that would otherwise shuffle both
+    tables on every query: pay the partitioning once at ingest, never
+    again. ``sort_cols`` additionally orders rows within each bucket
+    file, upgrading those joins to sort-merge WITHOUT the sort step.
+    Bucketed output must go through the catalog (``saveAsTable``) —
+    plain ``.parquet(path)`` cannot record bucket metadata, which is
+    why this takes a table name, not a path.
+    """
+    w = df.write.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.mode(mode).format("parquet").saveAsTable(table)
+
+
 def clustering_quality(path: str, column: str, probes: list | None = None) -> float:
     """Average fraction of row groups a point lookup on `column` must
     read, estimated from parquet footer min/max stats only.
