@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243", "q254", "q258", "q262", "q271", "q272", "q274", "q278", "q282", "q283", "q284", "q292", "q293", "q352", "q363"]
+__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243", "q254", "q258", "q262", "q271", "q272", "q274", "q278", "q282", "q283", "q284", "q292", "q293", "q352", "q363", "q374", "q375"]
 
 _PR_ITERS = 5
 _PR_DAMP = 0.85
@@ -2251,4 +2251,155 @@ def q363(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("hurst_h"),
         F.col("m").cast("long").alias("n_scales"),
+    )
+
+
+@register(
+    "q374_degree_assortativity",
+    oracle=r"""
+        WITH e AS (
+          SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        dc AS (SELECT c, COUNT(*) AS dc FROM e GROUP BY c),
+        ds AS (SELECT s, COUNT(*) AS ds FROM e GROUP BY s),
+        j AS (SELECT dc.dc, ds.ds FROM e JOIN dc USING (c) JOIN ds USING (s)),
+        m AS (
+          SELECT COUNT(*) AS n, SUM(dc) AS sx, SUM(ds) AS sy,
+                 SUM(dc * ds) AS sxy, SUM(dc * dc) AS sxx,
+                 SUM(ds * ds) AS syy
+          FROM j
+        )
+        SELECT CAST(n AS BIGINT) AS n_edges,
+               ROUND((n * sxy - sx * sy)
+                     / SQRT((1.0 * n * sxx - 1.0 * sx * sx)
+                            * (1.0 * n * syy - 1.0 * sy * sy)), 6)
+                 AS assortativity
+        FROM m
+    """,
+    doc="Degree assortativity of the customer-supplier purchase graph "
+    "(Newman's r: Pearson correlation of endpoint degrees across "
+    "edges): negative = hubs connect to leaves (the disassortative "
+    "shape typical of commerce bipartite graphs), positive = "
+    "like-connects-to-like. The structural summary that tells a graph "
+    "pipeline whether degree-based partitioning (q352's orientation "
+    "trick, skew salting) will pay off BEFORE running it. Plan: one "
+    "distinct edge projection, two degree aggregates joined back "
+    "(broadcast-eligible — degree tables are node-scale), one moment "
+    "aggregate; every moment an exact integer.",
+)
+def q374(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    e = (
+        table_parallel(spark, sf, "orders")
+        .join(
+            table_parallel(spark, sf, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    dc = e.groupBy("c").agg(F.count("*").alias("dc"))
+    ds = e.groupBy("s").agg(F.count("*").alias("ds"))
+    j = e.join(dc, "c").join(ds, "s")
+    m = j.agg(
+        F.count("*").alias("n"),
+        F.sum("dc").alias("sx"),
+        F.sum("ds").alias("sy"),
+        F.sum(F.col("dc") * F.col("ds")).alias("sxy"),
+        F.sum(F.col("dc") * F.col("dc")).alias("sxx"),
+        F.sum(F.col("ds") * F.col("ds")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.round(
+            num / F.sqrt(dx.cast("double") * dy.cast("double")), 6
+        ).alias("assortativity"),
+    )
+
+
+_PGRAM_PI = 3.141592653589793
+_PGRAM_PERIODS = (7, 30, 91)
+
+
+@register(
+    "q375_periodogram",
+    oracle=rf"""
+        WITH daily AS (
+          SELECT o_orderdate AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM orders GROUP BY o_orderdate
+        ),
+        idx AS (SELECT x, ROW_NUMBER() OVER (ORDER BY day) - 1 AS i
+                FROM daily),
+        tot AS (SELECT AVG(x) AS mu FROM idx),
+        cen AS (SELECT i, x - mu AS d FROM idx CROSS JOIN tot),
+        per AS (
+          SELECT c.i, c.d, p.p
+          FROM cen c CROSS JOIN (SELECT unnest([7, 30, 91]) AS p) p
+        ),
+        g AS (
+          SELECT p,
+                 SUM(d * COS(2.0 * {_PGRAM_PI} * i / p)) AS a,
+                 SUM(d * SIN(2.0 * {_PGRAM_PI} * i / p)) AS b,
+                 SUM(d * d) AS var
+          FROM per GROUP BY p
+        )
+        SELECT CAST(p AS BIGINT) AS period_days,
+               ROUND((a * a + b * b) / var, 6) AS rel_power
+        FROM g ORDER BY period_days
+    """,
+    doc="Periodogram probe of daily revenue at candidate cycles 7/30/91 "
+    "days: relative spectral power |Σ d_i·e^{-2πi·t/p}|² / Σd² of the "
+    "mean-centered series — the frequency-domain cycle detector that "
+    "complements q226's lag-domain ACF (a weak 7-day cycle smeared by "
+    "noise concentrates at the 7-day frequency even when no single lag "
+    "stands out) and q227's day-of-week means (which assume the period "
+    "is already known). Plan: the day census is calendar-bounded; the "
+    "3-period explode and trig sums run on that census in one "
+    "aggregate. Shared π literal keeps both engines' angles "
+    "bit-identical; 6-dp stability holds because the quotient is O(1) "
+    "while the double error in the trig sums is ~1e-11 relative.",
+)
+def q375(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    daily = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+        )
+    )
+    idx = daily.withColumn("i", F.row_number().over(Window.orderBy("day")) - 1)
+    tot = idx.agg(F.avg("x").alias("mu"))
+    cen = idx.crossJoin(F.broadcast(tot)).select(
+        "i", (F.col("x") - F.col("mu")).alias("d")
+    )
+    per = cen.select(
+        "d",
+        "i",
+        F.explode(F.array(*[F.lit(p) for p in _PGRAM_PERIODS])).alias("p"),
+    )
+    ang = 2.0 * _PGRAM_PI * F.col("i") / F.col("p")
+    g = per.groupBy("p").agg(
+        F.sum(F.col("d") * F.cos(ang)).alias("a"),
+        F.sum(F.col("d") * F.sin(ang)).alias("b"),
+        F.sum(F.col("d") * F.col("d")).alias("var"),
+    )
+    return (
+        g.select(
+            F.col("p").cast("long").alias("period_days"),
+            F.round(
+                (F.col("a") * F.col("a") + F.col("b") * F.col("b"))
+                / F.col("var"),
+                6,
+            ).alias("rel_power"),
+        )
+        .orderBy("period_days")
     )

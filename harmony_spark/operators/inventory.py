@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from harmony_spark.registry import register
 
-__all__ = ["q347", "q348", "q353"]
+__all__ = ["q347", "q348", "q353", "q376"]
 
 _CR_A = 0.2  # Croston smoothing constant (exactly-representable)
 _CR_W = 604_800_000_000  # µs per week
@@ -277,3 +277,98 @@ def q353(spark: SparkSession, sf: str) -> DataFrame:
         F.round(eoq_c, 6).alias("eoq"),
         F.round(ad / eoq_c, 6).alias("orders_per_year"),
     ).orderBy("brand")
+
+
+_PX_Y0, _PX_Y1 = 1996, 1997  # full calendar years in the testdata range
+
+
+@register(
+    "q376_fisher_price_index",
+    oracle=rf"""
+        WITH li AS (
+          SELECT p.p_brand AS item, EXTRACT(year FROM o.o_orderdate) AS yr,
+                 CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS sp,
+                 CAST(l.l_quantity AS BIGINT) AS q
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE EXTRACT(year FROM o.o_orderdate) IN ({_PX_Y0}, {_PX_Y1})
+        ),
+        g AS (SELECT item, yr, SUM(sp) AS sp, SUM(q) AS sq
+              FROM li GROUP BY item, yr),
+        b AS (
+          SELECT y0.item, y0.sp AS sp0, y0.sq AS sq0,
+                 y1.sp AS sp1, y1.sq AS sq1
+          FROM (SELECT * FROM g WHERE yr = {_PX_Y0}) y0
+          JOIN (SELECT * FROM g WHERE yr = {_PX_Y1}) y1 USING (item)
+        ),
+        m AS (
+          SELECT COUNT(*) AS n, SUM(sp0) AS v00, SUM(sp1) AS v11,
+                 SUM(sp1 * sq0 / (1.0 * sq1)) AS v10,
+                 SUM(sp0 * sq1 / (1.0 * sq0)) AS v01
+          FROM b
+        )
+        SELECT CAST(n AS BIGINT) AS n_items,
+               ROUND(v10 / v00, 6) AS laspeyres,
+               ROUND(v11 / v01, 6) AS paasche,
+               ROUND(SQRT((v10 / v00) * (v11 / v01)), 6) AS fisher
+        FROM m
+    """,
+    doc=f"Price index {_PX_Y1} vs {_PX_Y0} over brand unit values: "
+    "Laspeyres (base-year basket — overstates inflation when buyers "
+    "substitute away from price rises), Paasche (current basket — "
+    "understates it), and Fisher's ideal geometric mean, the "
+    "time-reversible compromise national statistics use. Unit value "
+    "p_y = Σprice/Σqty per (brand, year); only brands traded in BOTH "
+    "years enter, per the matched-items definition. The SQL identity "
+    "Σp1·q0 = Σ sp1·sq0/sq1 keeps everything on the (brand, year) "
+    "census — two aggregates, one |brands|-row join, no raw-row "
+    "revisit. At 100 TB: one shuffle on (brand, year), then census "
+    "math; the same shape extends to chained monthly indices by "
+    "swapping the year pair for consecutive periods.",
+)
+def q376(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    li = (
+        table_parallel(spark, sf, "lineitem")
+        .join(
+            table_parallel(spark, sf, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            table_parallel(spark, sf, "part"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.col("p_brand").alias("item"),
+            F.year("o_orderdate").alias("yr"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("sp"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .where(F.col("yr").isin(_PX_Y0, _PX_Y1))
+    )
+    g = li.groupBy("item", "yr").agg(
+        F.sum("sp").alias("sp"), F.sum("q").alias("sq")
+    )
+    y0 = g.where(F.col("yr") == _PX_Y0).select(
+        "item", F.col("sp").alias("sp0"), F.col("sq").alias("sq0")
+    )
+    y1 = g.where(F.col("yr") == _PX_Y1).select(
+        "item", F.col("sp").alias("sp1"), F.col("sq").alias("sq1")
+    )
+    m = y0.join(y1, "item").agg(
+        F.count("*").alias("n"),
+        F.sum("sp0").alias("v00"),
+        F.sum("sp1").alias("v11"),
+        F.sum(F.col("sp1") * F.col("sq0") / F.col("sq1")).alias("v10"),
+        F.sum(F.col("sp0") * F.col("sq1") / F.col("sq0")).alias("v01"),
+    )
+    lasp = F.col("v10") / F.col("v00")
+    paas = F.col("v11") / F.col("v01")
+    return m.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )

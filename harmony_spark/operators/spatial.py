@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from harmony_spark.registry import register
 
-__all__ = ["q263", "q286", "q289"]
+__all__ = ["q263", "q286", "q289", "q377"]
 
 _SP_R = 20000  # radius in map units; the synthetic world is 1e6 x 1e6
 
@@ -473,4 +473,123 @@ def q289(spark: SparkSession, sf: str) -> DataFrame:
             F.round("tc", 2).alias("total_distance"),
             F.round("mtc", 2).alias("mean_total_distance"),
         )
+    )
+
+
+_MI_G = 100000  # 10x10 coarse grid over the 1e6 synthetic world
+
+
+@register(
+    "q377_morans_i",
+    oracle=rf"""
+        WITH pts AS (
+          SELECT (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                       || '-x'), 1, 8)) AS BIGINT) % 1000000)
+                   // {_MI_G} AS cx,
+                 (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                       || '-y'), 1, 8)) AS BIGINT) % 1000000)
+                   // {_MI_G} AS cy
+          FROM customer
+        ),
+        cells AS (SELECT cx, cy, COUNT(*) AS v FROM pts GROUP BY cx, cy),
+        tot AS (SELECT AVG(v) AS mu, COUNT(*) AS n FROM cells),
+        dev AS (SELECT cx, cy, v - mu AS d, n FROM cells CROSS JOIN tot),
+        offs AS (
+          SELECT dx.dx, dy.dy
+          FROM (SELECT unnest([-1, 0, 1]) AS dx) dx
+          CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) dy
+          WHERE NOT (dx.dx = 0 AND dy.dy = 0)
+        ),
+        pairs AS (
+          SELECT a.d AS da, b.d AS db, a.n
+          FROM dev a
+          JOIN (SELECT d0.cx + o.dx AS ax, d0.cy + o.dy AS ay, d0.d
+                FROM dev d0 CROSS JOIN offs o) b
+            ON b.ax = a.cx AND b.ay = a.cy
+        ),
+        num AS (SELECT SUM(da * db) AS cross_sum, COUNT(*) AS w, MAX(n) AS n
+                FROM pairs),
+        den AS (SELECT SUM(d * d) AS ss FROM dev)
+        SELECT CAST(n AS BIGINT) AS n_cells,
+               CAST(w AS BIGINT) AS n_neighbor_pairs,
+               ROUND((n * 1.0 / w) * cross_sum / ss, 6) AS morans_i
+        FROM num CROSS JOIN den
+    """,
+    doc="Moran's I spatial autocorrelation of customer density over the "
+    "10x10 coarse grid (8-adjacency rook+bishop weights, w=1): I near "
+    "-1/(n-1) = no spatial structure (the expected value under the "
+    "null, NOT zero), positive = hot spots cluster — the global "
+    "is-there-geography test run BEFORE q286's cluster extraction "
+    "spends effort finding WHERE. Same md5-synthesized coordinates as "
+    "q263/q286 (engine-portable, no RNG). Plan: the cell census is "
+    "GRID-bounded regardless of point count; the neighbor join is the "
+    "q286 offset-explode equi-join on cell ids (8 offsets, never "
+    "all-pairs); both moments are census-local. At 100 TB only the "
+    "cell-count aggregate touches the data.",
+)
+def q377(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    def u(suf: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("c_custkey").cast("string"), F.lit(suf))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        )
+
+    cells = (
+        table_parallel(spark, sf, "customer")
+        .select(
+            (u("-x") / _MI_G).cast("long").alias("cx"),
+            (u("-y") / _MI_G).cast("long").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("v"))
+    )
+    tot = cells.agg(F.avg("v").alias("mu"), F.count("*").alias("n"))
+    dev = cells.crossJoin(F.broadcast(tot)).select(
+        "cx", "cy", (F.col("v") - F.col("mu")).alias("d"), "n"
+    )
+    a = dev.select(
+        F.col("cx").alias("ax"),
+        F.col("cy").alias("ay"),
+        F.col("d").alias("da"),
+        "n",
+    )
+    b = (
+        dev.select(
+            F.col("cx").alias("bx0"),
+            F.col("cy").alias("by0"),
+            F.col("d").alias("db"),
+        )
+        .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .where((F.col("dx") != 0) | (F.col("dy") != 0))
+        .select(
+            (F.col("bx0") + F.col("dx")).alias("ax"),
+            (F.col("by0") + F.col("dy")).alias("ay"),
+            "db",
+        )
+    )
+    num = a.join(b, ["ax", "ay"]).agg(
+        F.sum(F.col("da") * F.col("db")).alias("cross_sum"),
+        F.count("*").alias("w"),
+        F.max("n").alias("n"),
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("ss"))
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("n").cast("long").alias("n_cells"),
+        F.col("w").cast("long").alias("n_neighbor_pairs"),
+        F.round(
+            (F.col("n") / F.col("w")) * F.col("cross_sum") / F.col("ss"), 6
+        ).alias("morans_i"),
     )

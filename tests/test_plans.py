@@ -175,6 +175,8 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q367_split_conformal",  # cross join vs the 1-row conformal quantile
     "q370_randomization_test",  # cross joins vs the 1-row label moments
     "q371_jackknife_influence",  # cross joins vs 1-row totals / tbar
+    "q375_periodogram",  # cross join vs the 1-row series mean
+    "q377_morans_i",  # cross joins vs 1-row census mean / moment rows
 }
 
 
@@ -316,6 +318,7 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     "q354_uplift_qini": "decile census (10 rows)",
     "q363_hurst_exponent": "day series (calendar-bounded)",
     "q365_hash_bootstrap_ci": "fixed bootstrap-replica census (32 rows)",
+    "q375_periodogram": "day series (calendar-bounded)",
 }
 
 
