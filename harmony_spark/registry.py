@@ -91,14 +91,8 @@ _PROMOTED = (
     "q125_grouped_regression",
     "q128_time_rollup",
     "q156_exact_global_median",
-    "q113_scd2_history",
     "q152_markov_transitions",
-    "q89_prefix_similarity_join",
     "q101_pq_topk",
-    "q130_full_curation",
-    "q132_incremental_neardup",
-    "q165_sequence_packing",
-    "q234_lsh_quality_eval",
     # round-5 second rotation: one driver row for each family added
     # this round (gaps-and-islands, Croston, newsvendor, Cohen's
     # kappa, local clustering coefficient, uplift/Qini), swapped in
@@ -129,6 +123,18 @@ _PROMOTED = (
     "q356_shapley_attribution",
     "q357_rmst",
     "q358_exact_span_dedup",
+    # round-6 second rotation: one driver row for each family added
+    # this round (multi-rater kappa, Hurst R/S, entity-scale hash
+    # bootstrap, trigram novelty, Fisher price index, Moran's I),
+    # swapped in for six round-3/4 promotions driver-green for 3+
+    # rounds (q89/q113/q130/q132/q165/q234 — each stays pinned by the
+    # identical local oracle gate at sf0.001, see _ROTATED_OUT).
+    "q361_fleiss_kappa",
+    "q363_hurst_exponent",
+    "q365_hash_bootstrap_ci",
+    "q372_trigram_novelty",
+    "q376_fisher_price_index",
+    "q377_morans_i",
 )
 # Rotated out of the driver window round-4: each was driver-green for
 # three consecutive rounds and stays pinned by the identical local
@@ -194,6 +200,18 @@ _ROTATED_OUT = frozenset(
         "q97_dedup_pipeline",
         "q98_semantic_dedup",
         "q107_sequence_packing",
+        # round-6 second rotation: r3/r4 promotions driver-green 3+
+        # rounds; q89's pair build stays pinned by its exactness tests
+        # + the in-window q358 span family, q113 SCD2 by q114's CDC
+        # local gate, q130/q132 funnels by their stage-boundary hash
+        # replays, q165 packing by the q107-family local gate, q234 by
+        # the LSH recall/error pytest gates.
+        "q89_prefix_similarity_join",
+        "q113_scd2_history",
+        "q130_full_curation",
+        "q132_incremental_neardup",
+        "q165_sequence_packing",
+        "q234_lsh_quality_eval",
     }
 )
 _DEMOTED = frozenset(
@@ -217,14 +235,16 @@ def _priority(name: str) -> tuple[int, int]:
     50 entries. In-window (positions 1-50): the four harmony_*
     pipelines and forty-six promoted queries — ten round-5 rotation
     heads (q286/q292/q318/q325/q327/q329/q334/q335/q342/q343), seven
-    session-7 heads (q298/q303/q304/q311/q314/q322/q323), five
-    surviving round-4 heads (q113/q125/q128/q152/q156), four surviving
-    round-3 promotions (q89/q101/q130/q132 + q165/q234), six round-5
-    family heads (q346/q347/q348/q350/q352/q354), and twelve round-6
-    rotation heads (q219/q225/q254/q282/q315/q337/q349/q351/q353/q356/
-    q357/q358 — never driver-checked families, swapped in for the
-    longest-green q28-q32/q47/q56/q62/q73/q97/q98/q107). Out-of-window
-    rows are covered by the identical local oracle gate at sf0.001."""
+    session-7 heads (q298/q303/q304/q311/q314/q322/q323), four
+    surviving round-3/4 heads (q125/q128/q152/q156) plus the rows-only
+    q101, six round-5 family heads (q346/q347/q348/q350/q352/q354),
+    twelve round-6 rotation heads (q219/q225/q254/q282/q315/q337/q349/
+    q351/q353/q356/q357/q358 — never driver-checked families, swapped
+    in for the longest-green q28-q32/q47/q56/q62/q73/q97/q98/q107),
+    and six round-6 new-family heads (q361/q363/q365/q372/q376/q377 —
+    swapped in for the 3+-round-green r3/r4 promotions q89/q113/q130/
+    q132/q165/q234). Out-of-window rows are covered by the identical
+    local oracle gate at sf0.001."""
     if name in _PROMOTED:
         return (2, _PROMOTED.index(name))
     if name.startswith("q"):
