@@ -249,6 +249,9 @@ def probe_textscale() -> dict:
         "q40_quality_score",
         "q30_exact_dedup",
         "q41_fingerprint_dedup",
+        "q358_exact_span_dedup",
+        "q372_trigram_novelty",
+        "q373_simpson_diversity",
     ):
         t0 = time.perf_counter()
         n = specs[name].fn(spark, tmp).count()
