@@ -1767,3 +1767,116 @@ def q373(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_LLR_MIN = 10  # minimum bigram count for the collocation table
+
+
+@register(
+    "q379_dunning_collocations",
+    oracle=rf"""
+        WITH toks AS (
+          SELECT string_split_regex(lower(text), '\s+') AS t FROM documents
+        ),
+        bigrams AS (
+          SELECT u.w1, u.w2
+          FROM (SELECT unnest(list_transform(range(1, len(t)),
+                       i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS u
+                FROM toks WHERE len(t) >= 2)
+          WHERE u.w1 <> '' AND u.w2 <> ''
+        ),
+        k AS (SELECT w1, w2, COUNT(*) AS k11 FROM bigrams GROUP BY w1, w2),
+        r AS (SELECT w1, COUNT(*) AS r1 FROM bigrams GROUP BY w1),
+        c AS (SELECT w2, COUNT(*) AS c1 FROM bigrams GROUP BY w2),
+        nn AS (SELECT COUNT(*) AS n FROM bigrams),
+        j AS (
+          SELECT k.w1, k.w2, k.k11, r.r1, c.c1, nn.n
+          FROM k JOIN r USING (w1) JOIN c USING (w2) CROSS JOIN nn
+          WHERE k.k11 >= {_LLR_MIN}
+        ),
+        l AS (
+          SELECT w1, w2, k11,
+                 2.0 * (
+                   (CASE WHEN k11 > 0 THEN k11 * LN(k11
+                        / (r1 * 1.0 * c1 / n)) ELSE 0 END)
+                 + (CASE WHEN r1 - k11 > 0 THEN (r1 - k11) * LN((r1 - k11)
+                        / (r1 * 1.0 * (n - c1) / n)) ELSE 0 END)
+                 + (CASE WHEN c1 - k11 > 0 THEN (c1 - k11) * LN((c1 - k11)
+                        / ((n - r1) * 1.0 * c1 / n)) ELSE 0 END)
+                 + (CASE WHEN n - r1 - c1 + k11 > 0
+                         THEN (n - r1 - c1 + k11) * LN((n - r1 - c1 + k11)
+                        / ((n - r1) * 1.0 * (n - c1) / n)) ELSE 0 END)
+                 ) AS llr
+          FROM j
+        )
+        SELECT w1, w2, CAST(k11 AS BIGINT) AS n_bigram,
+               ROUND(llr, 6) AS llr
+        FROM l ORDER BY llr DESC, w1, w2 LIMIT 15
+    """,
+    doc="Dunning log-likelihood-ratio collocations (the G² test over "
+    "each bigram's 2x2 contingency vs its unigram margins): the "
+    "count-robust collocation score that, unlike q200's PMI, does NOT "
+    "explode on rare pairs (PMI is maximized by hapax bigrams; LLR "
+    "weights evidence by volume — the reason Dunning 1993 replaced "
+    "PMI in collocation pipelines). Zero cells contribute 0 by the "
+    "0·ln0 = 0 convention, encoded identically as guarded CASEs on "
+    "both engines. Plan: one row-local bigram explode, three hash "
+    "aggregates (pair, left margin, right margin), margins broadcast "
+    "back — the shuffles are all token-keyed, nothing pairwise. "
+    "Top-15 by (6-dp LLR, words) so the ordering never depends on "
+    "sub-rounding float noise.",
+)
+def q379(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    bg = F.expr(
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))"
+    )
+    bigrams = (
+        table_parallel(spark, sf, "documents")
+        .select(F.split(F.lower("text"), r"\s+").alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(F.explode(bg).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    k11 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("k11"))
+    r1 = bigrams.groupBy("w1").agg(F.count("*").alias("r1"))
+    c1 = bigrams.groupBy("w2").agg(F.count("*").alias("c1"))
+    nn = bigrams.agg(F.count("*").alias("n"))
+    j = (
+        k11.join(F.broadcast(r1), "w1")
+        .join(F.broadcast(c1), "w2")
+        .crossJoin(F.broadcast(nn))
+        .where(F.col("k11") >= _LLR_MIN)
+    )
+    kk11 = F.col("k11").cast("double")
+    kk12 = (F.col("r1") - F.col("k11")).cast("double")
+    kk21 = (F.col("c1") - F.col("k11")).cast("double")
+    kk22 = (F.col("n") - F.col("r1") - F.col("c1") + F.col("k11")).cast(
+        "double"
+    )
+    n_d = F.col("n").cast("double")
+    r_d = F.col("r1").cast("double")
+    c_d = F.col("c1").cast("double")
+
+    def term(k, e):
+        return F.when(k > 0, k * F.log(k / e)).otherwise(F.lit(0.0))
+
+    llr = 2.0 * (
+        term(kk11, r_d * c_d / n_d)
+        + term(kk12, r_d * (n_d - c_d) / n_d)
+        + term(kk21, (n_d - r_d) * c_d / n_d)
+        + term(kk22, (n_d - r_d) * (n_d - c_d) / n_d)
+    )
+    return (
+        j.select(
+            "w1",
+            "w2",
+            F.col("k11").cast("long").alias("n_bigram"),
+            F.round(llr, 6).alias("llr"),
+        )
+        .orderBy(F.desc("llr"), "w1", "w2")
+        .limit(15)
+    )

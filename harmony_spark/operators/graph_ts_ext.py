@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243", "q254", "q258", "q262", "q271", "q272", "q274", "q278", "q282", "q283", "q284", "q292", "q293", "q352", "q363", "q374", "q375"]
+__all__ = ["q225", "q226", "q227", "q235", "q237", "q242", "q243", "q254", "q258", "q262", "q271", "q272", "q274", "q278", "q282", "q283", "q284", "q292", "q293", "q352", "q363", "q374", "q375", "q380"]
 
 _PR_ITERS = 5
 _PR_DAMP = 0.85
@@ -2402,4 +2402,91 @@ def q375(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("rel_power"),
         )
         .orderBy("period_days")
+    )
+
+
+@register(
+    "q380_mann_kendall_trend",
+    oracle=r"""
+        WITH daily AS (
+          SELECT o_orderdate AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM orders GROUP BY o_orderdate
+        ),
+        idx AS (SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily),
+        s AS (
+          SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                               WHEN b.x < a.x THEN -1 ELSE 0 END)
+                      AS BIGINT) AS s
+          FROM idx a JOIN idx b ON a.i < b.i
+        ),
+        ties AS (
+          SELECT SUM(t * (t - 1) * (2 * t + 5)) AS tadj
+          FROM (SELECT COUNT(*) AS t FROM idx GROUP BY x)
+        ),
+        n AS (SELECT COUNT(*) AS n FROM idx)
+        SELECT CAST(n.n AS BIGINT) AS n_days,
+               s.s AS mk_s,
+               ROUND(CASE WHEN s.s > 0 THEN (s.s - 1)
+                               / SQRT((n.n * (n.n - 1.0) * (2 * n.n + 5)
+                                       - ties.tadj) / 18.0)
+                          WHEN s.s < 0 THEN (s.s + 1)
+                               / SQRT((n.n * (n.n - 1.0) * (2 * n.n + 5)
+                                       - ties.tadj) / 18.0)
+                          ELSE 0.0 END, 6) AS mk_z
+        FROM s CROSS JOIN n CROSS JOIN ties
+    """,
+    doc="Mann-Kendall trend test on daily revenue: S = Σ_{i<j} "
+    "sign(x_j − x_i) with the tie-corrected variance and "
+    "continuity-corrected z — the nonparametric IS-there-a-trend "
+    "significance test that pairs with q173's Theil-Sen (which "
+    "estimates the slope but carries no test). The pairwise sign sum "
+    "runs on the CALENDAR-BOUNDED day census (days², never rows² — "
+    "the same aggregate-first-then-quadratic discipline as q220's "
+    "nation-census Kendall tau); S and the tie census are exact "
+    "integers, so the only float is the final z. At 100 TB: one daily "
+    "aggregate, then census-local work.",
+)
+def q380(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    daily = (
+        table_parallel(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+        )
+    )
+    idx = daily.withColumn(
+        "i", F.row_number().over(Window.orderBy("day"))
+    ).select("i", "x")
+    a = idx.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = idx.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    s = a.join(b, F.col("ia") < F.col("ib")).agg(
+        F.sum(F.signum(F.col("xb") - F.col("xa"))).cast("long").alias("s")
+    )
+    ties = (
+        idx.groupBy("x")
+        .agg(F.count("*").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tadj")
+        )
+    )
+    n = idx.agg(F.count("*").alias("n"))
+    m = s.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ties))
+    var = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tadj")
+    ).cast("double") / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").alias("mk_s"),
+        F.round(z, 6).alias("mk_z"),
     )

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from harmony_spark.registry import register
 
-__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327", "q329", "q330", "q331", "q333", "q336", "q342", "q343", "q344", "q345", "q349", "q350", "q354", "q359", "q360", "q361", "q362", "q364", "q365", "q366", "q367", "q370", "q371"]
+__all__ = ["q219", "q220", "q221", "q222", "q223", "q228", "q229", "q230", "q232", "q233", "q238", "q239", "q240", "q241", "q247", "q248", "q249", "q259", "q260", "q268", "q269", "q270", "q275", "q276", "q280", "q288", "q295", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q317", "q319", "q326", "q327", "q329", "q330", "q331", "q333", "q336", "q342", "q343", "q344", "q345", "q349", "q350", "q354", "q359", "q360", "q361", "q362", "q364", "q365", "q366", "q367", "q370", "q371", "q378"]
 
 
 @register(
@@ -6230,3 +6230,81 @@ def q371(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("jackknife_se"),
         F.round("max_influence", 6).alias("max_influence_cents"),
     )
+
+
+@register(
+    "q378_tukey_hsd",
+    oracle=r"""
+        WITH pts AS (
+          SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x
+          FROM lineitem
+        ),
+        g AS (
+          SELECT grp, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS ss
+          FROM pts GROUP BY grp
+        ),
+        tot AS (
+          SELECT SUM(n) AS nt, COUNT(*) AS k,
+                 SUM(ss - s * s / (1.0 * n)) AS ssw
+          FROM g
+        ),
+        pairs AS (
+          SELECT a.grp AS g1, b.grp AS g2,
+                 a.s * 1.0 / a.n AS m1, b.s * 1.0 / b.n AS m2,
+                 a.n AS n1, b.n AS n2
+          FROM g a JOIN g b ON a.grp < b.grp
+        )
+        SELECT g1, g2,
+               ROUND(m2 - m1, 6) AS mean_diff,
+               ROUND(ABS(m2 - m1)
+                     / SQRT((ssw / (nt - k)) / 2.0
+                            * (1.0 / n1 + 1.0 / n2)), 6) AS q_stat
+        FROM pairs CROSS JOIN tot ORDER BY g1, g2
+    """,
+    doc="Tukey-Kramer HSD pairwise comparisons after q330's one-way "
+    "ANOVA: for every group pair, the studentized-range statistic "
+    "q = |mean_i − mean_j| / sqrt(MSE/2·(1/n_i + 1/n_j)) (the Kramer "
+    "form handles unequal n), against the within-group MSE pooled "
+    "across ALL groups — the post-hoc step that says WHICH groups "
+    "differ once the omnibus F rejects, at familywise error control "
+    "the per-pair t-tests q144 runs do not give. All inputs are exact "
+    "integer moments off the k-row group census; the pairwise join is "
+    "census x census (k², never rows²). At 100 TB: one hash "
+    "aggregate, then arithmetic on k rows.",
+)
+def q378(spark: SparkSession, sf: str) -> DataFrame:
+    from harmony_spark.io import table_parallel
+
+    pts = table_parallel(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("long").alias("x"),
+    )
+    g = pts.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.count("*").alias("k"),
+        F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias("ssw"),
+    )
+    mse = F.col("ssw") / (F.col("nt") - F.col("k"))
+    a = g.select(
+        F.col("grp").alias("g1"),
+        (F.col("s") / F.col("n")).alias("m1"),
+        F.col("n").alias("n1"),
+    )
+    b = g.select(
+        F.col("grp").alias("g2"),
+        (F.col("s") / F.col("n")).alias("m2"),
+        F.col("n").alias("n2"),
+    )
+    pairs = a.join(b, F.col("g1") < F.col("g2")).crossJoin(F.broadcast(tot))
+    se = F.sqrt(mse / 2.0 * (1.0 / F.col("n1") + 1.0 / F.col("n2")))
+    return pairs.select(
+        "g1",
+        "g2",
+        F.round(F.col("m2") - F.col("m1"), 6).alias("mean_diff"),
+        F.round(F.abs(F.col("m2") - F.col("m1")) / se, 6).alias("q_stat"),
+    ).orderBy("g1", "g2")

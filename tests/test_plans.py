@@ -177,6 +177,9 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q371_jackknife_influence",  # cross joins vs 1-row totals / tbar
     "q375_periodogram",  # cross join vs the 1-row series mean
     "q377_morans_i",  # cross joins vs 1-row census mean / moment rows
+    "q378_tukey_hsd",  # inequality pair join on the 3-row group census
+    "q379_dunning_collocations",  # cross join vs the 1-row bigram total
+    "q380_mann_kendall_trend",  # pair join on the calendar-bounded day census
 }
 
 
@@ -319,6 +322,7 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     "q363_hurst_exponent": "day series (calendar-bounded)",
     "q365_hash_bootstrap_ci": "fixed bootstrap-replica census (32 rows)",
     "q375_periodogram": "day series (calendar-bounded)",
+    "q380_mann_kendall_trend": "day series (calendar-bounded)",
 }
 
 
