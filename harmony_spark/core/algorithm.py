@@ -181,6 +181,15 @@ class HarmonySpark:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         if materialize:
             df.count()
+        else:
+            # Deferred fill is only safe from a cold start: if
+            # _persisted held an ancestor of df, unpersisting it here
+            # would force the caller's filling action to recompute the
+            # whole lineage from scratch.
+            assert self._persisted is None, (
+                "_swap_persist(materialize=False) requires a cold start "
+                "(_persisted must be None)"
+            )
         if self._persisted is not None:
             self._persisted.unpersist()
         self._persisted = df

@@ -1756,7 +1756,9 @@ def q373(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("c") * F.col("c")).alias("c2"),
         F.count("*").alias("v"),
     )
-    lam = F.col("c2") / (F.col("n") * F.col("n"))
+    # n*n in BIGINT wraps once a source exceeds ~3e9 tokens; the
+    # oracle's 1.0*n*n promotes to double — do the same here.
+    lam = F.col("c2") / (F.col("n").cast("double") * F.col("n"))
     return (
         g.select(
             "source",
@@ -1845,9 +1847,13 @@ def q379(spark: SparkSession, sf: str) -> DataFrame:
     r1 = bigrams.groupBy("w1").agg(F.count("*").alias("r1"))
     c1 = bigrams.groupBy("w2").agg(F.count("*").alias("c1"))
     nn = bigrams.agg(F.count("*").alias("n"))
+    # r1/c1 are vocabulary-scale (unbounded on a real corpus) — no
+    # broadcast hint; AQE picks broadcast when they fit and falls back
+    # to a shuffle join when they don't.  Only the 1-row census nn is
+    # an always-safe broadcast.
     j = (
-        k11.join(F.broadcast(r1), "w1")
-        .join(F.broadcast(c1), "w2")
+        k11.join(r1, "w1")
+        .join(c1, "w2")
         .crossJoin(F.broadcast(nn))
         .where(F.col("k11") >= _LLR_MIN)
     )

@@ -649,7 +649,10 @@ def q78(spark: SparkSession, sf: str) -> DataFrame:
     built: set = getattr(q78, "_built", set())
     q78._built = built
     key = (spark.sparkContext.applicationId, idx)
-    if not (hio._cache_enabled() and key in built):
+    # The memo only proves WE built it this session — the shared /tmp
+    # dir can vanish underneath us (tempdir cleanup, another process),
+    # so the skip is additionally gated on the index still being there.
+    if not (hio._cache_enabled() and key in built and os.path.isdir(idx)):
         build_ivf_index(spark, sf, idx)
         built.add(key)
     queries = _ivf_scored(spark, sf).where(F.col("vec_id") < 3).select(

@@ -2311,14 +2311,23 @@ def q374(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("dc") * F.col("dc")).alias("sxx"),
         F.sum(F.col("ds") * F.col("ds")).alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # n*sxy etc. wrap in BIGINT at real-graph edge counts; the oracle's
+    # numerator is HUGEINT-exact and its dx/dy use 1.0* double
+    # promotion — mirror both exactly (decimal(38,0) product for the
+    # numerator, double products for the denominators).
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxy")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    ).cast("double")
+    dx = F.col("n").cast("double") * F.col("sxx") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx")
+    dy = F.col("n").cast("double") * F.col("syy") - F.col(
+        "sy"
+    ).cast("double") * F.col("sy")
     return m.select(
         F.col("n").cast("long").alias("n_edges"),
-        F.round(
-            num / F.sqrt(dx.cast("double") * dy.cast("double")), 6
-        ).alias("assortativity"),
+        F.round(num / F.sqrt(dx * dy), 6).alias("assortativity"),
     )
 
 

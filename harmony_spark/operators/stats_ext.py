@@ -6284,10 +6284,15 @@ def q378(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("x").alias("s"),
         F.sum(F.col("x") * F.col("x")).alias("ss"),
     )
+    # s*s in BIGINT wraps once a group's quantity sum exceeds ~3e9
+    # (roughly sf100 lineitem); the oracle computes the product in
+    # HUGEINT.  decimal(38,0) keeps the product exact, then the /n
+    # division promotes to double exactly as the oracle's 1.0*n does.
+    ssq = (F.col("s").cast("decimal(38,0)") * F.col("s")).cast("double")
     tot = g.agg(
         F.sum("n").alias("nt"),
         F.count("*").alias("k"),
-        F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias("ssw"),
+        F.sum(F.col("ss") - ssq / F.col("n")).alias("ssw"),
     )
     mse = F.col("ssw") / (F.col("nt") - F.col("k"))
     a = g.select(
