@@ -180,7 +180,21 @@ def main() -> None:
     # only the slowest queries — so a tail-window parser always recovers
     # the headline numbers. Full detail additionally lands in bench_full.json.
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_full.json"), "w") as f:
+            json.dump(out, f)
+        # Per-round archive so later rounds can diff EVERY query, not
+        # just the aggregate: infer the upcoming round number from the
+        # driver-written BENCH_r{N}.json files already on disk.
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for fn in os.listdir(here)
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", fn))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 0
+        with open(os.path.join(here, f"BENCH_full_r{rnd:02d}.json"), "w") as f:
             json.dump(out, f)
     except OSError as exc:
         print(f"# bench_full.json write failed: {exc}", file=sys.stderr)

@@ -1188,10 +1188,74 @@ _DTW_BAND = 7
 
 @register(
     "q272_dtw_alignment",
-    oracle=None,  # DP recurrence with same-row dependency: not
-    # window/recursive-CTE expressible. Gated instead by the
-    # pure-Python replica test (tests/test_stats_ext.py::
-    # test_q272_dtw_matches_python_dp) at both local scales.
+    # The DP's same-row dependency (cur[j] needs cur[j-1]) disappears
+    # on ANTI-DIAGONALS: cell (i,j) on diagonal i+j needs only
+    # diagonals i+j-1 and i+j-2.  The oracle is a recursive CTE whose
+    # step s emits the new diagonal (via grouped MIN over each cell's
+    # <=3 predecessor contributions, kind=1) plus a carry of diagonal
+    # s-1 (kind=0), so every step sees exactly the two diagonals it
+    # needs; band and bounds filters keep each step at O(w) rows.
+    # Cross-checked against the pure-Python full-DP replica
+    # (tests/test_stats_ext.py::test_q272_dtw_matches_python_dp).
+    oracle=r"""
+        WITH RECURSIVE rev AS MATERIALIZED (
+          SELECT c.c_nationkey AS sid, CAST(o.o_orderdate AS DATE) AS day,
+                 SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey IN (1, 2)
+          GROUP BY 1, 2
+        ),
+        sa AS MATERIALIZED (
+          SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, cents
+          FROM rev WHERE sid = 1
+        ),
+        sb AS MATERIALIZED (
+          SELECT ROW_NUMBER() OVER (ORDER BY day) AS j, cents
+          FROM rev WHERE sid = 2
+        ),
+        census AS MATERIALIZED (
+          SELECT (SELECT COUNT(*) FROM sa) AS n,
+                 (SELECT COUNT(*) FROM sb) AS m,
+                 GREATEST(7, ABS((SELECT COUNT(*) FROM sa)
+                                 - (SELECT COUNT(*) FROM sb))) AS w
+        ),
+        dp AS (
+          SELECT 2 AS s, 1 AS i, 1 AS j,
+                 (SELECT ABS(sa.cents - sb.cents) FROM sa, sb
+                  WHERE sa.i = 1 AND sb.j = 1) AS val
+          UNION ALL
+          SELECT cand.s, cand.i, cand.j,
+                 MIN(cand.v) + CASE WHEN MAX(cand.kind) = 1
+                               THEN ABS(ANY_VALUE(sa.cents)
+                                        - ANY_VALUE(sb.cents))
+                               ELSE 0 END AS val
+          FROM (
+            SELECT dp.s + 1 AS s,
+                   dp.i + o.di AS i, dp.j + o.dj AS j,
+                   dp.val AS v, o.kind AS kind
+            FROM dp
+            JOIN (VALUES (1, 0, 1), (0, 1, 1), (1, 1, 1), (0, 0, 0))
+                 AS o(di, dj, kind)
+              ON (o.kind = 1
+                  AND ((o.di + o.dj = 1 AND dp.i + dp.j = dp.s)
+                       OR (o.di = 1 AND o.dj = 1
+                           AND dp.i + dp.j = dp.s - 1)))
+                 OR (o.kind = 0 AND dp.i + dp.j = dp.s)
+            CROSS JOIN census
+            WHERE dp.s + 1 <= census.n + census.m
+              AND dp.i + o.di BETWEEN 1 AND census.n
+              AND dp.j + o.dj BETWEEN 1 AND census.m
+              AND ABS((dp.i + o.di) - (dp.j + o.dj)) <= census.w
+          ) cand
+          JOIN sa ON sa.i = cand.i
+          JOIN sb ON sb.j = cand.j
+          GROUP BY cand.s, cand.i, cand.j
+        )
+        SELECT census.n AS n, census.m AS m,
+               (SELECT CAST(MIN(val) AS BIGINT) FROM dp, census
+                WHERE dp.i = census.n AND dp.j = census.m) AS dtw_cost
+        FROM census
+    """,
     doc=f"Dynamic Time Warping distance (Sakoe-Chiba band "
     f"{_DTW_BAND}) between the daily-revenue series of nation 1 and "
     "nation 2 customers, with absolute-difference cost in exact "
@@ -1202,10 +1266,11 @@ _DTW_BAND = 7
     "(series, day) integer aggregate; each series pair then reduces "
     "to one applyInPandas group whose DP state is two O(m) rows — "
     "the standard shape for fleets of series pairs (one group per "
-    "pair, embarrassingly parallel across groups). The DP recurrence "
-    "has a same-row dependency, so no SQL oracle exists; the gate is "
-    "an independent pure-Python full-matrix DP replica. "
-    "Determinism: all-integer costs, exact integer DP.",
+    "pair, embarrassingly parallel across groups). The DuckDB oracle "
+    "runs the same banded DP as an anti-diagonal recursive CTE (see "
+    "the oracle comment); a pure-Python full-matrix DP replica "
+    "cross-checks both. Determinism: all-integer costs, exact "
+    "integer DP.",
 )
 def q272(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd

@@ -75,24 +75,22 @@ _PROMOTED = (
     "q292_triangle_count",
     "q318_hyperplane_lsh",
     "q325_equidepth_histogram",
-    "q327_group_sequential",
-    "q329_kruskal_wallis",
     "q334_customer_alive",
     "q335_kneser_ney",
-    "q342_price_elasticity",
-    "q343_abc_classes",
-    "q298_cuped_adjustment",
-    "q303_wasserstein_drift",
-    "q304_average_precision",
-    "q311_ivm_window_advance",
-    "q314_fellegi_sunter",
-    "q322_winnowing_fingerprints",
-    "q323_markov_attribution",
-    "q125_grouped_regression",
-    "q128_time_rollup",
-    "q156_exact_global_median",
-    "q152_markov_transitions",
-    "q101_pq_topk",
+    # round-7 rotation (VERDICT r6 #1): the 3+-round-green session-7
+    # heads (q298/q303/q304/q311/q314/q322/q323) and surviving r3/r4
+    # rows (q101/q125/q128/q152/q156), plus six 2-round-green round-5
+    # heads whose families stay covered in-window (q327 by q366's
+    # trend test, q329 by q359/q360's rank tests, q342 by q376's
+    # price-index row, q343 by its local census gate, q348 by q353's
+    # in-window EOQ, q350 by q361's in-window Fleiss kappa), move to
+    # _ROTATED_OUT; in their place the 14 never-driver-checked
+    # round-6 heads plus the re-seated q51/q64/q66/q74 (red in r1 on
+    # the long-fixed ingest bug, never re-checked since).
+    "q51_sql_text_surface",
+    "q64_json_typed",
+    "q66_asof_join",
+    "q74_gap_fill",
     # round-5 second rotation: one driver row for each family added
     # this round (gaps-and-islands, Croston, newsvendor, Cohen's
     # kappa, local clustering coefficient, uplift/Qini), swapped in
@@ -101,10 +99,22 @@ _PROMOTED = (
     # identical local oracle gate at sf0.001).
     "q346_order_islands",
     "q347_croston_intermittent",
-    "q348_newsvendor_stock",
-    "q350_cohens_kappa",
     "q352_local_clustering",
     "q354_uplift_qini",
+    "q359_levene_variance_test",
+    "q360_friedman_test",
+    "q362_theil_inequality",
+    "q364_trimmed_winsorized_mean",
+    "q366_cochran_armitage_trend",
+    "q367_split_conformal",
+    "q370_randomization_test",
+    "q371_jackknife_influence",
+    "q373_simpson_diversity",
+    "q374_degree_assortativity",
+    "q375_periodogram",
+    "q378_tukey_hsd",
+    "q379_dunning_collocations",
+    "q380_mann_kendall_trend",
     # round-6 rotation (VERDICT r5 #1): twelve never-driver-checked
     # family heads (Spearman, PageRank, BFS, recsys holdout, log-rank,
     # window funnel, McNemar, TTR, EOQ, Shapley, RMST, the new exact
@@ -212,6 +222,36 @@ _ROTATED_OUT = frozenset(
         "q132_incremental_neardup",
         "q165_sequence_packing",
         "q234_lsh_quality_eval",
+        # round-7: the 3+-round-green session-7/r3/r4 promotions and
+        # six 2-round-green round-5 heads; every one stays pinned by
+        # the identical local oracle gate at sf0.001 plus an in-window
+        # neighbour (q298/q303/q304 drift+eval by q354/q367; q311 IVM
+        # by the CDC local gates; q314 linkage by its EM pytest gate;
+        # q322 winnowing by in-window q358 span dedup; q323/q152
+        # Markov rows by in-window q356 Shapley attribution; q125
+        # regression by q371's jackknife over the same moments; q128
+        # rollup by q375's in-window calendar census; q156 median by
+        # in-window q325/q364; q101 PQ by its recall gate + in-window
+        # q318; q327 by q366, q329 by q359/q360, q342 by q376, q343 by
+        # its census gate, q348 by q353, q350 by q361).
+        "q101_pq_topk",
+        "q125_grouped_regression",
+        "q128_time_rollup",
+        "q152_markov_transitions",
+        "q156_exact_global_median",
+        "q298_cuped_adjustment",
+        "q303_wasserstein_drift",
+        "q304_average_precision",
+        "q311_ivm_window_advance",
+        "q314_fellegi_sunter",
+        "q322_winnowing_fingerprints",
+        "q323_markov_attribution",
+        "q327_group_sequential",
+        "q329_kruskal_wallis",
+        "q342_price_elasticity",
+        "q343_abc_classes",
+        "q348_newsvendor_stock",
+        "q350_cohens_kappa",
     }
 )
 _DEMOTED = frozenset(
@@ -233,17 +273,18 @@ _DEMOTED = frozenset(
 def _priority(name: str) -> tuple[int, int]:
     """Registry ordering: the driver's correctness gate checks the FIRST
     50 entries. In-window (positions 1-50): the four harmony_*
-    pipelines and forty-six promoted queries — ten round-5 rotation
-    heads (q286/q292/q318/q325/q327/q329/q334/q335/q342/q343), seven
-    session-7 heads (q298/q303/q304/q311/q314/q322/q323), four
-    surviving round-3/4 heads (q125/q128/q152/q156) plus the rows-only
-    q101, six round-5 family heads (q346/q347/q348/q350/q352/q354),
-    twelve round-6 rotation heads (q219/q225/q254/q282/q315/q337/q349/
-    q351/q353/q356/q357/q358 — never driver-checked families, swapped
-    in for the longest-green q28-q32/q47/q56/q62/q73/q97/q98/q107),
-    and six round-6 new-family heads (q361/q363/q365/q372/q376/q377 —
-    swapped in for the 3+-round-green r3/r4 promotions q89/q113/q130/
-    q132/q165/q234). Out-of-window rows are covered by the identical
+    pipelines and forty-six promoted queries — six surviving round-5
+    rotation heads (q286/q292/q318/q325/q334/q335), the re-seated
+    q51/q64/q66/q74 (red in r1 on the long-fixed ingest bug, never
+    re-checked since), four round-5 family heads (q346/q347/q352/
+    q354), twelve round-6 rotation heads (q219/q225/q254/q282/q315/
+    q337/q349/q351/q353/q356/q357/q358), six round-6 new-family heads
+    (q361/q363/q365/q372/q376/q377), and the fourteen round-7
+    rotation heads — every round-6 addition that had never had a
+    driver row (q359/q360/q362/q364/q366/q367/q370/q371/q373/q374/
+    q375/q378/q379/q380), swapped in for the 3+-round-green session-7
+    and r3/r4 promotions plus six covered round-5 heads (see
+    _ROTATED_OUT). Out-of-window rows are covered by the identical
     local oracle gate at sf0.001."""
     if name in _PROMOTED:
         return (2, _PROMOTED.index(name))
