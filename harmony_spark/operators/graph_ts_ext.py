@@ -57,6 +57,64 @@ def _copurchase_pairs(
     )
 
 
+def _copurchase_oriented(spark: SparkSession, sf: str):
+    """Degree census + Schank-Wagner degree-oriented edge set +
+    out-adjacency lists over the part co-purchase graph — the build
+    q292 (global triangle count) and q352 (per-vertex clustering
+    coefficient) share verbatim.  Each piece is memoized per
+    (appId, sf) under the warm-session flag (io.session_memo), so a
+    session that runs both graph queries pays for the orientation
+    once; cold/CI runs keep the eager persist+count semantics (real
+    stats let Catalyst broadcast the node-scale lookups)."""
+    import os as _os
+
+    from harmony_spark.io import session_memo
+
+    key = _os.path.abspath(sf)
+
+    def build_deg() -> DataFrame:
+        pairs = _copurchase_pairs(spark, sf, src="u", dst="v")
+        und = pairs.unionByName(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = und.groupBy("u").agg(F.count("*").alias("d")).persist()
+        deg.count()
+        return deg
+
+    deg = session_memo(spark, ("copurchase_deg", key), build_deg)
+
+    def build_oriented() -> DataFrame:
+        pairs = _copurchase_pairs(spark, sf, src="u", dst="v")
+        ed = pairs.join(
+            deg.select(F.col("u").alias("du_key"), F.col("d").alias("deg_u")),
+            F.col("u") == F.col("du_key"),
+        ).join(
+            deg.select(F.col("u").alias("dv_key"), F.col("d").alias("deg_v")),
+            F.col("v") == F.col("dv_key"),
+        )
+        u_first = (F.col("deg_u") < F.col("deg_v")) | (
+            (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+        )
+        return ed.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        ).localCheckpoint(eager=True)
+
+    oriented = session_memo(
+        spark, ("copurchase_oriented", key), build_oriented
+    )
+
+    def build_adj() -> DataFrame:
+        adj = (
+            oriented.groupBy("s").agg(F.collect_list("t").alias("nb")).persist()
+        )
+        adj.count()
+        return adj
+
+    adj = session_memo(spark, ("copurchase_adj", key), build_adj)
+    return deg, oriented, adj
+
+
 def _copurchase_pairs_build(
     spark: SparkSession, sf: str, src: str, dst: str, build: str
 ) -> DataFrame:
@@ -1594,56 +1652,81 @@ def q282(spark: SparkSession, sf: str) -> DataFrame:
             "is_test",
         )
         .distinct()
-        # lazily checkpointed: the train AND test splits both read bp,
-        # and without this the orders+lineitem join + distinct runs twice
+        # lazily checkpointed: every downstream branch reads bp. The
+        # splits below are plain filters over it — bp is already
+        # distinct over (cust, part, is_test), so a (cust, part) pair
+        # is unique WITHIN each flag value and the splits need neither
+        # their own distinct (a full shuffle each) nor their own
+        # persist/checkpoint (the r6 plan materialized 4 checkpoints
+        # and spent most of its 3.9 s in those blocking jobs).
         .localCheckpoint(eager=False)
     )
-    train = bp.where(~F.col("is_test")).select("cust", "part").distinct().localCheckpoint(eager=True)
-    test = bp.where(F.col("is_test")).select("cust", "part").distinct().localCheckpoint(eager=True)
+    train = bp.where(~F.col("is_test")).select("cust", "part")
+    test = bp.where(F.col("is_test")).select("cust", "part")
+    # Rare-part prefilter FIRST (count census + broadcast back) so the
+    # collect_list below is bounded at <= _RC_MAXBUYERS elements — a
+    # mega-part at 100 TB never builds an unbounded buyer list.
     buyers = train.groupBy("part").agg(F.count("*").alias("nb"))
-    rare = buyers.where((F.col("nb") >= 2) & (F.col("nb") <= _RC_MAXBUYERS))
+    rare = buyers.where(
+        (F.col("nb") >= 2) & (F.col("nb") <= _RC_MAXBUYERS)
+    ).select("part")
     rb = train.join(F.broadcast(rare), "part")
-    a = rb.select("part", F.col("cust").alias("c1"), "nb")
-    b = rb.select("part", F.col("cust").alias("c2"))
+    # Pair expansion via bounded buyer lists + chained explodes (pairs
+    # stay part-local, never a shuffle join), then ONE exchange on c1
+    # serves both the (c1, c2) score sum and the per-c1 argmax —
+    # HashPartitioning(c1) satisfies the (c1, c2) clustering, and the
+    # argmax is a max(struct) aggregate instead of a sort+row_number
+    # pass over the ~nb^2-per-part pair set (r6: 3.9 s -> ~3.1 s).
+    lists = rb.groupBy("part").agg(F.collect_list("cust").alias("cs"))
+    w = (1.0 / F.log(F.size("cs"))).alias("w")
+    e1 = lists.select(w, "cs", F.explode("cs").alias("c1"))
+    pairs = e1.select("w", "c1", F.explode("cs").alias("c2")).where(
+        F.col("c1") != F.col("c2")
+    )
     sims = (
-        a.join(b, "part")
-        .where(F.col("c1") != F.col("c2"))
+        pairs.repartition("c1")
         .groupBy("c1", "c2")
-        .agg(F.round(F.sum(1.0 / F.log("nb")), 4).alias("aa"))
+        .agg(F.round(F.sum("w"), 4).alias("aa"))
     )
     best = (
-        sims.withColumn(
-            "r",
-            F.row_number().over(
-                Window.partitionBy("c1").orderBy(F.desc("aa"), "c2")
-            ),
+        sims.groupBy("c1")
+        .agg(
+            # argmax on (aa DESC, c2 ASC): max struct(aa, -c2)
+            F.max(F.struct(F.col("aa"), (-F.col("c2")).alias("nc"))).alias(
+                "m"
+            )
         )
-        .where(F.col("r") == 1)
-        .select(F.col("c1").alias("cust"), F.col("c2").alias("neighbor"))
-        # both the rec join and the eval census read best; persist so
-        # the Adamic-Adar self-join + top-1 window runs once
-        .localCheckpoint(eager=False)
+        .select(F.col("c1").alias("cust"), (-F.col("m.nc")).alias("neighbor"))
     )
-    recs = (
-        best.join(
-            train.select(F.col("cust").alias("neighbor"), "part"), "neighbor"
-        )
-        .select("cust", "part")
-        .join(train, ["cust", "part"], "left_anti")
+    # Evaluation in ONE pass over the test rows of evaluated customers
+    # (instead of materializing every recommendation): a test row is a
+    # hit iff its part is in the neighbor's train set and not in the
+    # customer's own — two left joins carry the flags, one aggregate
+    # produces both censuses.
+    cand = test.join(F.broadcast(best), "cust")
+    flagged = cand.join(
+        train.select(
+            F.col("cust").alias("neighbor"), "part", F.lit(1).alias("in_nbr")
+        ),
+        ["neighbor", "part"],
+        "left",
+    ).join(
+        train.select("cust", "part", F.lit(1).alias("in_own")),
+        ["cust", "part"],
+        "left",
     )
-    ev = test.join(best.select("cust"), "cust", "left_semi").select("cust").distinct()
-    hits = recs.join(test, ["cust", "part"], "left_semi").select("cust").distinct()
-    ne = ev.agg(F.count("*").cast("long").alias("n_eval_customers"))
-    nh = hits.agg(F.count("*").cast("long").alias("n_hits"))
-    return (
-        ne.crossJoin(nh)
-        .select(
-            "n_eval_customers",
-            "n_hits",
-            F.round(
-                F.col("n_hits") * 1.0 / F.col("n_eval_customers"), 6
-            ).alias("hit_rate"),
-        )
+    hit = (F.col("in_nbr") == 1) & F.col("in_own").isNull()
+    return flagged.agg(
+        F.countDistinct("cust").cast("long").alias("n_eval_customers"),
+        F.countDistinct(F.when(hit, F.col("cust")))
+        .cast("long")
+        .alias("n_hits"),
+        F.round(
+            F.countDistinct(F.when(hit, F.col("cust")))
+            * 1.0
+            / F.countDistinct("cust"),
+            6,
+        ).alias("hit_rate"),
     )
 
 
@@ -1929,51 +2012,21 @@ def q284(spark: SparkSession, sf: str) -> DataFrame:
     "forward degree; all-integer arithmetic, one double division.",
 )
 def q292(spark: SparkSession, sf: str) -> DataFrame:
-    # Eager checkpoint: the pair set fans out three ways (degrees,
-    # orientation join, wedge closure).
-    pairs = _copurchase_pairs(spark, sf, src="u", dst="v").localCheckpoint(
-        eager=True
-    )
-    und = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    # persist + count the node-scale degree census: real stats let
-    # Catalyst broadcast the two orientation joins below when the
-    # census fits (and keep shuffle joins at scales where it doesn't)
-    deg = und.groupBy("u").agg(F.count("*").alias("d")).persist()
-    deg.count()
+    # Degree census + Schank-Wagner degree orientation + bounded
+    # out-adjacency — the shared (and session-memoized) build; see
+    # _copurchase_oriented for the O(sqrt m) wedge-bound rationale.
+    # Orientation changes the plan, never the count — the oracle keeps
+    # the plain id-ordered 3-way join.
+    deg, oriented, adj = _copurchase_oriented(spark, sf)
     wedges = deg.agg(
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("w")
     )
-    # Schank-Wagner degree orientation (the q139 pattern): direct each
-    # edge from the lower-(degree, id) endpoint, which bounds the wedge
-    # fan-out by O(sqrt(m)) on skewed graphs where the id-ordered
-    # 3-way join fans out quadratically on hub parts. Orientation
-    # changes the plan, never the count — the oracle keeps the plain
-    # id-ordered join.
-    ed = pairs.join(
-        deg.select(F.col("u").alias("du_key"), F.col("d").alias("deg_u")),
-        F.col("u") == F.col("du_key"),
-    ).join(
-        deg.select(F.col("u").alias("dv_key"), F.col("d").alias("deg_v")),
-        F.col("v") == F.col("dv_key"),
-    )
-    u_first = (F.col("deg_u") < F.col("deg_v")) | (
-        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
-    )
-    oriented = ed.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    ).localCheckpoint(eager=True)
     # Adjacency-intersection closure: T = sum over oriented edges (u,v)
     # of |N+(u) ∩ N+(v)|.  The orientation bounds every out-
     # neighborhood by O(sqrt m), so the per-edge intersection is
     # JVM-side bounded work and the 50M-row wedge intermediate the
     # 3-way join shuffles (measured 6 s of the 8 at sf0.1) never
-    # exists.  persist + count the node-keyed adjacency so Catalyst
-    # broadcasts the two lookups when it fits.
-    adj = oriented.groupBy("s").agg(F.collect_list("t").alias("nb")).persist()
-    adj.count()
+    # exists.
     tri = (
         oriented.join(
             adj.select(F.col("s").alias("ju"), F.col("nb").alias("nu")),
@@ -2127,31 +2180,15 @@ def q293(spark: SparkSession, sf: str) -> DataFrame:
     "coefficient histogram.",
 )
 def q352(spark: SparkSession, sf: str) -> DataFrame:
-    pairs = _copurchase_pairs(spark, sf, src="u", dst="v").localCheckpoint(
-        eager=True
-    )
-    und = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    deg = und.groupBy("u").agg(F.count("*").alias("d")).persist()
-    deg.count()
-    ed = pairs.join(
-        deg.select(F.col("u").alias("du_key"), F.col("d").alias("deg_u")),
-        F.col("u") == F.col("du_key"),
-    ).join(
-        deg.select(F.col("u").alias("dv_key"), F.col("d").alias("deg_v")),
-        F.col("v") == F.col("dv_key"),
-    )
-    u_first = (F.col("deg_u") < F.col("deg_v")) | (
-        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
-    )
-    oriented = ed.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    ).localCheckpoint(eager=True)
-    adj = oriented.groupBy("s").agg(F.collect_list("t").alias("nb")).persist()
-    adj.count()
-    tris = (
+    # Same session-memoized orientation build as q292 — a warm session
+    # running both graph queries pays for it once.
+    deg, oriented, adj = _copurchase_oriented(spark, sf)
+    # Per-corner triangle counts WITHOUT exploding each triangle to 3
+    # rows: for an oriented edge (s,t) with c = |N+(s) ∩ N+(t)|, s and
+    # t each gain c triangles (one contribution row apiece) and only
+    # the c apex vertices explode individually — T + 2E generated rows
+    # instead of 3T, one pass, one groupBy.
+    contrib = (
         oriented.join(
             adj.select(F.col("s").alias("ju"), F.col("nb").alias("nu")),
             F.col("s") == F.col("ju"),
@@ -2160,14 +2197,33 @@ def q352(spark: SparkSession, sf: str) -> DataFrame:
             adj.select(F.col("s").alias("jv"), F.col("nb").alias("nv")),
             F.col("t") == F.col("jv"),
         )
-        .select("s", "t", F.explode(F.array_intersect("nu", "nv")).alias("w"))
+        .select("s", "t", F.array_intersect("nu", "nv").alias("ws"))
+        .where(F.size("ws") > 0)
+        .select(
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(
+                            F.col("s").alias("vtx"),
+                            F.size("ws").cast("long").alias("n"),
+                        ),
+                        F.struct(
+                            F.col("t").alias("vtx"),
+                            F.size("ws").cast("long").alias("n"),
+                        ),
+                    ),
+                    F.transform(
+                        "ws",
+                        lambda w: F.struct(
+                            w.alias("vtx"), F.lit(1).cast("long").alias("n")
+                        ),
+                    ),
+                )
+            ).alias("p")
+        )
     )
-    tv = (
-        tris.select(F.col("s").alias("vtx"))
-        .unionAll(tris.select(F.col("t").alias("vtx")))
-        .unionAll(tris.select(F.col("w").alias("vtx")))
-        .groupBy("vtx")
-        .agg(F.count("*").alias("t"))
+    tv = contrib.groupBy(F.col("p.vtx").alias("vtx")).agg(
+        F.sum("p.n").alias("t")
     )
     cc = (
         deg.where(F.col("d") >= 2)

@@ -554,10 +554,16 @@ def q377(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("cx", "cy")
         .agg(F.count("*").alias("v"))
+        # cells feeds the grand mean AND the deviation frame; dev then
+        # fans out to both sides of the neighbour join — two lazy
+        # checkpoints keep the grid census from being rebuilt 3x.
+        .localCheckpoint(eager=False)
     )
     tot = cells.agg(F.avg("v").alias("mu"), F.count("*").alias("n"))
-    dev = cells.crossJoin(F.broadcast(tot)).select(
-        "cx", "cy", (F.col("v") - F.col("mu")).alias("d"), "n"
+    dev = (
+        cells.crossJoin(F.broadcast(tot))
+        .select("cx", "cy", (F.col("v") - F.col("mu")).alias("d"), "n")
+        .localCheckpoint(eager=False)
     )
     a = dev.select(
         F.col("cx").alias("ax"),

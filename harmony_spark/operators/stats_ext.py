@@ -1296,14 +1296,21 @@ def q240(spark: SparkSession, sf: str) -> DataFrame:
             "icept"
         ),
     )
-    resid = pts.join(F.broadcast(fit), "grp").select(
-        "grp",
-        "n",
-        "slope",
-        "icept",
-        F.abs(
-            F.col("y") - F.col("icept") - F.col("slope") * F.col("x")
-        ).alias("ar"),
+    # resid feeds both the q90 census and the conformal coverage scan:
+    # one lazy checkpoint instead of recomputing the fit join + |r|
+    # projection over the fact table twice.
+    resid = (
+        pts.join(F.broadcast(fit), "grp")
+        .select(
+            "grp",
+            "n",
+            "slope",
+            "icept",
+            F.abs(
+                F.col("y") - F.col("icept") - F.col("slope") * F.col("x")
+            ).alias("ar"),
+        )
+        .localCheckpoint(eager=False)
     )
     qr = resid.groupBy("grp").agg(
         F.max("n").alias("n"),
@@ -1852,11 +1859,14 @@ def q260(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     )
+    # idx feeds both the draw spine and the resample lookup join — one
+    # lazy checkpoint keeps the orders day-census + index windows from
+    # running twice.
     idx = daily.select(
         "cents",
         F.row_number().over(Window.orderBy("day")).alias("rn"),
         F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     spine = spark.range(_BOOT_B).select(F.col("id").alias("b"))
     draws = idx.crossJoin(F.broadcast(spine)).select(
         "b",
@@ -5553,7 +5563,14 @@ def q361(spark: SparkSession, sf: str) -> DataFrame:
     )
     sized = li.groupBy("ok").agg(F.count("*").alias("m")).where(F.col("m") == n)
     rated = li.join(sized.select("ok"), "ok")
-    nij = rated.groupBy("ok", "cat").agg(F.count("*").alias("c"))
+    # nij feeds both the per-item agreement census and the category
+    # margins — one lazy checkpoint instead of rebuilding the
+    # size-filter join + (item, cat) aggregate twice.
+    nij = (
+        rated.groupBy("ok", "cat")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     pi = nij.groupBy("ok").agg(
         ((F.sum(F.col("c") * F.col("c")) - n) / (n * (n - 1))).alias("p_i")
     )
@@ -5618,7 +5635,10 @@ def q362(spark: SparkSession, sf: str) -> DataFrame:
     cust = table_parallel(spark, sf, "customer").select(
         F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk")
     )
-    j = rev.join(cust, "ck")
+    # j feeds three branches (grand total, within-term, between-term):
+    # one lazy checkpoint keeps the orders aggregate + customer join
+    # from being scanned three times in the final plan.
+    j = rev.join(cust, "ck").localCheckpoint(eager=False)
     tot = j.agg(F.sum("x").alias("xt"), F.count("*").alias("nt"))
     wth = j.crossJoin(F.broadcast(tot)).select(
         (F.col("x") / (F.col("xt") / F.col("nt"))).alias("ratio")
