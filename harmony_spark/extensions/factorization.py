@@ -118,10 +118,12 @@ def als_fit(
     item_col: str = "item",
     n_iter: int = N_ITER,
     lamb: float = LAMB,
-) -> tuple[DataFrame, pd.DataFrame, list[float]]:
+) -> tuple[DataFrame, pd.DataFrame, list[float], int]:
     """Run ALS; returns (user_factors DF, item_factors pandas, rmse per
-    iteration). Item factors stay driver-side (the small dimension);
-    user factors never leave the cluster."""
+    iteration, n_ratings). Item factors stay driver-side (the small
+    dimension); user factors never leave the cluster.  ``n_ratings``
+    is a free by-product of the item-step census (Σ per-item counts),
+    so callers need no separate count() job."""
     r = ratings.select(
         F.col(user_col).alias("user"),
         F.col(item_col).alias("item"),
@@ -132,14 +134,30 @@ def als_fit(
     rmses: list[float] = []
     U = None
     for _ in range(n_iter):
-        U = _solve_side(r, V, "user", "item", lamb).localCheckpoint(eager=False)
+        # U has exactly ONE distributed consumer per iteration (the item
+        # step below; the RMSE pass is folded into it), so no checkpoint:
+        # localCheckpoint — even eager=False — plans the U query through
+        # Catalyst immediately (toRdd), and that duplicate planning pass
+        # measured ~0.7-1.2 s/iteration, larger than the execution it
+        # saved.  U's lineage is flat (r × broadcast V), so skipping the
+        # checkpoint also cannot grow the plan across iterations.
+        U = _solve_side(r, V, "user", "item", lamb)
         # item step: same shape with the sides swapped; U is NOT collected —
         # the join keys on user and the aggregate shuffles k^2 rows per item,
         # then the K item rows collect (K = catalog size, driver-bounded).
+        # The same collected normal equations also price the iteration's
+        # RMSE for free: per item, SSE = Σr² − 2·v·rv + vᵀA₀v (A₀ = the
+        # ridge-free Gram), so the former per-iteration RMSE job — a full
+        # ratings×U×V join pass — collapses into driver arithmetic over
+        # the K already-collected rows (guide §1.2: remove whole passes
+        # before tuning what's left).  Float effect: the expansion
+        # cancels exactly the same partial sums the direct (r−u·v)² pass
+        # sums, ~1e-12 relative — inside the cross-oracle's 1e-7 rtol.
         iv = (
             r.join(U, "user")
             .select(
                 "item",
+                "rating",
                 *[(F.col("rating") * F.col("vec")[i]).alias(f"rv_{i}") for i in range(RANK)],
                 *[
                     (F.col("vec")[a] * F.col("vec")[b]).alias(f"vv_{a}_{b}")
@@ -149,6 +167,8 @@ def als_fit(
             )
             .groupBy("item")
             .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.col("rating") * F.col("rating")).alias("sr2"),
                 *[F.sum(f"rv_{i}").alias(f"rv_{i}") for i in range(RANK)],
                 *[
                     F.sum(f"vv_{a}_{b}").alias(f"vv_{a}_{b}")
@@ -158,37 +178,20 @@ def als_fit(
             )
             .collect()
         )
-        vrows = []
+        vrows, sse, n_total = [], 0.0, 0
         for row in iv:
-            A = np.zeros((RANK, RANK))
+            A0 = np.zeros((RANK, RANK))
             for a in range(RANK):
                 for b in range(a, RANK):
-                    A[a, b] = A[b, a] = row[f"vv_{a}_{b}"]
-            A += lamb * np.eye(RANK)
-            vec = np.linalg.solve(A, np.array([row[f"rv_{i}"] for i in range(RANK)]))
+                    A0[a, b] = A0[b, a] = row[f"vv_{a}_{b}"]
+            rv = np.array([row[f"rv_{i}"] for i in range(RANK)])
+            vec = np.linalg.solve(A0 + lamb * np.eye(RANK), rv)
             vrows.append((row["item"], [float(x) for x in vec]))
+            sse += row["sr2"] - 2.0 * float(vec @ rv) + float(vec @ A0 @ vec)
+            n_total += row["cnt"]
         V = pd.DataFrame(sorted(vrows), columns=["item", "vec"])
-
-        vdf = F.broadcast(
-            r.sparkSession.createDataFrame(
-                [(int(it), v) for it, v in V.itertuples(index=False)],
-                "item long, ivec array<double>",
-            )
-        )
-        pred = F.aggregate(
-            F.zip_with("vec", "ivec", lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        rmse = (
-            r.join(U, "user")
-            .join(vdf, "item")
-            .select(((F.col("rating") - pred) ** 2).alias("se"))
-            .agg(F.sqrt(F.avg("se")).alias("rmse"))
-            .first()["rmse"]
-        )
-        rmses.append(float(rmse))
-    return U, V, rmses
+        rmses.append(float(np.sqrt(sse / n_total)))
+    return U, V, rmses, n_total
 
 
 @register(
@@ -217,7 +220,6 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.round(F.sum("value"), 6).alias("rating"))
     )
-    _, _, rmses = als_fit(ratings)
-    n = ratings.count()
+    _, _, rmses, n = als_fit(ratings)
     rows = [(i + 1, round(r, 5), n) for i, r in enumerate(rmses)]
     return spark.createDataFrame(rows, "iteration long, rmse double, n_ratings long")

@@ -72,7 +72,10 @@ def test_als_matches_numpy_reference(spark, ratings):
     triples = [(r["user"], r["item"], r["rating"]) for r in ratings.collect()]
     U_ref, V_ref, rmse_ref, uix = _numpy_als(triples)
 
-    U_df, V_pd, rmses = als_fit(ratings)
+    U_df, V_pd, rmses, n_got = als_fit(ratings)
+    # the fold of the RMSE pass into the item-step census must price n
+    # exactly (every rating joins exactly one item row)
+    assert n_got == len(triples)
     assert np.allclose(rmses, rmse_ref, rtol=1e-7, atol=1e-9)
     V_got = np.array([v for _, v in V_pd.itertuples(index=False)])
     assert np.allclose(V_got, V_ref, rtol=1e-6, atol=1e-8)
@@ -82,7 +85,7 @@ def test_als_matches_numpy_reference(spark, ratings):
 
 
 def test_als_rmse_decreases(spark, ratings):
-    _, _, rmses = als_fit(ratings)
+    _, _, rmses, _ = als_fit(ratings)
     assert all(b <= a + 1e-9 for a, b in zip(rmses, rmses[1:]))
     assert rmses[-1] < rmses[0]
 
