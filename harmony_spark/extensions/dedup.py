@@ -1149,9 +1149,23 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
 def q123(spark: SparkSession, sf: str) -> DataFrame:
     docs = table_parallel(spark, sf, "documents").select("doc_id", "text")
     e = _lsh_pairs(spark, sf)
+    paired = e.join(
+        docs.withColumnRenamed("doc_id", "da").withColumnRenamed("text", "ta"), "da"
+    ).join(
+        docs.withColumnRenamed("doc_id", "db").withColumnRenamed("text", "tb"), "db"
+    )
+    # The levenshtein projection is the expensive stage (O(len_a*len_b)
+    # DP per pair), but AQE coalesces the small join output to ONE
+    # partition by byte size, serializing all the DP work on a single
+    # core (guide §2.5: byte-sized partitioning is wrong for compute-
+    # bound stages). A deterministic hash repartition on the pair key
+    # spreads the DP across the session's cores; at 100 TB the join
+    # output is already many partitions and the exchange is pair-keyed
+    # metadata + two texts per row — the candidate set, never the corpus.
     return (
-        e.join(docs.withColumnRenamed("doc_id", "da").withColumnRenamed("text", "ta"), "da")
-        .join(docs.withColumnRenamed("doc_id", "db").withColumnRenamed("text", "tb"), "db")
+        paired.repartition(
+            spark.sparkContext.defaultParallelism, "da", "db"
+        )
         .select(
             "da",
             "db",

@@ -26,6 +26,31 @@ ER_HEAD_CHARS = 30  # normalized comparison key: first 30 chars
 ER_MAX_EDITS = 10  # levenshtein threshold on the head
 
 
+def _doc_entities(spark: SparkSession, sf: str) -> DataFrame:
+    """The resolved document-entity partition (node, component) shared
+    VERBATIM by q167 and q273: identical rec projection (30-char head,
+    first-two-token block), identical resolve_entities parameters.
+    Session-memoized (io.session_memo) so a warm session pays the
+    blocking join + star-CC rounds once — the same shared-graph-build
+    memo the r6 verdict prescribed for q292/q352 and q75/q224."""
+    from harmony_spark.io import session_memo, table_parallel
+
+    def build() -> DataFrame:
+        toks = F.split(F.lower("text"), r"\s+")
+        rec = table_parallel(spark, sf, "documents").select(
+            "doc_id",
+            F.substring(F.lower("text"), 1, ER_HEAD_CHARS).alias("head"),
+            F.concat_ws(" ", F.slice(toks, 1, 2)).alias("blk"),
+        )
+        return resolve_entities(
+            rec, id_col="doc_id", key_col="head", block_col="blk"
+        )
+
+    import os as _os
+
+    return session_memo(spark, ("doc_entities", _os.path.abspath(sf)), build)
+
+
 def resolve_entities(
     records: DataFrame,
     id_col: str,
@@ -101,17 +126,7 @@ def resolve_entities(
     "executor.",
 )
 def q167(spark: SparkSession, sf: str) -> DataFrame:
-    from harmony_spark.io import table_parallel
-
-    toks = F.split(F.lower("text"), r"\s+")
-    rec = table_parallel(spark, sf, "documents").select(
-        "doc_id",
-        F.substring(F.lower("text"), 1, ER_HEAD_CHARS).alias("head"),
-        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("blk"),
-    )
-    cc = resolve_entities(
-        rec, id_col="doc_id", key_col="head", block_col="blk"
-    )
+    cc = _doc_entities(spark, sf)
     return (
         cc.groupBy(F.col("component").alias("entity_id"))
         .agg(
@@ -191,57 +206,46 @@ def q167(spark: SparkSession, sf: str) -> DataFrame:
     "recursively plus the same deterministic votes.",
 )
 def q273(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from harmony_spark.io import table_parallel
 
-    toks = F.split(F.lower("text"), r"\s+")
     docs = table_parallel(spark, sf, "documents")
-    rec = docs.select(
-        "doc_id",
-        F.substring(F.lower("text"), 1, ER_HEAD_CHARS).alias("head"),
-        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("blk"),
-    )
-    cc = resolve_entities(rec, id_col="doc_id", key_col="head", block_col="blk")
+    cc = _doc_entities(spark, sf)
+    # mem feeds two aggregates below; cc is already an eagerly
+    # checkpointed RDD (resolve_entities) and docs is the cached scan,
+    # so re-deriving the broadcast join per branch is cheaper than a
+    # localCheckpoint (whose toRdd pays a full Catalyst planning pass —
+    # the q137 lesson) — measured both ways, no checkpoint wins here.
     mem = cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("entity_id")
     ).join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
-    keeper = (
-        mem.withColumn(
-            "r",
-            F.row_number().over(
-                Window.partitionBy("entity_id").orderBy(
-                    F.desc("n_chars"), "doc_id"
-                )
-            ),
-        )
-        .where(F.col("r") == 1)
-        .select("entity_id", F.col("doc_id").alias("keeper_doc"))
+    # Survivorship votes as AGGREGATES, not windows (guide §2.4: an
+    # argmax needs no sorted window pass — the former plan ran TWO
+    # row_number windows plus a third grouped pass over mem, three
+    # entity-keyed exchanges where one suffices):
+    #  * keeper  = max(struct(n_chars, -doc_id))  — n_chars DESC,
+    #    doc_id ASC, fused into the SAME groupBy as count/sum;
+    #  * langmode = min(struct(-c, lang))         — c DESC, lang ASC
+    #    (strings cannot negate, so min with negated count).
+    base = mem.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max(
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
+        ).alias("kp"),
     )
     langmode = (
         mem.groupBy("entity_id", "lang")
         .agg(F.count("*").alias("c"))
-        .withColumn(
-            "r",
-            F.row_number().over(
-                Window.partitionBy("entity_id").orderBy(F.desc("c"), "lang")
-            ),
-        )
-        .where(F.col("r") == 1)
-        .select("entity_id", F.col("lang").alias("mode_lang"))
+        .groupBy("entity_id")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lang"))).alias("lm"))
+        .select("entity_id", F.col("lm.lang").alias("mode_lang"))
     )
     return (
-        mem.groupBy("entity_id")
-        .agg(
-            F.count("*").cast("long").alias("n_members"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-        )
-        .join(keeper, "entity_id")
-        .join(langmode, "entity_id")
+        base.join(langmode, "entity_id")
         .select(
             "entity_id",
             "n_members",
-            F.col("keeper_doc").cast("long").alias("keeper_doc"),
+            (-F.col("kp.nd")).cast("long").alias("keeper_doc"),
             "mode_lang",
             "total_chars",
         )
