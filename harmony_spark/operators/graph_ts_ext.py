@@ -115,6 +115,37 @@ def _copurchase_oriented(spark: SparkSession, sf: str):
     return deg, oriented, adj
 
 
+def _copurchase_tri_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-oriented-edge triangle witnesses (s, t, ws = N+(s) ∩ N+(t)) —
+    the adjacency-intersection pass q292 (global count: Σ size(ws)) and
+    q352 (per-vertex census: corner explode) both run verbatim.
+    Session-memoized like the orientation build it extends: a warm
+    session running both graph queries pays the two broadcast joins +
+    the O(m·sqrt m) intersection compute once.  Edges with an empty
+    intersection are kept (q292 sums their 0; q352 filters them)."""
+    import os as _os
+
+    from harmony_spark.io import session_memo
+
+    def build() -> DataFrame:
+        _, oriented, adj = _copurchase_oriented(spark, sf)
+        return (
+            oriented.join(
+                adj.select(F.col("s").alias("ju"), F.col("nb").alias("nu")),
+                F.col("s") == F.col("ju"),
+            )
+            .join(
+                adj.select(F.col("s").alias("jv"), F.col("nb").alias("nv")),
+                F.col("t") == F.col("jv"),
+            )
+            .select("s", "t", F.array_intersect("nu", "nv").alias("ws"))
+        )
+
+    return session_memo(
+        spark, ("copurchase_tri_edges", _os.path.abspath(sf)), build
+    )
+
+
 def _copurchase_pairs_build(
     spark: SparkSession, sf: str, src: str, dst: str, build: str
 ) -> DataFrame:
@@ -2017,7 +2048,7 @@ def q292(spark: SparkSession, sf: str) -> DataFrame:
     # _copurchase_oriented for the O(sqrt m) wedge-bound rationale.
     # Orientation changes the plan, never the count — the oracle keeps
     # the plain id-ordered 3-way join.
-    deg, oriented, adj = _copurchase_oriented(spark, sf)
+    deg, _, _ = _copurchase_oriented(spark, sf)
     wedges = deg.agg(
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("w")
     )
@@ -2026,17 +2057,11 @@ def q292(spark: SparkSession, sf: str) -> DataFrame:
     # neighborhood by O(sqrt m), so the per-edge intersection is
     # JVM-side bounded work and the 50M-row wedge intermediate the
     # 3-way join shuffles (measured 6 s of the 8 at sf0.1) never
-    # exists.
+    # exists.  The per-edge witness table is the session-memoized build
+    # shared with q352 (_copurchase_tri_edges).
     tri = (
-        oriented.join(
-            adj.select(F.col("s").alias("ju"), F.col("nb").alias("nu")),
-            F.col("s") == F.col("ju"),
-        )
-        .join(
-            adj.select(F.col("s").alias("jv"), F.col("nb").alias("nv")),
-            F.col("t") == F.col("jv"),
-        )
-        .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
+        _copurchase_tri_edges(spark, sf)
+        .select(F.size("ws").alias("c"))
         .agg(F.sum("c").cast("long").alias("t"))
     )
     return tri.crossJoin(F.broadcast(wedges)).select(
@@ -2182,22 +2207,15 @@ def q293(spark: SparkSession, sf: str) -> DataFrame:
 def q352(spark: SparkSession, sf: str) -> DataFrame:
     # Same session-memoized orientation build as q292 — a warm session
     # running both graph queries pays for it once.
-    deg, oriented, adj = _copurchase_oriented(spark, sf)
+    deg, _, _ = _copurchase_oriented(spark, sf)
     # Per-corner triangle counts WITHOUT exploding each triangle to 3
     # rows: for an oriented edge (s,t) with c = |N+(s) ∩ N+(t)|, s and
     # t each gain c triangles (one contribution row apiece) and only
     # the c apex vertices explode individually — T + 2E generated rows
-    # instead of 3T, one pass, one groupBy.
+    # instead of 3T, one pass, one groupBy.  The witness table itself
+    # is the session-memoized build shared with q292.
     contrib = (
-        oriented.join(
-            adj.select(F.col("s").alias("ju"), F.col("nb").alias("nu")),
-            F.col("s") == F.col("ju"),
-        )
-        .join(
-            adj.select(F.col("s").alias("jv"), F.col("nb").alias("nv")),
-            F.col("t") == F.col("jv"),
-        )
-        .select("s", "t", F.array_intersect("nu", "nv").alias("ws"))
+        _copurchase_tri_edges(spark, sf)
         .where(F.size("ws") > 0)
         .select(
             F.explode(
