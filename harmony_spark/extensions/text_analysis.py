@@ -517,7 +517,21 @@ def _bm25_sql(terms=_BM25_TERMS) -> str:
 
 def bm25_table(spark: SparkSession, sf: str, terms=_BM25_TERMS) -> DataFrame:
     """Unrounded BM25 scores (doc_id, bm25) for a fixed term set —
-    the engine core behind q121 and the lexical leg of q122."""
+    the engine core behind q121 and the lexical leg of q122.
+    Session-memoized (the scores table is the serve-time artifact a
+    lexical index materializes once): the full-corpus tokenize/explode
+    feeds TWO branches (doc lengths + term frequencies), so a warm
+    session skips both passes for every consumer."""
+    from harmony_spark.io import session_memo
+
+    return session_memo(
+        spark,
+        ("bm25_table", sf, tuple(terms)),
+        lambda: _bm25_table_build(spark, sf, terms),
+    )
+
+
+def _bm25_table_build(spark: SparkSession, sf: str, terms) -> DataFrame:
     tok = table(spark, sf, "documents").select(
         "doc_id", F.explode(_tokens()).alias("tok")
     )
