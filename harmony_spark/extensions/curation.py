@@ -782,13 +782,30 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.operators.graph import connected_components
 
     toks = F.split(F.lower(F.col("text")), r"\s+")
-    base = table_parallel(spark, sf, "documents").select(
-        "doc_id",
-        "source",
-        "text",
-        "n_chars",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    # base feeds FIVE branches (quality gate, md5 dedup, eval shingles,
+    # contamination shingles, final census); the tokenize + distinct
+    # projection is the expensive part, so materialize it ONCE (with
+    # the token arrays — the shingle stage reuses them instead of
+    # re-splitting text) behind a lazy checkpoint.
+    base = (
+        table_parallel(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            "n_chars",
+            toks.alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            "n_chars",
+            "toks",
+            F.size("toks").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).alias("n_distinct"),
+        )
+        .localCheckpoint(eager=False)
     )
     is_eval = F.col("doc_id") % 23 == 0
     passing = base.where(~is_eval).where(
@@ -819,13 +836,15 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def _sh(df: DataFrame) -> DataFrame:
-        d = df.select("doc_id", toks.alias("toks"))
+        # reads the materialized toks column — no re-split of text
         expr = F.expr(
             f"transform(sequence(0, size(toks) - {_SHINGLE_N}), "
             f"i -> array_join(slice(toks, i + 1, {_SHINGLE_N}), ' '))"
         )
-        return d.where(F.size("toks") >= _SHINGLE_N).select(
-            "doc_id", F.explode(expr).alias("shingle")
+        return (
+            df.select("doc_id", "toks")
+            .where(F.size("toks") >= _SHINGLE_N)
+            .select("doc_id", F.explode(expr).alias("shingle"))
         )
 
     ev = _sh(base.where(is_eval)).select("shingle").distinct()

@@ -93,7 +93,15 @@ def connected_components(
     rounds = 0
     converged = False
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # LAZY checkpoint whose first consumer is the fingerprint
+        # aggregate below: that single-stage action computes (and
+        # caches) every partition exactly once, so the round runs ONE
+        # job instead of the former eager-checkpoint job + separate
+        # fingerprint job — the next round's parallel star branches
+        # then read materialized blocks (the double-materialization
+        # hazard of lazy checkpoints only bites when the FIRST consumer
+        # is itself two parallel stages).
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         rounds += 1
         # set fingerprint of the (distinct) edge set; equal => fixpoint
         # (bit_xor, not sum: ANSI mode makes sum overflow on 64-bit hashes)
