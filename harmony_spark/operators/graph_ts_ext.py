@@ -115,6 +115,27 @@ def _copurchase_oriented(spark: SparkSession, sf: str):
     return deg, oriented, adj
 
 
+def _copurchase_sym(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric (src, dst) ∪ (dst, src) co-purchase edge set — the
+    bidirectional view q225 PageRank, q254 BFS and q258 LPA each
+    materialized per call (an eager checkpoint of ~2x the pair rows).
+    Session-memoized: one union + materialization per warm session,
+    every iterative consumer reads the blocks."""
+    import os as _os
+
+    from harmony_spark.io import session_memo
+
+    def build() -> DataFrame:
+        pairs = _copurchase_pairs(spark, sf, build="join")
+        return pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    return session_memo(
+        spark, ("copurchase_sym", _os.path.abspath(sf)), build
+    )
+
+
 def _copurchase_tri_edges(spark: SparkSession, sf: str) -> DataFrame:
     """Per-oriented-edge triangle witnesses (s, t, ws = N+(s) ∩ N+(t)) —
     the adjacency-intersection pass q292 (global count: Σ size(ws)) and
@@ -258,13 +279,10 @@ def _pagerank_oracle() -> str:
 def q225(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.operators.graph import pagerank
 
-    pairs = _copurchase_pairs(spark, sf, build="join")
-    # materialize the symmetric edge list ONCE: pagerank() references
-    # edges every iteration, and without this the pair build would
-    # re-execute per round (halves the wall at sf0.1)
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    # session-memoized symmetric edge list: pagerank() references edges
+    # every iteration, and the memo's checkpoint materializes once per
+    # session instead of once per call (see _copurchase_sym)
+    edges = _copurchase_sym(spark, sf)
     return (
         pagerank(edges, n_iter=_PR_ITERS, damping=_PR_DAMP)
         .select(
@@ -851,10 +869,7 @@ def q254(spark: SparkSession, sf: str) -> DataFrame:
     from harmony_spark.io import table_parallel
     from harmony_spark.operators.graph import bfs_hops
 
-    pairs = _copurchase_pairs(spark, sf, build="join")
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    edges = _copurchase_sym(spark, sf)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     part = table_parallel(spark, sf, "part").where(F.col("p_size") == 50)
     sources = nodes.join(
@@ -931,13 +946,10 @@ def _lpa_oracle() -> str:
     "per round. Determinism: all-integer counts, min-label ties.",
 )
 def q258(spark: SparkSession, sf: str) -> DataFrame:
-    pairs = _copurchase_pairs(spark, sf, build="join")
-    # checkpoint only the UNDIRECTED pairs (half the edge rows); the
-    # directed view is a shuffle-free union over the checkpoint
-    pairs = pairs.localCheckpoint(eager=True)
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # session-memoized symmetric view (shared with q225/q254); the memo
+    # materializes once per session, replacing the per-call checkpoint
+    # of the undirected half
+    edges = _copurchase_sym(spark, sf)
     lp = (
         edges.select(F.col("src").alias("node"))
         .distinct()
