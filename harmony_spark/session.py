@@ -24,6 +24,20 @@ def get_spark(app_name: str = "harmony-spark", shuffle_partitions: int | None = 
         # At 100 TB these replace hand-tuned static partition counts.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalesce floor (default 1m) sizes partitions by BYTES,
+        # which under-parallelizes CPU-bound post-shuffle stages whose
+        # data is small but whose per-row work is heavy (window sorts,
+        # rank passes, edit distances): a ~5 MB shuffle coalesced to
+        # 5 tasks leaves 27 of 32 cores idle (measured: the q219 rank
+        # window ran 5 tasks; 64k floor -> full parallelism, -20%).
+        # At 100 TB post-shuffle partitions are >> 1 MB, so the lower
+        # floor is inert there — it only stops byte-based coalescing
+        # from serializing compute-heavy small stages. Parameterized
+        # (env) like the other scale-dependent settings.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("HARMONY_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow is the only sane Python<->JVM boundary at scale.
