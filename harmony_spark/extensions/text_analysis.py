@@ -1565,12 +1565,19 @@ def q335(spark: SparkSession, sf: str) -> DataFrame:
     big = tok.select(
         F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2")
     ).where(F.col("w2").isNotNull())
-    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    # bc feeds FOUR consumers (the nb census, uc, cont, the final join):
+    # lazy checkpoint materialized by the nb count — the tokenize +
+    # lead-window + bigram aggregate runs once, not four times
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    nb = bc.count()
     uc = bc.groupBy("w1").agg(
         F.sum("c").alias("cu"), F.count("*").alias("types")
     )
     cont = bc.groupBy("w2").agg(F.count("*").alias("nc"))
-    nb = bc.count()
     kn = (
         bc.where(F.col("c") >= 5)
         .join(uc, "w1")

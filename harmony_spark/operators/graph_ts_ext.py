@@ -1158,11 +1158,15 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
         # against a flat scan (persist-only chains measured ~20% slower
         # here — the optimizer re-analyzes the whole cached lineage
         # every round); the follow-up count runs on the local RDD
+        # LAZY checkpoint materialized by the census count below — one
+        # job per round instead of eager-checkpoint job + count job
+        # (the CC fingerprint pattern: a single-stage first consumer
+        # computes and caches every partition exactly once)
         g2 = (
             g.join(keep, "u")
             .join(keep.select(F.col("u").alias("v")), "v")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         ne = g2.count() // 2
         if prev_keep is not None:

@@ -483,11 +483,14 @@ def q171(spark: SparkSession, sf: str) -> DataFrame:
             .alias("churned"),
         )
     )
+    # u feeds the census count AND the grouped branch: lazy checkpoint
+    # materialized by the count, so the per-user pass runs once
+    u = u.localCheckpoint(eager=False)
+    total = u.count()
     g = u.groupBy(F.col("lifetime_days").alias("t")).agg(
         F.sum("churned").alias("d"),
         (F.count("*") - F.sum("churned")).alias("c"),
     )
-    total = u.count()
     w_prev = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -1768,6 +1771,7 @@ def q309(spark: SparkSession, sf: str) -> DataFrame:
             .alias("churned"),
         )
     )
+    u = u.localCheckpoint(eager=False)
     total = u.count()
     g = u.groupBy(F.col("lifetime_days").alias("t")).agg(
         F.sum("churned").alias("d"),
@@ -3117,11 +3121,14 @@ def q357(spark: SparkSession, sf: str) -> DataFrame:
             .alias("churned"),
         )
     )
+    # u feeds the census count AND the grouped branch: lazy checkpoint
+    # materialized by the count, so the per-user pass runs once
+    u = u.localCheckpoint(eager=False)
+    total = u.count()
     g = u.groupBy(F.col("lifetime_days").alias("t")).agg(
         F.sum("churned").alias("d"),
         (F.count("*") - F.sum("churned")).alias("c"),
     )
-    total = u.count()
     w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     curve = g.withColumn(
