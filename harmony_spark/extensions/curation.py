@@ -775,7 +775,7 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
     "every stage boundary must agree for the hash to match.",
 )
 def q130(spark: SparkSession, sf: str) -> DataFrame:
-    from harmony_spark.extensions.dedup import _lsh_pairs_of
+    from harmony_spark.extensions.dedup import _lsh_pairs
     from harmony_spark.io import table_parallel
     from harmony_spark.operators.graph import connected_components
 
@@ -816,16 +816,26 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
             >= _MIN_DISTINCT_RATIO
         )
     )
+    # ekept feeds the two pair semi-joins below, the ndkept join and
+    # the final census — one lazy checkpoint
     ekept = (
         passing.groupBy(F.md5(F.col("text").cast("binary")))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
-    kept_docs = base.join(ekept, "doc_id").select("doc_id", "text")
+    # Per-doc MinHash signatures are subset-independent, so the LSH
+    # pair set over the quality-gated exact-kept docs equals the
+    # memoized full-corpus pair set restricted to ekept×ekept (see
+    # q97) — two id semi-joins replace the per-call signature + band
+    # self-join over the kept text.
+    kept_pairs = (
+        _lsh_pairs(spark, sf)
+        .join(ekept.withColumnRenamed("doc_id", "da"), "da", "semi")
+        .join(ekept.withColumnRenamed("doc_id", "db"), "db", "semi")
+    )
     cc = connected_components(
-        _lsh_pairs_of(kept_docs).select(
-            F.col("da").alias("src"), F.col("db").alias("dst")
-        )
+        kept_pairs.select(F.col("da").alias("src"), F.col("db").alias("dst"))
     ).withColumnRenamed("node", "doc_id")
     ndkept = (
         ekept.join(cc, "doc_id", "left")
