@@ -136,6 +136,10 @@ class HarmonySpark:
         # O(shuffle.partitions) tiny ones; at 1e9 cells this is 100k
         # tasks/pass on a cluster, at N=500 it is one.
         target_parts = max(1, min(self.spark.sparkContext.defaultParallelism, -(-N // 10_000)))
+        # single-partition inputs qualify for the fused kmeans-loop pass
+        # (_kmeans_loop); repartition/mapInPandas/localCheckpoint all
+        # preserve the partition count across rounds
+        self._cells_nparts = target_parts
         cells = cells.repartition(target_parts)
         self.cells0 = cells.persist(StorageLevel.MEMORY_AND_DISK)
         self.cells0.count()
@@ -277,31 +281,19 @@ class HarmonySpark:
             self._finish_partials(parts, push_objective=True)
             return
 
-        # blocked online mode
+        # blocked online mode — the Gauss-Seidel state chain itself lives
+        # in kernels.blocked_estep_chain (shared with the fused
+        # single-partition kernel); this path supplies per-block partials
+        # via one Spark job per block
         p = self.p
         nb = self.n_blocks
-        states: list[dict] = []
-        rlogr_tot = np.zeros(p.K, dtype=np.float64)
-        rdist_tot = 0.0
         block_expr = F.pmod(
             (F.col("cell_id") % kernels.BLOCK_P) * kernels.BLOCK_A
             + F.lit(round_idx * kernels.BLOCK_B),
             F.lit(nb),
         )
-        O = self.O.astype(np.float64)
-        for i in range(nb):
-            C_i = self._block_contrib[i]
-            O_minus = O - C_i
-            mass_minus = O_minus[:, : p.B_vec[0]].sum(axis=1)
-            E_minus = mass_minus[:, None] * p.Pr_b[None, :].astype(np.float64)
-            state_i = {
-                "Y": self.Y,
-                "sigma": p.sigma,
-                "theta": p.theta,
-                "O": O_minus.astype(F32),
-                "E": E_minus.astype(F32),
-                "penalty": True,
-            }
+
+        def run_block(i: int, state_i: dict):
             bc = self._broadcast(**state_i)
             kernel = kernels.make_estep_kernel(
                 bc, self.code_cols, p.offsets, p.K, p.B
@@ -313,13 +305,34 @@ class HarmonySpark:
                 .collect()
             )
             C_new = np.zeros((p.K, p.B), dtype=np.float64)
+            rl = np.zeros(p.K, dtype=np.float64)
+            rd = 0.0
             for row in parts:
                 C_new += np.asarray(row["o"]).reshape(p.K, p.B)
-                rlogr_tot += np.asarray(row["rlogr"])
-                rdist_tot += row["rdist"]
-            O = O_minus + C_new
-            self._block_contrib[i] = C_new
-            states.append(state_i)
+                rl += np.asarray(row["rlogr"])
+                rd += row["rdist"]
+            return C_new, rl, rd
+
+        self._estep_apply_blocked(round_idx, run_block)
+
+    def _estep_apply_blocked(self, round_idx: int, run_block) -> None:
+        """Blocked-mode driver bookkeeping around one E-step: run the
+        shared state chain with ``run_block`` as the partials source,
+        commit O/E/_r_state and push the objective.  Used by both the
+        per-block-job path and the fused-chain replay."""
+        p = self.p
+        nb = self.n_blocks
+        O, states, rlogr_tot, rdist_tot = kernels.blocked_estep_chain(
+            self.O,
+            self._block_contrib,
+            self.Y,
+            p.sigma,
+            p.theta,
+            p.Pr_b,
+            p.B_vec[0],
+            nb,
+            run_block,
+        )
         self.O = O.astype(F32)
         mass = O[:, : p.B_vec[0]].sum(axis=1)
         self.E = (mass[:, None] * p.Pr_b[None, :].astype(np.float64)).astype(F32)
@@ -329,11 +342,108 @@ class HarmonySpark:
             "iter": round_idx,
             "nb": nb,
         }
-        norm_const = 2000.0 / p.N
-        entropy = float((rlogr_tot * p.sigma).sum())
-        log_term = np.log((self.O + self.E + 1.0) / (2.0 * self.E + 1.0))
-        cross = float((p.sigma[:, None] * p.theta[None, :] * log_term * self.O).sum())
-        self.objective_kmeans.append((rdist_tot + entropy + cross) * norm_const)
+        self.objective_kmeans.append(
+            kernels.km_objective(
+                self.O, self.E, p.sigma, p.theta, rlogr_tot, rdist_tot, p.N
+            )
+        )
+
+    def _kmeans_loop(self, cells: DataFrame, round_idx: int) -> int:
+        """One harmony round's kmeans E-step loop; returns the number of
+        iterations run.  When the cells DataFrame is a SINGLE partition
+        (target_parts == 1, i.e. small inputs), every global reduction
+        the per-iteration loop performs is partition-local, so the whole
+        loop runs as ONE Arrow pass (kernels.make_estep_chain_kernel —
+        guide §4: collapse many tiny mapInPandas round-trips); the
+        driver then replays its unchanged bookkeeping from the returned
+        per-(iteration, block) partials, which are bit-identical to the
+        per-iteration jobs' because the chain/objective code is shared.
+        At scale (>1 partition) the per-iteration distributed path runs
+        unchanged."""
+        p = self.p
+        if self._cells_nparts != 1:
+            iters = 0
+            for it in range(p.max_iter_cluster):
+                self._estep_pass(cells, round_idx)
+                iters = it + 1
+                if it > p.window_size and self._kmeans_converged():
+                    break
+            return iters
+
+        blocked = self.estep_mode == "blocked"
+        nb = self.n_blocks if blocked else 1
+        contrib0 = (
+            [np.asarray(c, dtype=np.float64) for c in self._block_contrib]
+            if blocked
+            else [np.zeros((p.K, p.B), dtype=np.float64)]
+        )
+        bc = self._broadcast(
+            Y=self.Y,
+            sigma=p.sigma,
+            theta=p.theta,
+            O0=self.O,
+            E0=self.E,
+            mode=self.estep_mode,
+            nb=nb,
+            round_idx=round_idx,
+            contrib0=contrib0,
+            max_iter=p.max_iter_cluster,
+            window=p.window_size,
+            eps=p.epsilon_cluster,
+            N=p.N,
+            Pr_b=p.Pr_b,
+            B0=p.B_vec[0],
+        )
+        kernel = kernels.make_estep_chain_kernel(
+            bc, self.code_cols, p.offsets, p.K, p.B
+        )
+        rows = (
+            cells.select("cell_id", "zn", *self.code_cols)
+            .mapInPandas(kernel, schema=kernels.CHAIN_SCHEMA)
+            .collect()
+        )
+        by_it: dict[int, list] = {}
+        for row in rows:
+            by_it.setdefault(row["it"], []).append(row)
+        iters = 0
+        for it in sorted(by_it):
+            parts = by_it[it]
+            if blocked:
+                by_blk = {row["blk"]: row for row in parts}
+
+                def run_block(i: int, state_i: dict, _b=by_blk):
+                    row = _b[i]
+                    return (
+                        np.asarray(row["o"]).reshape(p.K, p.B),
+                        np.asarray(row["rlogr"]),
+                        row["rdist"],
+                    )
+
+                self._estep_apply_blocked(round_idx, run_block)
+            else:
+                state = {
+                    "Y": self.Y,
+                    "sigma": p.sigma,
+                    "theta": p.theta,
+                    "O": self.O,
+                    "E": self.E,
+                    "penalty": True,
+                }
+                self._r_state = state
+                self._finish_partials(
+                    [
+                        {
+                            "blk": 0,
+                            "o": row["o"],
+                            "rlogr": row["rlogr"],
+                            "rdist": row["rdist"],
+                        }
+                        for row in parts
+                    ],
+                    push_objective=True,
+                )
+            iters = it + 1
+        return iters
 
     def _finish_partials(self, parts, push_objective: bool) -> None:
         """Final reduction of the per-partition partials: O, E (A4/A5)
@@ -604,12 +714,7 @@ class HarmonySpark:
                     cells, with_prev_correction=True, push_objective=False,
                     round_idx=round_idx,
                 )
-            iters = 0
-            for it in range(p.max_iter_cluster):
-                self._estep_pass(cells, round_idx)
-                iters = it + 1
-                if it > p.window_size and self._kmeans_converged():
-                    break
+            iters = self._kmeans_loop(cells, round_idx)
             self.kmeans_rounds.append(iters)
             self.objective_harmony.append(self.objective_kmeans[-1])
             if verbose:

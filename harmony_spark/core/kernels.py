@@ -229,6 +229,189 @@ def make_cold_start_kernel(
     return kernel
 
 
+def km_objective(
+    O_f32: np.ndarray,
+    E_f32: np.ndarray,
+    sigma: np.ndarray,
+    theta: np.ndarray,
+    rlogr: np.ndarray,
+    rdist: float,
+    N: int,
+) -> float:
+    """The kmeans objective (A6) from the POST-update float32 O/E and the
+    pass's float64 partials — one definition shared by the driver
+    bookkeeping and the fused in-kernel chain so both see bit-identical
+    floats."""
+    norm_const = 2000.0 / N
+    entropy = float((rlogr * sigma).sum())
+    log_term = np.log((O_f32 + E_f32 + 1.0) / (2.0 * E_f32 + 1.0))
+    cross = float((sigma[:, None] * theta[None, :] * log_term * O_f32).sum())
+    return (rdist + entropy + cross) * norm_const
+
+
+def km_window_converged(obj: list[float], window: int, eps: float) -> bool:
+    """The sliding-window relative-change test of
+    HarmonySpark._kmeans_converged, expressed over a plain list so the
+    fused chain kernel can replay the identical stop decision (the first
+    possible check happens after window+2 in-loop objectives, so the
+    pre-loop history is never referenced)."""
+    obj_old = sum(obj[-2 - i] for i in range(window))
+    obj_new = sum(obj[-1 - i] for i in range(window))
+    return abs(obj_old - obj_new) / abs(obj_old) < eps
+
+
+def blocked_estep_chain(
+    O_f32: np.ndarray,
+    block_contrib: list[np.ndarray],
+    Y: np.ndarray,
+    sigma: np.ndarray,
+    theta: np.ndarray,
+    Pr_b: np.ndarray,
+    B0: int,
+    nb: int,
+    run_block: Callable,
+):
+    """The Gauss-Seidel state chain of one blocked E-step (C3,
+    src/harmony.cpp:269-342): per block, subtract the cached
+    contribution, build the decremented penalty state, obtain the
+    block's new partials via ``run_block(i, state_i) -> (C_new, rlogr,
+    rdist)``, add back.  ``block_contrib`` is updated in place.  ONE
+    implementation shared by the distributed per-block-job path and the
+    fused single-pass kernel, so the two execution strategies follow
+    bit-identical float sequences."""
+    O = O_f32.astype(np.float64)
+    K = O.shape[0]
+    states: list[dict] = []
+    rlogr_tot = np.zeros(K, dtype=np.float64)
+    rdist_tot = 0.0
+    for i in range(nb):
+        C_i = block_contrib[i]
+        O_minus = O - C_i
+        mass_minus = O_minus[:, :B0].sum(axis=1)
+        E_minus = mass_minus[:, None] * Pr_b[None, :].astype(np.float64)
+        state_i = {
+            "Y": Y,
+            "sigma": sigma,
+            "theta": theta,
+            "O": O_minus.astype(F32),
+            "E": E_minus.astype(F32),
+            "penalty": True,
+        }
+        C_new, rl, rd = run_block(i, state_i)
+        rlogr_tot += rl
+        rdist_tot += rd
+        O = O_minus + C_new
+        block_contrib[i] = C_new
+        states.append(state_i)
+    return O, states, rlogr_tot, rdist_tot
+
+
+CHAIN_SCHEMA = "it int, blk int, o array<double>, rlogr array<double>, rdist double"
+
+
+def make_estep_chain_kernel(
+    bc, code_cols: list[str], offsets: list[int], K: int, B: int
+) -> Callable:
+    """The WHOLE kmeans E-step loop of one harmony round as ONE Arrow
+    pass — valid exactly when the cells DataFrame has a single partition
+    (then every global reduction the per-iteration driver loop performed
+    is partition-local, and the single-partition case also guarantees
+    one Arrow batch, so the accumulation order is bit-identical to the
+    per-iteration jobs).  Emits the per-(iteration, block) partials; the
+    driver replays its unchanged bookkeeping from them (guide §4: many
+    tiny mapInPandas round-trips -> one).
+
+    State carried in-kernel mirrors the driver exactly: float32 O/E
+    between iterations, float64 block contributions, the shared
+    ``blocked_estep_chain`` for the Gauss-Seidel sequence, the shared
+    ``km_objective``/``km_window_converged`` for the stop decision."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st = bc.value
+        batches = []
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            batches.append(
+                (
+                    _stack(pdf["zn"]),
+                    _codes_matrix(pdf, code_cols, offsets),
+                    pdf["cell_id"].to_numpy(dtype=np.int64),
+                )
+            )
+        if not batches:
+            return
+        mode = st["mode"]
+        nb = st["nb"]
+        Y, sigma, theta = st["Y"], st["sigma"], st["theta"]
+        Pr_b, B0, N = st["Pr_b"], st["B0"], st["N"]
+        O_f32, E_f32 = st["O0"], st["E0"]
+        contrib = [np.array(c, dtype=np.float64) for c in st["contrib0"]]
+        obj: list[float] = []
+        rows: list[tuple] = []
+        for itx in range(st["max_iter"]):
+            if mode == "batch":
+                state = {
+                    "Y": Y,
+                    "sigma": sigma,
+                    "theta": theta,
+                    "O": O_f32,
+                    "E": E_f32,
+                    "penalty": True,
+                }
+                acc = _PartialAcc(K, B)
+                for zn, g, _ids in batches:
+                    R, dist = _apply_state(zn, g, state)
+                    acc.add(R, dist, g)
+                O64 = acc.O[0]
+                rl_tot, rd_tot = acc.rlogr[0], float(acc.rdist[0])
+                rows.append((itx, 0, list(O64.ravel()), list(rl_tot), rd_tot))
+                O_f32 = O64.astype(F32)
+                mass = O64[:, :B0].sum(axis=1)
+                E_f32 = (mass[:, None] * Pr_b[None, :].astype(np.float64)).astype(F32)
+            else:
+                per_block: list[tuple] = []
+
+                def run_block(i: int, state_i: dict):
+                    acc = _PartialAcc(K, B)
+                    for zn, g, ids in batches:
+                        blocks = block_ids(ids, st["round_idx"], nb)
+                        m = blocks == i
+                        if m.any():
+                            R, dist = _apply_state(zn[m], g[m], state_i)
+                            acc.add(R, dist, g[m])
+                    res = (acc.O[0], acc.rlogr[0], float(acc.rdist[0]))
+                    per_block.append(res)
+                    return res
+
+                O64, _states, rl_tot, rd_tot = blocked_estep_chain(
+                    O_f32, contrib, Y, sigma, theta, Pr_b, B0, nb, run_block
+                )
+                for i, (c_new, rl, rd) in enumerate(per_block):
+                    rows.append((itx, i, list(c_new.ravel()), list(rl), rd))
+                O_f32 = O64.astype(F32)
+                mass = O64[:, :B0].sum(axis=1)
+                E_f32 = (mass[:, None] * Pr_b[None, :].astype(np.float64)).astype(F32)
+            obj.append(
+                km_objective(O_f32, E_f32, sigma, theta, rl_tot, rd_tot, N)
+            )
+            if itx > st["window"] and km_window_converged(
+                obj, st["window"], st["eps"]
+            ):
+                break
+        yield pd.DataFrame(
+            {
+                "it": [r[0] for r in rows],
+                "blk": [r[1] for r in rows],
+                "o": [r[2] for r in rows],
+                "rlogr": [r[3] for r in rows],
+                "rdist": [r[4] for r in rows],
+            }
+        )
+
+    return kernel
+
+
 def make_estep_kernel(bc, code_cols: list[str], offsets: list[int], K: int, B: int) -> Callable:
     """Batch-EM diversity E-step as an aggregation-only pass: recompute
     R with the penalty of the broadcast (O, E) and emit ONLY the

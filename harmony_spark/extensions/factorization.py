@@ -124,11 +124,22 @@ def als_fit(
     dimension); user factors never leave the cluster.  ``n_ratings``
     is a free by-product of the item-step census (Σ per-item counts),
     so callers need no separate count() job."""
-    r = ratings.select(
-        F.col(user_col).alias("user"),
-        F.col(item_col).alias("item"),
-        F.col("rating"),
-    ).localCheckpoint(eager=False)
+    spark = ratings.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # hash-partition the ratings on USER once, before the checkpoint:
+    # every iteration both aggregates on user (the U-step normal
+    # equations) and joins on user (the item step) — establishing the
+    # partitioning once removes the per-iteration ratings Exchange from
+    # both (guide §2.4); localCheckpoint preserves it.
+    r = (
+        ratings.select(
+            F.col(user_col).alias("user"),
+            F.col(item_col).alias("item"),
+            F.col("rating"),
+        )
+        .repartition(n_shuffle, "user")
+        .localCheckpoint(eager=False)
+    )
     items = sorted(x["item"] for x in r.select("item").distinct().collect())
     V = _init_factors(items)
     rmses: list[float] = []
@@ -154,7 +165,10 @@ def als_fit(
         # cancels exactly the same partial sums the direct (r−u·v)² pass
         # sums, ~1e-12 relative — inside the cross-oracle's 1e-7 rtol.
         iv = (
-            r.join(U, "user")
+            # shuffled-hash build of the per-user factors streams the
+            # user-partitioned ratings sort-free (guide §3.1); U comes
+            # out of a user-keyed aggregate, so neither side exchanges
+            r.join(U.hint("shuffle_hash"), "user")
             .select(
                 "item",
                 "rating",

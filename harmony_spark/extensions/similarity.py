@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+import os
+
 from harmony_spark.io import table
 from harmony_spark.registry import register
 
@@ -725,7 +727,7 @@ def pq_topk(
 
     encoded = session_memo(
         spark,
-        ("pq_index", sf),
+        ("pq_index", os.path.abspath(sf)),
         lambda: pq_encode(e, books).select("vec_id", "pq_code"),
     )
 

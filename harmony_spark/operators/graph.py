@@ -167,16 +167,25 @@ def pagerank(
         "node", "outdeg", (F.lit(1.0) / F.col("n")).alias("rank"), "n"
     )
     for it in range(n_iter):
+        # join strategy is chosen DELIBERATELY (guide §3.1): the rank
+        # vector is the O(#nodes) side and bounded per partition, so a
+        # shuffled-hash build of it streams the edge set with NO sort;
+        # when the caller hands in edges already hash-partitioned on
+        # ``src`` (the session-memoized co-purchase build), the edge
+        # side of this per-round join needs no Exchange either.
         contrib = (
             edges.join(
-                r.select(F.col("node").alias(src), "outdeg", "rank"), src
+                r.select(F.col("node").alias(src), "outdeg", "rank").hint(
+                    "shuffle_hash"
+                ),
+                src,
             )
             .groupBy(F.col(dst).alias("node"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("in_mass"))
         )
         r = (
             r.select("node", "outdeg", "n")
-            .join(contrib, "node", "left")
+            .join(contrib.hint("shuffle_hash"), "node", "left")
             .select(
                 "node",
                 "outdeg",
@@ -224,7 +233,10 @@ def bfs_hops(
         eager=False
     )
     for it in range(n_iter):
-        relaxed = dist.join(
+        # shuffled-hash build of the O(#reached) distance vector streams
+        # the (pre-partitioned) edge set sort- and exchange-free per
+        # round — the same deliberate strategy as the pagerank rounds
+        relaxed = dist.hint("shuffle_hash").join(
             edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")),
             "node",
         ).select(F.col("nbr").alias("node"), (F.col("dist") + 1).alias("dist"))

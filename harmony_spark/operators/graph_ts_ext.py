@@ -120,16 +120,30 @@ def _copurchase_sym(spark: SparkSession, sf: str) -> DataFrame:
     bidirectional view q225 PageRank, q254 BFS and q258 LPA each
     materialized per call (an eager checkpoint of ~2x the pair rows).
     Session-memoized: one union + materialization per warm session,
-    every iterative consumer reads the blocks."""
+    every iterative consumer reads the blocks.
+
+    HASH-PARTITIONED ON ``src`` before materialization: every iterative
+    consumer joins this table on ``src`` once per round, so establishing
+    the partitioning once removes the per-round edge-set Exchange from
+    all of them (guide §2.4 — two operations keyed the same way share
+    one exchange; here it is one exchange against ~12 round-joins per
+    session).  localCheckpoint preserves the partitioning.  Cold/CI runs
+    (memo off) keep eager per-call semantics via the in-build eager
+    checkpoint, so iterative consumers never inline the orders×lineitem
+    pair build into every round's plan."""
     import os as _os
 
-    from harmony_spark.io import session_memo
+    from harmony_spark.io import _cache_enabled, session_memo
 
     def build() -> DataFrame:
         pairs = _copurchase_pairs(spark, sf, build="join")
-        return pairs.unionByName(
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        sym = pairs.unionByName(
             pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        ).repartition(n_shuffle, F.col("src"))
+        if not _cache_enabled():
+            sym = sym.localCheckpoint(eager=True)
+        return sym
 
     return session_memo(
         spark, ("copurchase_sym", _os.path.abspath(sf)), build
@@ -950,16 +964,25 @@ def q258(spark: SparkSession, sf: str) -> DataFrame:
     # materializes once per session, replacing the per-call checkpoint
     # of the undirected half
     edges = _copurchase_sym(spark, sf)
+    # the distinct node census reuses the memo's src-partitioning (no
+    # exchange); the whole 3-round chain below is LAZY — each round's
+    # label vector is consumed exactly once (the next round's edge
+    # join), so no per-round persist/count/checkpoint action is needed
+    # and the query runs as ONE collect (was: 2 driver actions/round)
     lp = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
     )
-    lp.count()
     for _ in range(_LPA_ITERS):
+        # shuffled-hash build of the O(#nodes) label vector streams the
+        # pre-partitioned edge set with no sort and no edge Exchange
+        # per round (guide §3.1/§2.4; the r6 persist+count-for-broadcast
+        # pattern cost a materialization action per round for the same
+        # no-edge-shuffle effect)
         cnt = (
-            lp.join(edges.select(F.col("src").alias("node"), "dst"), "node")
+            lp.hint("shuffle_hash")
+            .join(edges.select(F.col("src").alias("node"), "dst"), "node")
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count("*").alias("cc"))
         )
@@ -967,11 +990,6 @@ def q258(spark: SparkSession, sf: str) -> DataFrame:
         # struct (cc, -label) picks the highest count, then the highest
         # -label = lowest label — one shuffle where the window-max +
         # filter + re-aggregate formulation costs two.
-        # persist + count (not localCheckpoint): the materialized
-        # InMemoryRelation carries REAL size stats, so Catalyst
-        # broadcasts the O(#nodes) label vector into the edge join
-        # exactly when it fits — and falls back to a shuffle join at
-        # scales where it doesn't, keeping the plan 100TB-safe
         nxt = (
             cnt.groupBy("node")
             .agg(
@@ -980,10 +998,7 @@ def q258(spark: SparkSession, sf: str) -> DataFrame:
                 ).alias("m")
             )
             .select("node", (-F.col("m.nl")).alias("label"))
-            .persist()
         )
-        nxt.count()
-        lp.unpersist()
         lp = nxt
     return (
         lp.groupBy(F.col("label").cast("long").alias("community"))
@@ -1541,7 +1556,7 @@ def _custpart_bipartite(spark: SparkSession, sf: str) -> DataFrame:
     session instead of one per query per run."""
     import os as _os
 
-    from harmony_spark.io import session_memo, table_parallel
+    from harmony_spark.io import _cache_enabled, session_memo, table_parallel
 
     def build() -> DataFrame:
         o = table_parallel(spark, sf, "orders").select(
@@ -1552,7 +1567,7 @@ def _custpart_bipartite(spark: SparkSession, sf: str) -> DataFrame:
         li = table_parallel(spark, sf, "lineitem").select(
             "l_orderkey", "l_partkey"
         )
-        return (
+        bp = (
             o.join(li, o.o_orderkey == li.l_orderkey)
             .select(
                 F.col("o_custkey").alias("cust"),
@@ -1561,6 +1576,13 @@ def _custpart_bipartite(spark: SparkSession, sf: str) -> DataFrame:
             )
             .distinct()
         )
+        if not _cache_enabled():
+            # cold/CI runs (memo off) keep eager per-call semantics:
+            # iterative consumers (q274's unnormalized HITS chain)
+            # otherwise inline the orders×lineitem build into every
+            # half-step of a single plan
+            bp = bp.localCheckpoint(eager=True)
+        return bp
 
     return session_memo(
         spark, ("custpart_bp", _os.path.abspath(sf)), build
@@ -1575,14 +1597,19 @@ def _custpart_flat(spark: SparkSession, sf: str) -> DataFrame:
     tables."""
     import os as _os
 
-    from harmony_spark.io import session_memo
+    from harmony_spark.io import _cache_enabled, session_memo
+
+    def build() -> DataFrame:
+        flat = _custpart_bipartite(spark, sf).select("cust", "part").distinct()
+        if not _cache_enabled():
+            # cold runs: q274's fused HITS chain references the edge set
+            # every half-step — keep it an eager per-call checkpoint so
+            # the distinct never re-runs inside the round plans
+            flat = flat.localCheckpoint(eager=True)
+        return flat
 
     return session_memo(
-        spark,
-        ("custpart_bp_flat", _os.path.abspath(sf)),
-        lambda: _custpart_bipartite(spark, sf)
-        .select("cust", "part")
-        .distinct(),
+        spark, ("custpart_bp_flat", _os.path.abspath(sf)), build
     )
 
 

@@ -413,6 +413,35 @@ def test_spark_blocked_estep_matches_numpy(spark, spark_fixture_df):
     np.testing.assert_allclose(Zs, h.Z_corr, rtol=3e-3, atol=3e-3)
 
 
+def test_fused_kmeans_chain_matches_per_iteration_path(spark, spark_fixture_df):
+    """The single-partition fused kmeans-loop pass (ONE Arrow round-trip
+    per harmony round, kernels.make_estep_chain_kernel) must reproduce
+    the per-iteration distributed path EXACTLY — same objective list,
+    same corrected embedding — because the Gauss-Seidel chain and the
+    objective live in shared helpers and a single partition implies a
+    single Arrow batch (identical accumulation order)."""
+    from harmony_spark.core.algorithm import HarmonySpark
+
+    df, Z, blob, batch = spark_fixture_df
+    for mode in ("batch", "blocked"):
+        outs, objs = [], []
+        for force_distributed in (False, True):
+            model = HarmonySpark(
+                df, ["batch"], id_col="cell_id", theta=1.0, sigma=0.1,
+                lamb=1.0, nclust=8, max_iter=2, seed=11,
+                estep_mode=mode, n_blocks=(4 if mode == "blocked" else None),
+            )
+            assert model._cells_nparts == 1  # fixture is fused-eligible
+            if force_distributed:
+                model._cells_nparts = 2  # strategy switch only; data unchanged
+            out = model.run().orderBy("cell_id").collect()
+            outs.append(np.stack([r["z_corr"] for r in out]))
+            objs.append(list(model.objective_kmeans))
+            model.cleanup()
+        assert objs[0] == objs[1], (mode, objs)
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_c5_support_filter_active_cross_oracle(spark, spark_fixture_df):
     """Force the batch-support filter (C5) to actually drop batches
     (aggressive cutoff) and verify Spark still matches the NumPy oracle
