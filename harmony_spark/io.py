@@ -43,6 +43,33 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def scaled_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...],
+    bytes_per_partition: int = 32 * 1024 * 1024,
+) -> int:
+    """Partition count for a SHUFFLE-BOUND derived table, sized from the
+    on-disk bytes of its source tables (guide §2: derive partitioning
+    from input size, never a constant tuned for one deployment).  At
+    sf0.1 a lineitem-derived edge set is a few MB -> 1-2 partitions, so
+    iterative consumers pay 1-2 tasks per round instead of
+    ``spark.sql.shuffle.partitions`` near-empty ones; at cluster scale
+    the computed count exceeds the configured ceiling and the cluster's
+    own ``shuffle.partitions`` (the scale-config the operator already
+    inherits) takes over.  NOT for compute-bound stages — per-row-heavy
+    work (edit distances, rank windows) must size by CPU, not bytes
+    (the q123 lesson)."""
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nbytes = 0
+    for t in tables:
+        try:
+            nbytes += os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+        except OSError:
+            return n_shuffle
+    return max(1, min(n_shuffle, -(-nbytes // bytes_per_partition)))
+
+
 def _cache_enabled() -> bool:
     return os.environ.get("HARMONY_CACHE_TABLES", "") == "1"
 
@@ -90,6 +117,14 @@ def _cached_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (app_id, os.path.abspath(sf_dir), name)
     df = _TABLE_CACHE.get(key)
     if df is None:
+        # Cached at defaultParallelism deliberately.  Sizing the cache
+        # by table bytes instead (≈1 MB/partition, floor para/4) was
+        # A/B-measured on a 30-query slice in round 8: wash in total
+        # (0.99x) — ~0.15 s/stage saved on task-launch overhead for
+        # join/agg-shaped queries, but 20-40 % regressions on
+        # compute-bound map stages (q218/q344/q331/q62) that lost
+        # their parallelism.  Rejected (guide §1.2: measure, keep the
+        # evidence, don't keep the config).
         df = ensure_parallelism(spark, _scan(spark, sf_dir, name)).persist()
         df.count()  # materialize once; every later query reads memory
         _TABLE_CACHE[key] = df

@@ -141,7 +141,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Fixed-iteration PageRank power method over a directed edge set.
 
@@ -149,11 +149,12 @@ def pagerank(
     r' = (1-d)/N + d * sum_in(r/outdeg). Per round: ONE equi-join of
     the edge set with the O(#nodes) rank vector and ONE aggregate
     keyed on dst — the same shuffle shape as one CC round, linear in
-    |E| — plus a left join back onto the node set for sinks with no
-    in-edges. Lineage is truncated every ``checkpoint_every`` rounds
-    (default every round — the state feeds the next round twice, so an
-    unchecked lazy chain recomputes exponentially). N comes from a 1-row
-    broadcast aggregate, never a driver collect.
+    |E| — plus a left join back onto the STATIC node set for sinks
+    with no in-edges, so the dynamic state is referenced once per
+    round and the whole loop is one lazy linear plan (no per-round
+    materialization; ``checkpoint_every`` > 0 re-enables periodic
+    truncation for very deep loops). N comes from a 1-row broadcast
+    aggregate, never a driver collect.
 
     On a symmetric near-dup graph every node has outdeg >= 1 (no
     dangling-mass redistribution needed); rank then measures cluster
@@ -161,10 +162,28 @@ def pagerank(
     representative for keep-one dedup.
     """
     deg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
-    nodes = deg.select(F.col(src).alias("node"), "outdeg").localCheckpoint(eager=False)
-    n_tot = nodes.agg(F.count("*").alias("n"))
-    r = nodes.crossJoin(F.broadcast(n_tot)).select(
-        "node", "outdeg", (F.lit(1.0) / F.col("n")).alias("rank"), "n"
+    n_tot = deg.agg(F.count("*").alias("n"))
+    # (node, outdeg, n) never changes across rounds — materialize it
+    # ONCE and join each round's update against it, instead of carrying
+    # the static columns through the dynamic rank vector.  That leaves
+    # the dynamic state referenced exactly ONCE per round (the contrib
+    # join), so the whole n_iter chain is lazily LINEAR: no per-round
+    # localCheckpoint, no exponential recompute, one job at the end
+    # (the old shape referenced r twice per round and needed a
+    # per-round truncation).
+    # persist, NOT localCheckpoint: an AQE localCheckpoint executes its
+    # stages eagerly at call time (extra per-call jobs) and erases the
+    # child's output partitioning (the LogicalRDD comes back with
+    # UnknownPartitioning), while InMemoryRelation keeps both lazy and
+    # partitioned — so the per-round joins below see nodes' hash
+    # partitioning and skip their exchanges
+    nodes = (
+        deg.select(F.col(src).alias("node"), "outdeg")
+        .crossJoin(F.broadcast(n_tot))
+        .persist()
+    )
+    r = nodes.select(
+        "node", "outdeg", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for it in range(n_iter):
         # join strategy is chosen DELIBERATELY (guide §3.1): the rank
@@ -184,24 +203,22 @@ def pagerank(
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("in_mass"))
         )
         r = (
-            r.select("node", "outdeg", "n")
-            .join(contrib.hint("shuffle_hash"), "node", "left")
+            nodes.join(contrib.hint("shuffle_hash"), "node", "left")
             .select(
                 "node",
                 "outdeg",
-                "n",
                 (
                     (1.0 - damping) / F.col("n")
                     + damping * F.coalesce("in_mass", F.lit(0.0))
                 ).alias("rank"),
             )
         )
-        # per-round truncation is the DEFAULT: r appears twice in the
-        # next round's plan (contrib join + carry), so an unchecked
-        # lazy chain recomputes upstream 2^rounds times (measured 4.0
-        # -> 6.8 s at 3 iters when this was relaxed). checkpoint_every
-        # exists for callers whose update references state once.
-        if (it + 1) % checkpoint_every == 0:
+        # checkpoint_every remains available for graphs deep enough
+        # that even a linear lazy plan gets expensive to analyze;
+        # default 1 now means "never mid-loop" is fine because the
+        # chain no longer recomputes (truncation is an analysis-time
+        # economy only)
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and (it + 1) < n_iter:
             r = r.localCheckpoint(eager=False)
     return r.select("node", "rank")
 
@@ -212,7 +229,7 @@ def bfs_hops(
     n_iter: int = 3,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Multi-source BFS: minimum hop distance from any source node,
     bounded at ``n_iter`` hops.
@@ -228,6 +245,14 @@ def bfs_hops(
     idempotent (min semiring), so stragglers re-relaxed in later
     rounds cannot change the result — the property that makes the
     unrolled-SQL oracle replay it exactly.
+
+    The per-round state IS referenced twice (relax join + carry
+    union), but both references sit directly above the same
+    min-aggregate whose exchange is one shared AQE query stage
+    (ReusedExchange), so the lazy chain does not recompute — only the
+    cheap final-agg operator above the exchange is duplicated.
+    ``checkpoint_every`` > 0 restores periodic truncation for loops
+    deep enough that plan analysis itself gets expensive.
     """
     dist = sources.select("node", F.lit(0).alias("dist")).localCheckpoint(
         eager=False
@@ -245,8 +270,8 @@ def bfs_hops(
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-        # per-round by default — dist appears twice per round (join +
-        # union), see the pagerank cadence note
-        if (it + 1) % checkpoint_every == 0:
+        # both dist references share the aggregate's exchange stage
+        # (docstring): lazy by default, periodic truncation opt-in
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and (it + 1) < n_iter:
             dist = dist.localCheckpoint(eager=False)
     return dist

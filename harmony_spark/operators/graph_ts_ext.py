@@ -133,14 +133,24 @@ def _copurchase_sym(spark: SparkSession, sf: str) -> DataFrame:
     pair build into every round's plan."""
     import os as _os
 
-    from harmony_spark.io import _cache_enabled, session_memo
+    from harmony_spark.io import _cache_enabled, scaled_partitions, session_memo
 
     def build() -> DataFrame:
         pairs = _copurchase_pairs(spark, sf, build="join")
-        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # partition count derived from the SOURCE table's bytes, not
+        # the configured shuffle width: the pair set is ~4x lineitem
+        # rows, so 2 MB of source parquet per partition keeps tasks at
+        # a few hundred k edge rows — at sf0.1 that is ~6 tasks per
+        # round instead of 32 near-empty ones (measured: 1 partition
+        # serializes the per-round join compute, 32 pays the task
+        # floor); at cluster scale the formula saturates at
+        # shuffle.partitions (io.scaled_partitions)
+        n_parts = scaled_partitions(
+            spark, sf, ("lineitem",), bytes_per_partition=2 * 1024 * 1024
+        )
         sym = pairs.unionByName(
             pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).repartition(n_shuffle, F.col("src"))
+        ).repartition(n_parts, F.col("src"))
         if not _cache_enabled():
             sym = sym.localCheckpoint(eager=True)
         return sym
@@ -1115,13 +1125,23 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
     # (u, v) grouped dedup satisfies its clustering requirement from the
     # u-partitioning and runs exchange-free; the per-round degree
     # aggregate and first semi-join reuse the same partitioning.
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from harmony_spark.io import scaled_partitions
+
+    # persist, NOT localCheckpoint: an AQE localCheckpoint erases the
+    # repartition's hash partitioning (LogicalRDD comes back
+    # UnknownPartitioning) so every round's degree census would
+    # re-exchange the edge set; InMemoryRelation preserves it, and the
+    # partition count is derived from the source bytes, not the
+    # configured shuffle width (io.scaled_partitions)
+    n_parts = scaled_partitions(
+        spark, sf, ("lineitem",), bytes_per_partition=2 * 1024 * 1024
+    )
     g = (
-        sym.repartition(n_shuffle, F.col("u"))
+        sym.repartition(n_parts, F.col("u"))
         .groupBy("u", "v")
         .agg(F.lit(1))
         .select("u", "v")
-        .localCheckpoint(eager=True)
+        .persist()
     )
     deg0 = g.groupBy("u").agg(F.count("*").alias("d")).persist()
     # Exact median degree from the DEGREE HISTOGRAM: distinct degree
@@ -1169,14 +1189,13 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
         # peel runs with zero edge-set exchanges after the first
         keep = deg.where(F.col("d") >= k).select("u").persist()
         nk = keep.count()
-        # eager localCheckpoint: truncates lineage so round r+1 plans
-        # against a flat scan (persist-only chains measured ~20% slower
-        # here — the optimizer re-analyzes the whole cached lineage
-        # every round); the follow-up count runs on the local RDD
-        # LAZY checkpoint materialized by the census count below — one
-        # job per round instead of eager-checkpoint job + count job
-        # (the CC fingerprint pattern: a single-stage first consumer
-        # computes and caches every partition exactly once)
+        # LAZY localCheckpoint materialized by the census count below —
+        # one job per round (the CC fingerprint pattern).  Persisting
+        # g2 instead (to keep the u-partitioning visible, avoiding the
+        # next round's degree exchange) was A/B-measured this round:
+        # 4.3 -> 6.7 s — the InMemoryRelation build + growing cached
+        # lineage re-analysis cost more than the small per-round
+        # exchange it saved.  Rejected.
         g2 = (
             g.join(keep, "u")
             .join(keep.select(F.col("u").alias("v")), "v")

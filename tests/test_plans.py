@@ -128,6 +128,8 @@ _TINY_SIDE_NESTED_LOOP_OK = {
     "q205_langid_prf1",  # cross join vs the 4-5 row class alphabet
     "q220_kendall_tau",  # inequality pair join on the 25-row nation census
     "q221_mann_whitney",  # cross join of two single-row aggregates
+    "q225_pagerank",  # cross join vs the 1-row node count (was hidden
+    # behind the per-round checkpoint before the lazy-linear rewrite)
     "q227_dow_seasonality",  # cross join vs the 1-row overall daily mean
     "q228_isotonic_calibration",  # interval joins on the 10-row bin census
     "q231_truncated_recall",  # inequality join vs 3 broadcast query vectors
