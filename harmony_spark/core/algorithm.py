@@ -30,6 +30,7 @@ single-node-sized data.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -88,20 +89,36 @@ class HarmonySpark:
             df = df.withColumn("cell_id", F.monotonically_increasing_id())
             id_col = "cell_id"
 
-        # ---- param resolution from two tiny aggregates (A1/A3) ----
-        d = int(df.select(F.size(features_col).alias("d")).first()["d"])
-        level_counts: dict[str, list[tuple[str, int]]] = {}
-        N = None
-        for v in vars_use:
-            rows = df.groupBy(F.col(v).cast("string").alias("lvl")).count().collect()
-            if any(r["lvl"] is None for r in rows):
+        # ---- param resolution, ONE tiny aggregate (A1/A3) ----
+        # the d-probe and every covariate's level census share one job:
+        # explode the covariate values to (covariate_idx, level) keys and
+        # aggregate once — one collect instead of 1 + len(vars_use)
+        # (guide §1.2: remove whole passes; resolve_params sorts levels,
+        # so collect order is immaterial)
+        stats = (
+            df.select(
+                F.size(features_col).alias("__d"),
+                F.posexplode(
+                    F.array(
+                        *[F.col(v).cast("string") for v in vars_use]
+                    )
+                ).alias("__ci", "__lvl"),
+            )
+            .groupBy("__ci", "__lvl")
+            .agg(F.count("*").alias("count"), F.max("__d").alias("d"))
+            .collect()
+        )
+        d = max(int(r["d"]) for r in stats)
+        level_counts: dict[str, list[tuple[str, int]]] = {v: [] for v in vars_use}
+        for r in stats:
+            v = vars_use[r["__ci"]]
+            if r["__lvl"] is None:
                 raise ValueError(
                     f"covariate {v!r} contains NULLs; harmony requires a "
                     "level for every cell (drop or impute first)"
                 )
-            level_counts[v] = [(r["lvl"], r["count"]) for r in rows]
-            n_v = sum(c for _, c in level_counts[v])
-            N = n_v if N is None else N
+            level_counts[v].append((r["__lvl"], r["count"]))
+        N = sum(c for _, c in level_counts[vars_use[0]])
         self.p: ResolvedParams = resolve_params(
             N=N,
             d=d,
@@ -136,13 +153,27 @@ class HarmonySpark:
         # O(shuffle.partitions) tiny ones; at 1e9 cells this is 100k
         # tasks/pass on a cluster, at N=500 it is one.
         target_parts = max(1, min(self.spark.sparkContext.defaultParallelism, -(-N // 10_000)))
+        # below the fuse cap, collapse to ONE partition: the whole kmeans
+        # loop (and the MoE partials) then runs as a single Arrow pass
+        # per round (_kmeans_loop fused path) instead of one job per
+        # iteration — at 32k cells the per-job scheduler floor costs far
+        # more than the lost map parallelism (a 64k-cell task is a few
+        # tens of MB / tens of ms of vectorized numpy, guide §2.2: fewer,
+        # larger partitions; §4: collapse tiny mapInPandas round-trips).
+        # Above the cap the distributed per-iteration path is unchanged —
+        # at 1e9 cells this branch never fires.
+        if N <= int(os.environ.get("HARMONY_FUSE_CELLS", "65536")):
+            target_parts = 1
         # single-partition inputs qualify for the fused kmeans-loop pass
         # (_kmeans_loop); repartition/mapInPandas/localCheckpoint all
         # preserve the partition count across rounds
         self._cells_nparts = target_parts
         cells = cells.repartition(target_parts)
+        # LAZY persist: every first consumer (the init sample collect /
+        # mllib fit / round-0 pass) is a single-scan stage, so its one
+        # job fills the cache — the former eager count() was a whole
+        # extra pass (guide §1.2)
         self.cells0 = cells.persist(StorageLevel.MEMORY_AND_DISK)
-        self.cells0.count()
         self._persisted: DataFrame | None = None
 
         # driver state
@@ -206,6 +237,15 @@ class HarmonySpark:
             f"cell_id long, z_orig array<{SPARK_SCALAR}>, {codes}, "
             f"zn array<{SPARK_SCALAR}>, "
             "blk int, o array<double>, rlogr array<double>, rdist double"
+        )
+
+    @property
+    def _round_schema(self) -> str:
+        # the fused-round pass additionally tags rows with the loop
+        # iteration and carries the MoE combo partials
+        return (
+            self._pass_schema
+            + ", it int, combo array<long>, s array<double>, m array<double>"
         )
 
     # ------------------------------------------------------------ passes
@@ -349,59 +389,26 @@ class HarmonySpark:
         )
 
     def _kmeans_loop(self, cells: DataFrame, round_idx: int) -> int:
-        """One harmony round's kmeans E-step loop; returns the number of
-        iterations run.  When the cells DataFrame is a SINGLE partition
-        (target_parts == 1, i.e. small inputs), every global reduction
-        the per-iteration loop performs is partition-local, so the whole
-        loop runs as ONE Arrow pass (kernels.make_estep_chain_kernel —
-        guide §4: collapse many tiny mapInPandas round-trips); the
-        driver then replays its unchanged bookkeeping from the returned
-        per-(iteration, block) partials, which are bit-identical to the
-        per-iteration jobs' because the chain/objective code is shared.
-        At scale (>1 partition) the per-iteration distributed path runs
-        unchanged."""
+        """One harmony round's kmeans E-step loop (the DISTRIBUTED
+        per-iteration path — single-partition inputs take _fused_round
+        instead); returns the number of iterations run."""
         p = self.p
-        if self._cells_nparts != 1:
-            iters = 0
-            for it in range(p.max_iter_cluster):
-                self._estep_pass(cells, round_idx)
-                iters = it + 1
-                if it > p.window_size and self._kmeans_converged():
-                    break
-            return iters
+        iters = 0
+        for it in range(p.max_iter_cluster):
+            self._estep_pass(cells, round_idx)
+            iters = it + 1
+            if it > p.window_size and self._kmeans_converged():
+                break
+        return iters
 
+    def _replay_chain(self, rows, round_idx: int) -> int:
+        """Replay the driver bookkeeping from the fused pass's
+        per-(iteration, block) chain partial rows — bit-identical to the
+        per-iteration jobs' because the chain/objective code is shared
+        (kernels._run_chain / blocked_estep_chain / km_objective).
+        Returns the number of iterations the in-kernel loop ran."""
+        p = self.p
         blocked = self.estep_mode == "blocked"
-        nb = self.n_blocks if blocked else 1
-        contrib0 = (
-            [np.asarray(c, dtype=np.float64) for c in self._block_contrib]
-            if blocked
-            else [np.zeros((p.K, p.B), dtype=np.float64)]
-        )
-        bc = self._broadcast(
-            Y=self.Y,
-            sigma=p.sigma,
-            theta=p.theta,
-            O0=self.O,
-            E0=self.E,
-            mode=self.estep_mode,
-            nb=nb,
-            round_idx=round_idx,
-            contrib0=contrib0,
-            max_iter=p.max_iter_cluster,
-            window=p.window_size,
-            eps=p.epsilon_cluster,
-            N=p.N,
-            Pr_b=p.Pr_b,
-            B0=p.B_vec[0],
-        )
-        kernel = kernels.make_estep_chain_kernel(
-            bc, self.code_cols, p.offsets, p.K, p.B
-        )
-        rows = (
-            cells.select("cell_id", "zn", *self.code_cols)
-            .mapInPandas(kernel, schema=kernels.CHAIN_SCHEMA)
-            .collect()
-        )
         by_it: dict[int, list] = {}
         for row in rows:
             by_it.setdefault(row["it"], []).append(row)
@@ -444,6 +451,81 @@ class HarmonySpark:
                 )
             iters = it + 1
         return iters
+
+    def _fused_round(
+        self, source: DataFrame, round_idx: int
+    ) -> tuple[DataFrame, int, dict]:
+        """One WHOLE harmony round as ONE Arrow pass (single-partition
+        inputs only, kernels.make_round_kernel): cold-start correction +
+        re-assignment, the full kmeans E-step loop, and the MoE combo
+        partials — what the distributed path runs as 3+ jobs (guide §4).
+        Returns (cells_with_zn, kmeans_iters, moe_combos); driver
+        bookkeeping (O/E/objectives/_r_state) is replayed from the
+        tagged partial rows and stays bit-identical to the distributed
+        path's."""
+        p = self.p
+        blocked = self.estep_mode == "blocked"
+        nb = self.n_blocks if blocked else 1
+        state = dict(
+            Y=self.Y,
+            sigma=p.sigma,
+            theta=p.theta,
+            mode=self.estep_mode,
+            nb=nb,
+            round_idx=round_idx,
+            max_iter=p.max_iter_cluster,
+            window=p.window_size,
+            eps=p.epsilon_cluster,
+            N=p.N,
+            Pr_b=p.Pr_b,
+            B0=p.B_vec[0],
+            moe=True,
+        )
+        with_prev = round_idx > 0
+        if with_prev:
+            state["W_all"] = self.W_all
+            state["prev_state"] = self._r_state
+        bc = self.spark.sparkContext.broadcast(state)
+        kernel = kernels.make_round_kernel(
+            bc, self.code_cols, p.offsets, p.K, p.B
+        )
+        cols = ["cell_id", "z_orig", *self.code_cols]
+        if with_prev:
+            cols.append("zn")
+        full = self._swap_persist(
+            source.select(*cols).mapInPandas(kernel, schema=self._round_schema),
+            materialize=False,
+        )
+        parts = (
+            full.where(F.col("cell_id").isNull())
+            .select("it", "blk", "o", "rlogr", "rdist", "combo", "s", "m")
+            .collect()
+        )
+        # cold-start partials -> O/E/_block_contrib (+ the init objective
+        # on round 0, matching the reference's init pass)
+        self._finish_partials(
+            [r for r in parts if r["it"] == kernels.ROUND_IT_COLD],
+            push_objective=(round_idx == 0),
+        )
+        self._r_state = {"Y": self.Y, "sigma": p.sigma, "penalty": False}
+        iters = self._replay_chain(
+            [r for r in parts if r["it"] >= 0], round_idx
+        )
+        combos: dict[tuple, tuple] = {}
+        for row in parts:
+            if row["it"] != kernels.ROUND_IT_MOE:
+                continue
+            c = tuple(row["combo"])
+            S = np.asarray(row["s"])
+            M = np.asarray(row["m"]).reshape(p.K, p.d)
+            if c in combos:
+                combos[c] = (combos[c][0] + S, combos[c][1] + M)
+            else:
+                combos[c] = (S, M)
+        cells = full.where(F.col("cell_id").isNotNull()).select(
+            "cell_id", "z_orig", *self.code_cols, "zn"
+        )
+        return cells, iters, combos
 
     def _finish_partials(self, parts, push_objective: bool) -> None:
         """Final reduction of the per-partition partials: O, E (A4/A5)
@@ -696,25 +778,44 @@ class HarmonySpark:
             )
         p = self.p
         self._init_Y()
-        cells = self._cold_start_pass(
-            self.cells0, with_prev_correction=False, push_objective=True, round_idx=0
-        )
-        self.objective_harmony.append(self.objective_kmeans[-1])
-        # cells0 (its own z_orig copy) is only a source for init + the
-        # round-0 pass; dropping it now halves the steady-state cache —
-        # at 1e9 cells x 64 dims that is ~256 GB of cluster memory back.
-        # (_cold_start_pass materialized `cells` eagerly, so nothing
-        # recomputes through this lineage.)
-        self.cells0.unpersist()
+        fused = self._cells_nparts == 1
+        if not fused:
+            cells = self._cold_start_pass(
+                self.cells0, with_prev_correction=False, push_objective=True, round_idx=0
+            )
+            self.objective_harmony.append(self.objective_kmeans[-1])
+            # cells0 (its own z_orig copy) is only a source for init + the
+            # round-0 pass; dropping it now halves the steady-state cache —
+            # at 1e9 cells x 64 dims that is ~256 GB of cluster memory back.
+            # (_cold_start_pass materialized `cells` eagerly, so nothing
+            # recomputes through this lineage.)
+            self.cells0.unpersist()
 
         for round_idx in range(p.max_iter):
-            if round_idx > 0:
-                # cold start: re-estimate R from corrected embedding
-                cells = self._cold_start_pass(
-                    cells, with_prev_correction=True, push_objective=False,
-                    round_idx=round_idx,
+            if fused:
+                # single-partition inputs: cold start + kmeans loop + MoE
+                # partials are ONE Arrow pass per round (_fused_round)
+                cells, iters, combos = self._fused_round(
+                    self.cells0 if round_idx == 0 else cells, round_idx
                 )
-            iters = self._kmeans_loop(cells, round_idx)
+                if round_idx == 0:
+                    # the init objective (reference's init pass) sits
+                    # between the cold replay and the chain replay —
+                    # index it out of the kmeans trace like the
+                    # distributed flow does
+                    self.objective_harmony.insert(
+                        0, self.objective_kmeans[-iters - 1]
+                    )
+                    self.cells0.unpersist()
+            else:
+                if round_idx > 0:
+                    # cold start: re-estimate R from corrected embedding
+                    cells = self._cold_start_pass(
+                        cells, with_prev_correction=True, push_objective=False,
+                        round_idx=round_idx,
+                    )
+                iters = self._kmeans_loop(cells, round_idx)
+                combos = None
             self.kmeans_rounds.append(iters)
             self.objective_harmony.append(self.objective_kmeans[-1])
             if verbose:
@@ -725,7 +826,8 @@ class HarmonySpark:
                     file=sys.stderr,
                 )
 
-            combos = self._moe_partials(cells)
+            if combos is None:  # distributed path: separate MoE pass
+                combos = self._moe_partials(cells)
             self._solve_moe(combos)
 
             if progress is not None and progress(round_idx, self.objective_kmeans[-1]) is False:

@@ -306,108 +306,257 @@ def blocked_estep_chain(
     return O, states, rlogr_tot, rdist_tot
 
 
-CHAIN_SCHEMA = "it int, blk int, o array<double>, rlogr array<double>, rdist double"
+CHAIN_SCHEMA = (
+    "it int, blk int, o array<double>, rlogr array<double>, rdist double, "
+    "combo array<long>, s array<double>, m array<double>"
+)
 
 
-def make_estep_chain_kernel(
-    bc, code_cols: list[str], offsets: list[int], K: int, B: int
-) -> Callable:
-    """The WHOLE kmeans E-step loop of one harmony round as ONE Arrow
-    pass — valid exactly when the cells DataFrame has a single partition
-    (then every global reduction the per-iteration driver loop performed
-    is partition-local, and the single-partition case also guarantees
-    one Arrow batch, so the accumulation order is bit-identical to the
-    per-iteration jobs).  Emits the per-(iteration, block) partials; the
-    driver replays its unchanged bookkeeping from them (guide §4: many
-    tiny mapInPandas round-trips -> one).
+def _moe_accumulate(
+    acc: dict, z64: np.ndarray, zn: np.ndarray, gcodes: np.ndarray,
+    codes: np.ndarray, st: dict, cell_ids: np.ndarray,
+) -> None:
+    """One batch of the MoE per-combo partials (A8 Gram entries S and A9
+    RHS M), accumulated into ``acc``.  ONE implementation shared by the
+    standalone MoE pass and the fused chain kernel so both follow the
+    identical float sequence."""
+    R, _ = recompute_R(zn, gcodes, st, cell_ids=cell_ids)
+    R = R.astype(np.float64)
+    uniq, inverse = np.unique(codes, axis=0, return_inverse=True)
+    for u in range(len(uniq)):
+        combo_t = tuple(int(x) for x in uniq[u])
+        ii = np.flatnonzero(inverse == u)
+        S = R[ii].sum(axis=0)  # (K,)
+        M = R[ii].T @ z64[ii]  # (K, d)
+        if combo_t in acc:
+            acc[combo_t][0] += S
+            acc[combo_t][1] += M
+        else:
+            acc[combo_t] = [S, M]
 
-    State carried in-kernel mirrors the driver exactly: float32 O/E
-    between iterations, float64 block contributions, the shared
+
+def _run_chain(st: dict, batches: list, K: int, B: int, O0_f32, E0_f32, contrib0):
+    """The WHOLE kmeans E-step loop of one harmony round, in-process —
+    valid exactly when the cells DataFrame has a single partition (then
+    every global reduction the per-iteration driver loop performed is
+    partition-local).  Returns (chain_rows, fstate): chain_rows are the
+    per-(iteration, block) partial tuples the driver replays its
+    unchanged bookkeeping from, fstate the FINAL assignment state (the
+    one the driver's replay ends up holding in _r_state).
+
+    State carried here mirrors the driver exactly: float32 O/E between
+    iterations, float64 block contributions, the shared
     ``blocked_estep_chain`` for the Gauss-Seidel sequence, the shared
     ``km_objective``/``km_window_converged`` for the stop decision."""
+    mode = st["mode"]
+    nb = st["nb"]
+    Y, sigma, theta = st["Y"], st["sigma"], st["theta"]
+    Pr_b, B0, N = st["Pr_b"], st["B0"], st["N"]
+    O_f32, E_f32 = O0_f32, E0_f32
+    contrib = [np.array(c, dtype=np.float64) for c in contrib0]
+    obj: list[float] = []
+    rows: list[tuple] = []
+    fstate: dict | None = None
+    for itx in range(st["max_iter"]):
+        if mode == "batch":
+            state = {
+                "Y": Y,
+                "sigma": sigma,
+                "theta": theta,
+                "O": O_f32,
+                "E": E_f32,
+                "penalty": True,
+            }
+            fstate = state
+            acc = _PartialAcc(K, B)
+            for zn, g, _ids in batches:
+                R, dist = _apply_state(zn, g, state)
+                acc.add(R, dist, g)
+            O64 = acc.O[0]
+            rl_tot, rd_tot = acc.rlogr[0], float(acc.rdist[0])
+            rows.append((itx, 0, list(O64.ravel()), list(rl_tot), rd_tot))
+            O_f32 = O64.astype(F32)
+            mass = O64[:, :B0].sum(axis=1)
+            E_f32 = (mass[:, None] * Pr_b[None, :].astype(np.float64)).astype(F32)
+        else:
+            per_block: list[tuple] = []
+
+            def run_block(i: int, state_i: dict):
+                acc = _PartialAcc(K, B)
+                for zn, g, ids in batches:
+                    blocks = block_ids(ids, st["round_idx"], nb)
+                    m = blocks == i
+                    if m.any():
+                        R, dist = _apply_state(zn[m], g[m], state_i)
+                        acc.add(R, dist, g[m])
+                res = (acc.O[0], acc.rlogr[0], float(acc.rdist[0]))
+                per_block.append(res)
+                return res
+
+            O64, blk_states, rl_tot, rd_tot = blocked_estep_chain(
+                O_f32, contrib, Y, sigma, theta, Pr_b, B0, nb, run_block
+            )
+            fstate = {
+                "blocked": True,
+                "states": blk_states,
+                "iter": st["round_idx"],
+                "nb": nb,
+            }
+            for i, (c_new, rl, rd) in enumerate(per_block):
+                rows.append((itx, i, list(c_new.ravel()), list(rl), rd))
+            O_f32 = O64.astype(F32)
+            mass = O64[:, :B0].sum(axis=1)
+            E_f32 = (mass[:, None] * Pr_b[None, :].astype(np.float64)).astype(F32)
+        obj.append(
+            km_objective(O_f32, E_f32, sigma, theta, rl_tot, rd_tot, N)
+        )
+        if itx > st["window"] and km_window_converged(
+            obj, st["window"], st["eps"]
+        ):
+            break
+    return rows, fstate
+
+
+# tag values for the non-cell rows of the fused round pass
+ROUND_IT_MOE = -1  # MoE combo partial rows
+ROUND_IT_COLD = -2  # cold-start (penalty-free re-assignment) partial rows
+
+
+def make_round_kernel(
+    bc, code_cols: list[str], offsets: list[int], K: int, B: int,
+    feature_col: str = "z_orig",
+) -> Callable:
+    """ONE harmony round as ONE Arrow pass (single-partition inputs
+    only): the cold-start correction + normalize + penalty-free
+    re-assignment (make_cold_start_kernel's work), the whole kmeans
+    E-step loop (_run_chain), and the MoE per-combo partials against the
+    loop's final state (_moe_accumulate) — what used to be 3+ jobs per
+    round is one (guide §4: collapse tiny mapInPandas round-trips).
+
+    Emits the N (cell_id, z_orig, codes, zn) rows plus tagged partial
+    rows: it == ROUND_IT_COLD carries the cold-start partials (one row
+    per online block), it >= 0 the per-(iteration, block) chain
+    partials, it == ROUND_IT_MOE the MoE combo partials.  The driver
+    replays its unchanged bookkeeping from these rows; every float
+    sequence is shared with the per-iteration distributed path
+    (_PartialAcc / blocked_estep_chain / km_objective), so the two
+    strategies stay bit-identical."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         st = bc.value
-        batches = []
+        Y = st["Y"]
+        sigma = st["sigma"]
+        W_all = st.get("W_all")  # None at init (round 0)
+        prev_state = st.get("prev_state")
+        with_moe = bool(st.get("moe"))
+        mode = st["mode"]
+        nb_chain = st["nb"]
+        blocked = mode == "blocked"
+        # cold partials are per-block only in blocked mode (same as
+        # make_cold_start_kernel's nb handling)
+        nb_cold = nb_chain if blocked else 1
+        round_idx = st["round_idx"]
+        Pr_b, B0 = st["Pr_b"], st["B0"]
+
+        acc = _PartialAcc(K, B, n_blocks=nb_cold)
+        batches: list[tuple] = []
+        moe_batches: list[tuple] = []
+        template = None
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            batches.append(
-                (
-                    _stack(pdf["zn"]),
-                    _codes_matrix(pdf, code_cols, offsets),
-                    pdf["cell_id"].to_numpy(dtype=np.int64),
-                )
-            )
-        if not batches:
-            return
-        mode = st["mode"]
-        nb = st["nb"]
-        Y, sigma, theta = st["Y"], st["sigma"], st["theta"]
-        Pr_b, B0, N = st["Pr_b"], st["B0"], st["N"]
-        O_f32, E_f32 = st["O0"], st["E0"]
-        contrib = [np.array(c, dtype=np.float64) for c in st["contrib0"]]
-        obj: list[float] = []
-        rows: list[tuple] = []
-        for itx in range(st["max_iter"]):
-            if mode == "batch":
-                state = {
-                    "Y": Y,
-                    "sigma": sigma,
-                    "theta": theta,
-                    "O": O_f32,
-                    "E": E_f32,
-                    "penalty": True,
-                }
-                acc = _PartialAcc(K, B)
-                for zn, g, _ids in batches:
-                    R, dist = _apply_state(zn, g, state)
-                    acc.add(R, dist, g)
-                O64 = acc.O[0]
-                rl_tot, rd_tot = acc.rlogr[0], float(acc.rdist[0])
-                rows.append((itx, 0, list(O64.ravel()), list(rl_tot), rd_tot))
-                O_f32 = O64.astype(F32)
-                mass = O64[:, :B0].sum(axis=1)
-                E_f32 = (mass[:, None] * Pr_b[None, :].astype(np.float64)).astype(F32)
+            cell_ids = pdf["cell_id"].to_numpy(dtype=np.int64)
+            z = _stack(pdf[feature_col])
+            gcodes = _codes_matrix(pdf, code_cols, offsets)
+            if W_all is not None:
+                zn_prev = _stack(pdf["zn"])
+                R_prev, _ = recompute_R(zn_prev, gcodes, prev_state, cell_ids=cell_ids)
+                zc = _correction(z, R_prev, gcodes, W_all)
             else:
-                per_block: list[tuple] = []
-
-                def run_block(i: int, state_i: dict):
-                    acc = _PartialAcc(K, B)
-                    for zn, g, ids in batches:
-                        blocks = block_ids(ids, st["round_idx"], nb)
-                        m = blocks == i
-                        if m.any():
-                            R, dist = _apply_state(zn[m], g[m], state_i)
-                            acc.add(R, dist, g[m])
-                    res = (acc.O[0], acc.rlogr[0], float(acc.rdist[0]))
-                    per_block.append(res)
-                    return res
-
-                O64, _states, rl_tot, rd_tot = blocked_estep_chain(
-                    O_f32, contrib, Y, sigma, theta, Pr_b, B0, nb, run_block
+                zc = z
+            zn = _normalize_rows(zc)
+            dist = 2.0 * (1.0 - zn @ Y)
+            R = _soft_assign(dist, sigma)
+            blocks = block_ids(cell_ids, round_idx, nb_cold) if nb_cold > 1 else None
+            acc.add(R, dist, gcodes, blocks=blocks)
+            zn_f32 = zn.astype(F32)
+            batches.append((zn_f32, gcodes, cell_ids))
+            if with_moe:
+                moe_batches.append(
+                    (
+                        _stack(pdf[feature_col], dtype=np.float64),
+                        pdf[code_cols].to_numpy(dtype=np.int64),
+                    )
                 )
-                for i, (c_new, rl, rd) in enumerate(per_block):
-                    rows.append((itx, i, list(c_new.ravel()), list(rl), rd))
-                O_f32 = O64.astype(F32)
-                mass = O64[:, :B0].sum(axis=1)
-                E_f32 = (mass[:, None] * Pr_b[None, :].astype(np.float64)).astype(F32)
-            obj.append(
-                km_objective(O_f32, E_f32, sigma, theta, rl_tot, rd_tot, N)
+            out = pdf[["cell_id", feature_col, *code_cols]].copy()
+            out["zn"] = list(zn_f32)
+            out["it"] = None
+            out["blk"] = None
+            out["o"] = None
+            out["rlogr"] = None
+            out["rdist"] = None
+            out["combo"] = None
+            out["s"] = None
+            out["m"] = None
+            template = out
+            yield out
+        if not acc.seen:
+            return
+
+        def tagged(frame: pd.DataFrame, it_tag: int) -> pd.DataFrame:
+            full = pd.DataFrame(
+                {c: [None] * len(frame) for c in template.columns}
             )
-            if itx > st["window"] and km_window_converged(
-                obj, st["window"], st["eps"]
-            ):
-                break
-        yield pd.DataFrame(
-            {
-                "it": [r[0] for r in rows],
-                "blk": [r[1] for r in rows],
-                "o": [r[2] for r in rows],
-                "rlogr": [r[3] for r in rows],
-                "rdist": [r[4] for r in rows],
-            }
+            for c in frame.columns:
+                full[c] = frame[c].to_numpy(dtype=object)
+            full["it"] = it_tag if "it" not in frame.columns else full["it"]
+            return full
+
+        # cold-start partials (the driver's _finish_partials input)
+        yield tagged(acc.partial_frame(), ROUND_IT_COLD)
+
+        # chain start state derived from the cold partials — the same
+        # arithmetic _finish_partials applies driver-side
+        O64_blocks = acc.O  # (nb_cold, K, B) float64
+        O = O64_blocks.sum(axis=0)
+        O_f32 = O.astype(F32)
+        mass = O[:, :B0].sum(axis=1)
+        E_f32 = (mass[:, None] * Pr_b[None, :].astype(np.float64)).astype(F32)
+        contrib0 = (
+            [O64_blocks[i] for i in range(nb_chain)]
+            if blocked
+            else [np.zeros((K, B), dtype=np.float64)]
         )
+        rows, fstate = _run_chain(st, batches, K, B, O_f32, E_f32, contrib0)
+        yield tagged(
+            pd.DataFrame(
+                {
+                    "it": [r[0] for r in rows],
+                    "blk": [r[1] for r in rows],
+                    "o": [r[2] for r in rows],
+                    "rlogr": [r[3] for r in rows],
+                    "rdist": [r[4] for r in rows],
+                }
+            ),
+            0,
+        )
+        if with_moe:
+            macc: dict[tuple, list] = {}
+            for (zn_b, g_b, ids_b), (z64_b, codes_b) in zip(
+                batches, moe_batches
+            ):
+                _moe_accumulate(macc, z64_b, zn_b, g_b, codes_b, fstate, ids_b)
+            yield tagged(
+                pd.DataFrame(
+                    {
+                        "blk": [-1] * len(macc),
+                        "combo": [np.asarray(c, dtype=np.int64) for c in macc],
+                        "s": [v[0] for v in macc.values()],
+                        "m": [v[1].ravel() for v in macc.values()],
+                    }
+                ),
+                ROUND_IT_MOE,
+            )
 
     return kernel
 
@@ -453,20 +602,8 @@ def make_moe_partials_kernel(
             zn = _stack(pdf["zn"])
             gcodes = _codes_matrix(pdf, code_cols, offsets)
             cell_ids = pdf["cell_id"].to_numpy(dtype=np.int64)
-            R, _ = recompute_R(zn, gcodes, st, cell_ids=cell_ids)
-            R = R.astype(np.float64)
             codes = pdf[code_cols].to_numpy(dtype=np.int64)
-            uniq, inverse = np.unique(codes, axis=0, return_inverse=True)
-            for u in range(len(uniq)):
-                combo_t = tuple(int(x) for x in uniq[u])
-                ii = np.flatnonzero(inverse == u)
-                S = R[ii].sum(axis=0)  # (K,)
-                M = R[ii].T @ z[ii]  # (K, d)
-                if combo_t in acc:
-                    acc[combo_t][0] += S
-                    acc[combo_t][1] += M
-                else:
-                    acc[combo_t] = [S, M]
+            _moe_accumulate(acc, z, zn, gcodes, codes, st, cell_ids)
         if acc:
             yield pd.DataFrame(
                 {

@@ -112,6 +112,185 @@ def _solve_side(
     return agg.mapInPandas(solve, f"{key} long, vec array<double>")
 
 
+def _solve_items(iv, lamb: float):
+    """The item-step driver arithmetic: from the per-item normal-equation
+    census rows (item, cnt, sr2, rv_*, vv_*) solve the new item factors
+    and price the iteration's SSE.  ONE implementation shared by the
+    distributed path and the fused single-partition kernel so both
+    follow identical float sequences.  Returns (vrows, sse, n_total)."""
+    vrows, sse, n_total = [], 0.0, 0
+    for row in iv:
+        A0 = np.zeros((RANK, RANK))
+        for a in range(RANK):
+            for b in range(a, RANK):
+                A0[a, b] = A0[b, a] = row[f"vv_{a}_{b}"]
+        rv = np.array([row[f"rv_{i}"] for i in range(RANK)])
+        vec = np.linalg.solve(A0 + lamb * np.eye(RANK), rv)
+        vrows.append((row["item"], [float(x) for x in vec]))
+        sse += row["sr2"] - 2.0 * float(vec @ rv) + float(vec @ A0 @ vec)
+        n_total += row["cnt"]
+    return vrows, sse, n_total
+
+
+def _als_ustep_arrays(
+    users: np.ndarray, items: np.ndarray, vals: np.ndarray, V_mat: np.ndarray,
+    iix: dict, lamb: float,
+):
+    """Vectorized per-user ridge solves over SORTED (user, item) triples:
+    per-row outer products v v^T reduced per user (np.add.reduceat), one
+    batched LAPACK solve.  Returns (uniq_users, U (n_users, k))."""
+    k = V_mat.shape[1]
+    vrow = V_mat[np.array([iix[i] for i in items])]  # (n, k)
+    uniq, starts = np.unique(users, return_index=True)
+    outer = vrow[:, :, None] * vrow[:, None, :]  # (n, k, k)
+    A = np.add.reduceat(outer, starts, axis=0) + lamb * np.eye(k)[None]
+    b = np.add.reduceat(vals[:, None] * vrow, starts, axis=0)  # (nu, k)
+    U = np.linalg.solve(A, b[:, :, None])[:, :, 0]
+    return uniq, U
+
+
+def _als_item_census(
+    users: np.ndarray, items_sorted_rows: np.ndarray, vals: np.ndarray,
+    U_mat: np.ndarray, uix_arr: np.ndarray, order_by_item: np.ndarray,
+):
+    """Per-item normal-equation census rows from the (already solved)
+    user factors — the same aggregates the distributed item step
+    shuffles, reduced with np.add.reduceat over item-sorted rows.
+    Returns a list of dict rows matching _solve_items' expectations."""
+    k = U_mat.shape[1]
+    it_s = items_sorted_rows[order_by_item]
+    va_s = vals[order_by_item]
+    w = U_mat[uix_arr[order_by_item]]  # (n, k)
+    uniq, starts = np.unique(it_s, return_index=True)
+    cnt = np.diff(np.append(starts, len(it_s)))
+    sr2 = np.add.reduceat(va_s * va_s, starts)
+    rv = np.add.reduceat(va_s[:, None] * w, starts, axis=0)  # (ni, k)
+    outer = w[:, :, None] * w[:, None, :]
+    vv = np.add.reduceat(outer, starts, axis=0)  # (ni, k, k)
+    rows = []
+    for x, item in enumerate(uniq):
+        row = {"item": int(item), "cnt": int(cnt[x]), "sr2": float(sr2[x])}
+        for i in range(k):
+            row[f"rv_{i}"] = float(rv[x, i])
+        for a in range(k):
+            for b in range(a, k):
+                row[f"vv_{a}_{b}"] = float(vv[x, a, b])
+        rows.append(row)
+    return rows
+
+
+def _als_fit_fused(
+    r: DataFrame, items: list, n_iter: int, lamb: float
+) -> tuple[DataFrame, pd.DataFrame, list[float], int]:
+    """The whole ALS loop as ONE Arrow pass (single-partition ratings):
+    the kernel runs every (U-step, item-census) in-process and emits the
+    per-(iteration, item) census rows; the driver replays the SAME
+    _solve_items arithmetic over them, so driver V/rmse and kernel
+    V/rmse stay bit-identical.  The returned user-factor DataFrame is a
+    LAZY final U-step over the same single partition — callers that
+    never materialize it (q137) pay nothing (guide §4: collapse tiny
+    per-iteration round-trips; §1.2: don't compute what's thrown away)."""
+    spark = r.sparkSession
+    k = RANK
+    V = _init_factors(items)
+    iix = {it: x for x, it in enumerate(items)}
+    r1 = r.repartition(1).localCheckpoint(eager=False)
+    bc = spark.sparkContext.broadcast(
+        {
+            "V0": np.array([np.asarray(v, dtype=np.float64) for v in V["vec"]]),
+            "items": list(items),
+            "n_iter": n_iter,
+            "lamb": lamb,
+        }
+    )
+    iv_fields = [f"rv_{i} double" for i in range(k)] + [
+        f"vv_{a}_{b} double" for a in range(k) for b in range(a, k)
+    ]
+    schema = "it int, item long, cnt long, sr2 double, " + ", ".join(iv_fields)
+
+    def chain(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st = bc.value
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        # deterministic processing order regardless of shuffle layout
+        pdf = pdf.sort_values(["user", "item"], kind="mergesort", ignore_index=True)
+        users = pdf["user"].to_numpy(dtype=np.int64)
+        its = pdf["item"].to_numpy(dtype=np.int64)
+        vals = pdf["rating"].to_numpy(dtype=np.float64)
+        V_mat = st["V0"].copy()
+        loc_iix = {it: x for x, it in enumerate(st["items"])}
+        order_by_item = np.argsort(its, kind="mergesort")
+        out_rows: list[dict] = []
+        for itx in range(st["n_iter"]):
+            uniq_u, U_mat = _als_ustep_arrays(
+                users, its, vals, V_mat, loc_iix, st["lamb"]
+            )
+            upos = {u: x for x, u in enumerate(uniq_u)}
+            uix_arr = np.array([upos[u] for u in users])
+            census = _als_item_census(
+                users, its, vals, U_mat, uix_arr, order_by_item
+            )
+            for row in census:
+                out_rows.append({"it": itx, **row})
+            vrows, _, _ = _solve_items(census, st["lamb"])
+            vmap = dict(vrows)
+            V_mat = np.array(
+                [np.asarray(vmap[it], dtype=np.float64) for it in st["items"]]
+            )
+        yield pd.DataFrame(out_rows)
+
+    rows = r1.mapInPandas(chain, schema).collect()
+    by_it: dict[int, list] = {}
+    for row in rows:
+        by_it.setdefault(row["it"], []).append(row)
+    rmses: list[float] = []
+    n_total = 0
+    V_prev = V  # item factors the final U-step solves against
+    for itx in sorted(by_it):
+        if itx == n_iter - 1:
+            V_prev = V
+        vrows, sse, n_total = _solve_items(by_it[itx], lamb)
+        V = pd.DataFrame(sorted(vrows), columns=["item", "vec"])
+        rmses.append(float(np.sqrt(sse / n_total)))
+
+    # lazy final U-step: same numpy path over the same sorted partition
+    bc_u = spark.sparkContext.broadcast(
+        {
+            "V": np.array(
+                [np.asarray(v, dtype=np.float64) for v in V_prev["vec"]]
+            ),
+            "items": [int(i) for i in V_prev["item"]],
+            "lamb": lamb,
+        }
+    )
+
+    def ustep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st = bc_u.value
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        pdf = pdf.sort_values(["user", "item"], kind="mergesort", ignore_index=True)
+        users = pdf["user"].to_numpy(dtype=np.int64)
+        its = pdf["item"].to_numpy(dtype=np.int64)
+        vals = pdf["rating"].to_numpy(dtype=np.float64)
+        loc_iix = {it: x for x, it in enumerate(st["items"])}
+        uniq_u, U_mat = _als_ustep_arrays(
+            users, its, vals, np.asarray(st["V"]), loc_iix, st["lamb"]
+        )
+        yield pd.DataFrame(
+            {
+                "user": uniq_u,
+                "vec": [[float(x) for x in row] for row in U_mat],
+            }
+        )
+
+    U = r1.mapInPandas(ustep, "user long, vec array<double>")
+    return U, V, rmses, n_total
+
+
 def als_fit(
     ratings: DataFrame,
     user_col: str = "user",
@@ -123,24 +302,35 @@ def als_fit(
     iteration, n_ratings). Item factors stay driver-side (the small
     dimension); user factors never leave the cluster.  ``n_ratings``
     is a free by-product of the item-step census (Σ per-item counts),
-    so callers need no separate count() job."""
+    so callers need no separate count() job.
+
+    Below HARMONY_ALS_FUSE_ROWS ratings (default 2M) the whole loop
+    runs as one Arrow pass (_als_fit_fused); above it the distributed
+    per-iteration path runs unchanged — at billion-rating scale the
+    fused branch never fires."""
     spark = ratings.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    import os
+
+    r0 = ratings.select(
+        F.col(user_col).alias("user"),
+        F.col(item_col).alias("item"),
+        F.col("rating"),
+    )
+    # item census: the items list AND the total rating count in one job
+    # (replaces the former items-distinct collect; n decides the path)
+    hist = r0.groupBy("item").agg(F.count("*").alias("c")).collect()
+    items = sorted(int(x["item"]) for x in hist)
+    n_ratings = int(sum(x["c"] for x in hist))
+    if n_ratings <= int(os.environ.get("HARMONY_ALS_FUSE_ROWS", "2000000")):
+        return _als_fit_fused(r0, items, n_iter, lamb)
+
     # hash-partition the ratings on USER once, before the checkpoint:
     # every iteration both aggregates on user (the U-step normal
     # equations) and joins on user (the item step) — establishing the
     # partitioning once removes the per-iteration ratings Exchange from
     # both (guide §2.4); localCheckpoint preserves it.
-    r = (
-        ratings.select(
-            F.col(user_col).alias("user"),
-            F.col(item_col).alias("item"),
-            F.col("rating"),
-        )
-        .repartition(n_shuffle, "user")
-        .localCheckpoint(eager=False)
-    )
-    items = sorted(x["item"] for x in r.select("item").distinct().collect())
+    r = r0.repartition(n_shuffle, "user").localCheckpoint(eager=False)
     V = _init_factors(items)
     rmses: list[float] = []
     U = None
@@ -192,17 +382,7 @@ def als_fit(
             )
             .collect()
         )
-        vrows, sse, n_total = [], 0.0, 0
-        for row in iv:
-            A0 = np.zeros((RANK, RANK))
-            for a in range(RANK):
-                for b in range(a, RANK):
-                    A0[a, b] = A0[b, a] = row[f"vv_{a}_{b}"]
-            rv = np.array([row[f"rv_{i}"] for i in range(RANK)])
-            vec = np.linalg.solve(A0 + lamb * np.eye(RANK), rv)
-            vrows.append((row["item"], [float(x) for x in vec]))
-            sse += row["sr2"] - 2.0 * float(vec @ rv) + float(vec @ A0 @ vec)
-            n_total += row["cnt"]
+        vrows, sse, n_total = _solve_items(iv, lamb)
         V = pd.DataFrame(sorted(vrows), columns=["item", "vec"])
         rmses.append(float(np.sqrt(sse / n_total)))
     return U, V, rmses, n_total

@@ -90,6 +90,25 @@ def test_als_rmse_decreases(spark, ratings):
     assert rmses[-1] < rmses[0]
 
 
+def test_als_fused_matches_distributed(spark, ratings, monkeypatch):
+    """The fused single-pass ALS (HARMONY_ALS_FUSE_ROWS path) must agree
+    with the distributed per-iteration path to float tolerance — the
+    only difference between them is partial-sum order (~1e-12)."""
+    U_f, V_f, rmse_f, n_f = als_fit(ratings)  # fused (tiny fixture)
+    monkeypatch.setenv("HARMONY_ALS_FUSE_ROWS", "0")
+    U_d, V_d, rmse_d, n_d = als_fit(ratings)  # forced distributed
+    assert n_f == n_d
+    assert np.allclose(rmse_f, rmse_d, rtol=1e-9, atol=1e-12)
+    Vf = np.array([v for _, v in V_f.itertuples(index=False)])
+    Vd = np.array([v for _, v in V_d.itertuples(index=False)])
+    assert np.allclose(Vf, Vd, rtol=1e-8, atol=1e-10)
+    uf = {r["user"]: r["vec"] for r in U_f.collect()}
+    ud = {r["user"]: r["vec"] for r in U_d.collect()}
+    assert set(uf) == set(ud)
+    for u in uf:
+        assert np.allclose(uf[u], ud[u], rtol=1e-8, atol=1e-10)
+
+
 def test_q137_registry_row(spark, sf_dir):
     from harmony_spark.registry import load_all
 
